@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational query set: scans, filters, joins, aggregations, sorts,
+  * window top-N, and keyed upsert-merge — the SURVEY §2.1–§2.4/§2.6 surface
+  * (S1-S8, F1-F8, J1-J8, A1-A12, O1-O8) re-expressed over the driver
+  * testdata star schema.
+  *
+  * Oracle-compat rules used throughout (Spark result must hash-match DuckDB
+  * running [[oracle]] SQL on the same parquet):
+  *  - money sums accumulate in DECIMAL (exact, order-independent), cast to
+  *    double only at the end — a raw double SUM is partial-order dependent;
+  *  - computed doubles are never `round()`ed (JVM rounds the shortest string
+  *    repr via BigDecimal.valueOf, C engines round the binary value — they
+  *    disagree on values like 118.515);
+  *  - averages/percentages are `exact_numerator_as_double / count` — pure
+  *    IEEE ops are bit-identical across engines;
+  *  - timestamps are emitted as formatted strings;
+  *  - integer sums are CAST(... AS BIGINT) in DuckDB (its SUM is int128);
+  *  - every ORDER BY carries a full tie-break so limits are deterministic.
+  *
+  * Scale notes: dimension sides (region/nation/customer/part) get explicit
+  * `broadcast()` hints; fact-fact joins shuffle on their key. Aggregations
+  * are all partial-aggregate friendly (map-side combine).
+  */
+object CoreQueries {
+
+  /** SUM over an exact decimal view of a 2dp double column, as double. */
+  private def dsum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // S1: full scan (reference: curate.py:87-105 fetch-all).
+  private def q01(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(col("r_regionkey"), col("r_name"))
+
+  // S2+F1+F2: projected scan with equality/inequality predicates
+  // (reference: supabase_loader.py:349-352, curate.py:7567-7570).
+  private def q02(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+
+  // F3+F4: range + IN-list filter (reference: curation_history_service.py:261,
+  // curate.py:7601-7611 batched IN-lists → a plain pushed-down predicate).
+  private def q03(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_acctbal") >= 1000.0 &&
+        col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+
+  // O2/O3+F8: order desc + limit, fully tie-broken (curate.py:7507-7512).
+  private def q04(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+
+  // A2+A12: group-by summary — the `category_summary` view shape
+  // (reference: docs/supabase_schema.sql:138-147).
+  private def q05(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (dsum("o_totalprice") / count(lit(1))).as("avg_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
+      .orderBy(col("o_orderpriority"))
+
+  // A3: conditional (FILTER) aggregation with NULLIF-style guard
+  // (reference: docs/supabase_schema.sql:431-442).
+  private def q06(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        (sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).cast("double") * lit(100.0) /
+          count(lit(1))).as("pct_f"))
+      .orderBy(col("l_returnflag"))
+
+  // J1 (×3) + A2: orders ⋈ customer ⋈ nation ⋈ region rollup; dimensions
+  // broadcast (reference: docs/supabase_curation_history.sql:58-78 join view).
+  private def q07(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  // J3+A4: left-join coverage with percent-complete
+  // (reference: docs/supabase_schema.sql:269-291 curation progress views).
+  private def q08(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(when(col("o_orderkey").isNotNull, col("c_custkey"))).as("n_with_orders"),
+        count(col("o_orderkey")).as("n_orders"))
+      .withColumn("pct_with_orders",
+        col("n_with_orders").cast("double") * lit(100.0) / col("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  // J8/D1: anti-join — customers with no 'P'-status order (reference:
+  // pipeline.py:152-193 skip-already-scraped).
+  private def q09(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  // F4-at-scale: big IN-list as a semi-join (reference: curate.py:7601-7611).
+  private def q10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_items"), dsum("l_quantity").as("sum_qty"))
+
+  // A1: global scalar aggregate battery (docs/supabase_schema.sql:127-135).
+  private def q11(s: SparkSession, d: String): DataFrame =
+    part(s, d).agg(
+      count(lit(1)).as("n_parts"),
+      countDistinct(col("p_brand")).as("n_brands"),
+      min(col("p_retailprice")).as("min_price"),
+      max(col("p_retailprice")).as("max_price"),
+      (dsum("p_retailprice") / count(lit(1))).as("avg_price"),
+      sum(col("p_size").cast("long")).as("sum_size"))
+
+  // A8: distinct-count per group (docs/supabase_schema.sql:333-340).
+  private def q12(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+
+  // A9: ordered collect-list per group, emitted as a joined string
+  // (docs/supabase_schema.sql:376-383 array_agg ORDER BY).
+  private def q13(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+
+  // A10: count-where-count>1 — repeat customers (curate.py:7666-7671).
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_repeat"),
+        coalesce(sum(col("n")), lit(0L)).as("n_orders_of_repeat"))
+  }
+
+  // O4: top-N counts with deterministic tie-break (curate.py:7660-7663).
+  private def q15(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand"))
+      .limit(10)
+
+  // O5: CASE-ordinal sort (docs/supabase_schema.sql:471-478 formality order).
+  private def q16(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ord",
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+          .otherwise(5))
+      .orderBy(col("ord"))
+
+  // O6: per-group top-N via window (tag_policy.py:517-525 _pick_top_n).
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  // O8/P9: representative-per-group (argmax) — pipeline.py:429-433 variant
+  // representative by max image count; here: each customer's largest order.
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_orderkey"),
+        col("o_totalprice").as("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // S5: keyed upsert (latest-wins merge) — supabase_loader.py:164-228
+  // upsert(on_conflict=product_id), re-expressed as union + row_number dedup;
+  // checksum aggregate output proves the merged state.
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).withColumn("v", lit(1))
+    val updates = orders(s, d)
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("v", lit(2))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_region" -> q01 _,
+    "q02_project_filter" -> q02 _,
+    "q03_range_in_filter" -> q03 _,
+    "q04_topk_orders" -> q04 _,
+    "q05_group_summary" -> q05 _,
+    "q06_cond_agg" -> q06 _,
+    "q07_join_rollup" -> q07 _,
+    "q08_left_join_coverage" -> q08 _,
+    "q09_anti_join" -> q09 _,
+    "q10_semi_join_agg" -> q10 _,
+    "q11_global_stats" -> q11 _,
+    "q12_distinct_count_by" -> q12 _,
+    "q13_collect_list" -> q13 _,
+    "q14_repeat_customers" -> q14 _,
+    "q15_top_counts" -> q15 _,
+    "q16_case_ordinal_sort" -> q16 _,
+    "q17_group_topn" -> q17 _,
+    "q18_argmax_per_group" -> q18 _,
+    "q19_upsert_merge" -> q19 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_region" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q02_project_filter" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_orderpriority <> '5-LOW'"),
+    "q03_range_in_filter" ->
+      ("SELECT c_custkey, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE c_acctbal >= 1000.0 AND c_mktsegment IN ('BUILDING','AUTOMOBILE')"),
+    "q04_topk_orders" ->
+      ("SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date " +
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"),
+    "q05_group_summary" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+        "strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date, " +
+        "strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q06_cond_agg" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f, " +
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o, " +
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) * 100.0 / COUNT(*) AS pct_f " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q07_join_rollup" ->
+      ("SELECT r_name, n_name, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q08_left_join_coverage" ->
+      ("SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers, " +
+        "COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS n_with_orders, " +
+        "COUNT(o_orderkey) AS n_orders, " +
+        "CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS DOUBLE) " +
+        "* 100.0 / COUNT(DISTINCT c_custkey) AS pct_with_orders " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q09_anti_join" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY c_custkey"),
+    "q10_semi_join_agg" ->
+      ("SELECT COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)"),
+    "q11_global_stats" ->
+      ("SELECT COUNT(*) AS n_parts, COUNT(DISTINCT p_brand) AS n_brands, " +
+        "MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price, " +
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+        "CAST(SUM(p_size) AS BIGINT) AS sum_size FROM part"),
+    "q12_distinct_count_by" ->
+      ("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q13_collect_list" ->
+      ("SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "q14_repeat_customers" ->
+      ("SELECT COUNT(*) AS n_repeat, " +
+        "COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_orders_of_repeat FROM " +
+        "(SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)"),
+    "q15_top_counts" ->
+      ("SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand " +
+        "ORDER BY n DESC, p_brand LIMIT 10"),
+    "q16_case_ordinal_sort" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+        "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 " +
+        "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS ord " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY ord"),
+    "q17_group_topn" ->
+      ("SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+        "WHERE rk <= 3 ORDER BY o_orderpriority, rk"),
+    "q18_argmax_per_group" ->
+      ("SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+        "WHERE rk = 1 ORDER BY o_custkey"),
+    "q19_upsert_merge" ->
+      ("WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS v FROM orders), " +
+        "updates AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, " +
+        "2 AS v FROM orders WHERE o_orderkey % 7 = 0), " +
+        "merged AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_orderkey ORDER BY v DESC) AS rn " +
+        "FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)) WHERE rn = 1) " +
+        "SELECT o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  )
+}
