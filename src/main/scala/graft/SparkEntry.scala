@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q07_join_rollup")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.ArrayJsonQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++
+      graft.queries.ArrayJsonQueries.oracle
 }

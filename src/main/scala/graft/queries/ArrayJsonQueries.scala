@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.ColumnOps
+
+/** Explode / array / JSON / scalar-function query set (SURVEY §2.5 E1-E7,
+  * §2.7 D2/D6, §2.8 X-battery, §2.10 T3) over the driver testdata.
+  * Same oracle-compat rules as [[CoreQueries]].
+  */
+object ArrayJsonQueries {
+
+  // E1/E4: token explode + count (docs/supabase_schema.sql:449-457
+  // jsonb_array_elements_text → per-tag counts).
+  private def q20(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("token"))
+
+  // E2/F5: JSON scalar extract + null/empty disjunction filter
+  // (docs/supabase_schema.sql:464-478; main.py:522-525).
+  private def q21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  // E5/E6-adjacent: positional array slicing — first/last/first-2/size
+  // (pipeline.py:256-279 lay-flat image pick semantics on token arrays).
+  private def q22(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        element_at(col("tokens"), 1).as("first_token"),
+        element_at(col("tokens"), -1).as("last_token"),
+        array_join(slice(col("tokens"), 1, 2), " ").as("first2"),
+        size(col("tokens")).as("n_tokens"))
+      .orderBy(col("p_partkey"))
+
+  // D2: element-wise set algebra — added/removed/unchanged vs a reference
+  // tag set (tag_comparison.py:53-157 compute_tag_changes).
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val ref = array(lit("widget"), lit("small"), lit("bolt"))
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        array_join(ColumnOps.addedTags(col("tokens"), ref), ",").as("added"),
+        array_join(ColumnOps.removedTags(col("tokens"), ref), ",").as("removed"),
+        array_join(ColumnOps.unchangedTags(col("tokens"), ref), ",").as("unchanged"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // X-battery: slugify (X6), variant id (X7), price bucket (X11), token
+  // estimate (X19), keyword classify (F11/X21-X23 when-chain).
+  private def q24(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        ColumnOps.slugify(col("p_name")).as("slug"),
+        concat_ws("_", lower(regexp_replace(col("p_brand"), "[^A-Za-z0-9]+", "_")),
+          ColumnOps.slugify(col("p_name"))).as("variant_id"),
+        ColumnOps.priceBucketText(col("p_retailprice") / 10).as("price_bucket"),
+        ColumnOps.tokenEstimate(col("p_name")).as("est_tokens"),
+        when(col("p_name").contains("widget"), "widget")
+          .when(col("p_name").contains("bolt"), "bolt")
+          .otherwise("other").as("kind"))
+      .orderBy(col("p_partkey"))
+
+  // X3-style decimal-exact pricing rollup (TPC-H Q1 shape): sums stay in
+  // exact decimals through two multiplies, cast to double at the end.
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val disc = one - col("l_discount").cast("decimal(18,2)")
+    val tax = one + col("l_tax").cast("decimal(18,2)")
+    val discPrice = (col("l_extendedprice").cast("decimal(18,2)") * disc)
+      .cast("decimal(18,4)")
+    lineitem(s, d)
+      .withColumn("disc_price", discPrice)
+      .withColumn("charge", col("disc_price") * tax)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(col("disc_price")).cast("double").as("sum_disc_price"),
+        sum(col("charge")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // X20/T2: date part extraction + grouping (freshness stamping reads).
+  private def q26(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+      .groupBy(col("o_year"), col("o_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  // T3: freshness decay — rational staleness score + threshold filter
+  // (docs/Inventory Ingestion & Freshness Pipeline, §2.10).
+  private def q27(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("age_days",
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")))
+      .withColumn("tau",
+        when(col("o_orderpriority") === "1-URGENT", 30.0)
+          .when(col("o_orderpriority") === "2-HIGH", 90.0)
+          .otherwise(365.0))
+      .withColumn("freshness", ColumnOps.freshnessScore(col("age_days"), col("tau")))
+      .filter(col("freshness") >= 0.2)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fresh"),
+        min(col("freshness")).as("min_score"),
+        max(col("freshness")).as("max_score"))
+      .orderBy(col("o_orderpriority"))
+
+  // D6: distinct pairs (curate.py:7599 set-of-keys dedup).
+  private def q28(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  // X16+D2: change-summary formatting over diffed arrays
+  // (curation_history_service.py:94-111).
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val ref = array(lit("widget"), lit("small"), lit("bolt"))
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        ColumnOps.changeSummary(
+          ColumnOps.addedTags(col("tokens"), ref),
+          ColumnOps.removedTags(col("tokens"), ref)).as("change_summary"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_explode_token_counts" -> q20 _,
+    "q21_json_extract_agg" -> q21 _,
+    "q22_array_slice_ops" -> q22 _,
+    "q23_tag_diff_arrays" -> q23 _,
+    "q24_scalar_battery" -> q24 _,
+    "q25_pricing_rollup" -> q25 _,
+    "q26_date_parts" -> q26 _,
+    "q27_freshness_decay" -> q27 _,
+    "q28_distinct_pairs" -> q28 _,
+    "q29_change_summary" -> q29 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_explode_token_counts" ->
+      ("SELECT token, COUNT(*) AS n FROM " +
+        "(SELECT unnest(string_split(p_name, ' ')) AS token FROM part) " +
+        "GROUP BY token ORDER BY token"),
+    "q21_json_extract_agg" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k FROM " +
+        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events) WHERE k IS NOT NULL " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q22_array_slice_ops" ->
+      ("SELECT p_partkey, l[1] AS first_token, l[-1] AS last_token, " +
+        "array_to_string(list_slice(l, 1, 2), ' ') AS first2, " +
+        "CAST(len(l) AS INT) AS n_tokens FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS l FROM part) " +
+        "ORDER BY p_partkey"),
+    "q23_tag_diff_arrays" ->
+      ("SELECT p_partkey, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_filter(r, x -> NOT list_contains(l, x)))), ','), '') AS added, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_filter(l, x -> NOT list_contains(r, x)))), ','), '') AS removed, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_filter(l, x -> list_contains(r, x)))), ','), '') AS unchanged FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS l, " +
+        "['widget','small','bolt'] AS r FROM part) ORDER BY p_partkey"),
+    "q24_scalar_battery" ->
+      ("SELECT p_partkey, " +
+        "regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS slug, " +
+        "regexp_replace(lower(p_brand), '[^a-z0-9]+', '_', 'g') || '_' || " +
+        "regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS variant_id, " +
+        "CASE WHEN p_retailprice / 10 < 50.0 THEN 'budget-friendly affordable' " +
+        "WHEN p_retailprice / 10 > 150.0 THEN 'premium luxury' ELSE 'mid-range' END AS price_bucket, " +
+        "GREATEST(1, CAST(FLOOR(LENGTH(p_name) / 4) AS BIGINT)) AS est_tokens, " +
+        "CASE WHEN p_name LIKE '%widget%' THEN 'widget' " +
+        "WHEN p_name LIKE '%bolt%' THEN 'bolt' ELSE 'other' END AS kind " +
+        "FROM part ORDER BY p_partkey"),
+    "q25_pricing_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q26_date_parts" ->
+      ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, " +
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month, COUNT(*) AS n " +
+        "FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"),
+    "q27_freshness_decay" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_fresh, " +
+        "MIN(freshness) AS min_score, MAX(freshness) AS max_score FROM " +
+        "(SELECT o_orderpriority, 1.0 / (1.0 + CAST(datediff('day', o_orderdate, DATE '2002-01-01') AS DOUBLE) / " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 30.0 " +
+        "WHEN o_orderpriority = '2-HIGH' THEN 90.0 ELSE 365.0 END) AS freshness " +
+        "FROM orders) WHERE freshness >= 0.2 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q28_distinct_pairs" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "q29_change_summary" ->
+      ("SELECT p_partkey, COALESCE(array_to_string(list_filter([" +
+        "CASE WHEN len(added) > 0 THEN 'Added: ' || array_to_string(added, ', ') END, " +
+        "CASE WHEN len(removed) > 0 THEN 'Removed: ' || array_to_string(removed, ', ') END" +
+        "], x -> x IS NOT NULL), '; '), '') AS change_summary FROM " +
+        "(SELECT p_partkey, " +
+        "list_sort(list_distinct(list_filter(r, x -> NOT list_contains(l, x)))) AS added, " +
+        "list_sort(list_distinct(list_filter(l, x -> NOT list_contains(r, x)))) AS removed FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS l, " +
+        "['widget','small','bolt'] AS r FROM part)) ORDER BY p_partkey")
+  )
+}
