@@ -18,9 +18,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.ArrayJsonQueries.queries
+      graft.queries.ArrayJsonQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
-      graft.queries.ArrayJsonQueries.oracle
+      graft.queries.ArrayJsonQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.SimQueries.oracle
 }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling. All row-local Catalyst expressions (no UDFs, no shuffles) —
+  * they scale linearly with input splits at 100 TB.
+  *
+  * Generalizes the reference's text handling (X12 embedding-text builder
+  * `embeddings.py:115-165`, X19 token estimate `export_training_data.py:35`,
+  * F11 keyword batteries `curate.py:7630-7641`).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword split: word boundaries, digit runs, punctuation runs
+    * kept as separate tokens (regex analog of a GPT-style pre-tokenizer). */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= "" && t =!= " ")
+
+  /** X19: `max(1, len(text) // 4)` estimator. */
+  def tokenEstimate(text: Column): Column =
+    greatest(lit(1L), floor(length(text) / 4).cast("long"))
+
+  /** Exact whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Total characters across tokens (content chars, no whitespace). */
+  def contentChars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Type-token ratio: distinct tokens / tokens — a lexical-diversity
+    * quality signal. */
+  def uniqueTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** Punctuation-character ratio over the raw text. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") /
+      length(text)
+
+  /** Mean token length in characters. */
+  def meanTokenLen(toks: Column): Column =
+    contentChars(toks).cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]: shortness-penalized diversity with
+    * stopword sanity band — deterministic, IEEE-only arithmetic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val lenOk = least(size(toks).cast("double") / 20.0, lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / size(toks)
+    (lenOk + diversity) / 2.0
+  }
+
+  /** Language-ID heuristic: per-profile stopword overlap counts, winner =
+    * argmax with first-profile-wins tie-break. Returns the winning profile
+    * name. Profiles are (name, stopword set). */
+  def langId(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (name, words) =>
+      val sw = array(words.map(lit): _*)
+      name -> size(filter(toks, t => array_contains(sw, t)))
+    }
+    scores.tail.foldLeft(
+      (when(lit(true), lit(scores.head._1)), scores.head._2)) {
+      case ((bestName, bestScore), (name, score)) =>
+        (when(score > bestScore, lit(name)).otherwise(bestName),
+          greatest(score, bestScore))
+    }._1
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (X8-style normalize + content hash; oracle-matchable since md5 is
+    * identical across engines). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Word n-gram shingles: overlapping windows of `n` tokens joined by a
+    * single space; empty array when the doc has fewer than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+}

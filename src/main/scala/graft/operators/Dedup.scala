@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines — exact,
+  * MinHash-LSH, SimHash, and n-gram Jaccard — designed for 100 TB scale:
+  *
+  *  - signatures are computed ROW-LOCALLY (array folds, no explode), so the
+  *    only shuffles are the final group-by-key / bucket-join — each keyed on
+  *    a hash that distributes uniformly (no skew);
+  *  - LSH candidate generation joins on (band, bandHash) buckets, never
+  *    cross-joining documents — candidate count scales with true-duplicate
+  *    density, not N²;
+  *  - exact-Jaccard verification touches only candidate pairs.
+  *
+  * Generalizes the reference's seen-set/anti-join dedup (SURVEY §2.7
+  * D1/D4/D6, tracker.py:107-126) to content-level near-duplication.
+  */
+object Dedup {
+
+  /** Normalized text for exact-dup hashing: lowercase, collapsed
+    * whitespace. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup: keep one row per distinct normalized text (first by
+    * `tieBreak` — deterministic). Scale: one hash-partitioned shuffle on the
+    * 256-bit content hash; no skew (hash keys are uniform). */
+  def exactDedup(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(sha2(normalized(col(textCol)), 256))
+      .orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: `numPerms` permutations approximated by seeded
+    * xxhash64 over `shingleN`-token shingles; each signature slot is a
+    * row-local array_min — no explode, no shuffle. */
+  def minHashSignature(text: Column, numPerms: Int, shingleN: Int): Column = {
+    val sh = TextAnalysis.shingles(TextAnalysis.tokens(normalized(text)), shingleN)
+    array((0 until numPerms).map { i =>
+      coalesce(array_min(transform(sh, s => xxhash64(lit(i), s))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** Band hashes over a minhash signature: `numBands` hashes, each over
+    * `rowsPerBand` consecutive slots. */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Pipeline: signature (row-local) → posexplode bands → self-join on
+    * (band, bandHash) with id_a < id_b → distinct pairs → join token sets
+    * back → exact Jaccard filter ≥ `threshold`.
+    *
+    * Returns (id_a, id_b, n_common, n_union, jaccard). Scale notes: the
+    * band-bucket join shuffles on uniform 64-bit hashes; a pathological
+    * bucket (constant text) is bounded by `maxBucket` via a bucket-size
+    * pre-filter, trading recall on degenerate data for worst-case safety.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numPerms: Int = 32, numBands: Int = 8,
+                 shingleN: Int = 3, threshold: Double = 0.5,
+                 maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"),
+      minHashSignature(col(textCol), numPerms, shingleN).as("sig"))
+    val banded = sigs
+      .select(col("id"), posexplode(bandHashes(col("sig"), numBands, rowsPerBand)))
+      .toDF("id", "band", "bhash")
+    val bounded = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of token
+    * hashes, computed row-locally with nested array folds. */
+  def simHash(text: Column, bits: Int = 64): Column = {
+    val toks = TextAnalysis.tokens(normalized(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    // bit b set iff the sum of ±1 votes from token-hash bit b is positive
+    (0 until bits).map { b =>
+      when(
+        aggregate(hashes, lit(0L),
+          (vote, h) => vote + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity between two token-array columns (distinct
+    * semantics, integer set sizes + one IEEE division — oracle-exact). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * Re-expresses the reference's brute-force semantic search (M3,
+  * `curate.py:7785-7888` / `embeddings.py:296-404`) Spark-first, plus the
+  * scale path the reference lacks: random-hyperplane LSH bucketing so a
+  * 100 TB corpus is probed by bucket instead of scanned per query.
+  */
+object SimilaritySearch {
+
+  /** Brute-force scored scan against one probe vector: adds `sim` (double
+    * cosine) and `sim_e6` (exact integer at 1e-6) columns. Row-local,
+    * shuffle-free; at cluster scale this is a full scan — use [[annTopK]]
+    * when the corpus no longer fits a scan budget. */
+  def scoreAll(df: DataFrame, vecCol: String, probe: Seq[Float]): DataFrame = {
+    val p = typedlit(probe)
+    df.withColumn("sim", VectorOps.cosine(col(vecCol), p))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+  }
+
+  /** Exact top-k by cosine with threshold (M3 semantics: threshold → sort
+    * desc → limit; deterministic via id tie-break). The sort is a global
+    * top-k (TakeOrderedAndProject) — no full sort materialization. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
+           k: Int, threshold: Double = 0.0): DataFrame =
+    scoreAll(df, vecCol, probe)
+      .filter(col("sim") > threshold)
+      .orderBy(col("sim_e6").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes: splitmix64-derived doubles in
+    * [-0.5, 0.5), reproducible across runs/machines (no RNG state). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      var z = seed + (p.toLong * 1315423911L) + (i.toLong * 2654435761L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.abs(z % 1000000L).toDouble / 1000000.0) - 0.5
+    }
+
+  /** LSH bucket signature: one bit per hyperplane = sign of the dot
+    * product. Row-local expression. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, b) =>
+      when(VectorOps.dot(vec, typedlit(plane.toSeq)) > 0.0, lit(1L << b))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: probe only rows whose LSH signature is within `maxHamming`
+    * bits of the probe's signature, then exact cosine re-rank.
+    *
+    * Scale path: signatures are computed once per row (and would be
+    * precomputed/persisted in a real warehouse); the candidate filter is a
+    * row-local bit_count — no shuffle until the final small top-k. Recall
+    * is tunable via numPlanes/maxHamming. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
+              k: Int, numPlanes: Int = 16, maxHamming: Int = 3,
+              seed: Long = 42L): DataFrame = {
+    val dim = probe.length
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val probeSig = {
+      // driver-side signature of the probe (same splitmix planes)
+      var sig = 0L
+      for (b <- 0 until numPlanes) {
+        var d = 0.0
+        for (i <- 0 until dim) d += probe(i).toDouble * planes(b)(i)
+        if (d > 0.0) sig |= (1L << b)
+      }
+      sig
+    }
+    val withSig = df.withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+    withSig
+      .withColumn("hamming",
+        bit_count(col("lsh_sig").bitwiseXOR(lit(probeSig))))
+      .filter(col("hamming") <= maxHamming)
+      .transform(cand => topK(cand, idCol, vecCol, probe, k))
+      .drop("lsh_sig", "hamming")
+  }
+}

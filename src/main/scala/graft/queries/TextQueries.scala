@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysis
+
+/** Text-analysis query set over `documents` — the training-data-pipeline
+  * extensions (BASELINE.json north star): language-ID, quality scoring,
+  * token counting, fingerprinting. All oracle-checked.
+  */
+object TextQueries {
+
+  private val dbWords = Seq("table", "join", "query", "scan", "merge")
+  private val streamWords = Seq("stream", "batch", "window", "event")
+  private val mlWords = Seq("vector", "data", "model", "spark")
+
+  // Per-language corpus stats (A2-shape over documents).
+  private def q30(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  // Per-doc token metrics: exact whitespace count, X19 estimator, content
+  // chars, mean token length.
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
+        TextAnalysis.contentChars(toks).as("content_chars"),
+        (TextAnalysis.contentChars(toks).cast("double") / size(toks)).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Per-doc quality signals: lexical diversity, stopword ratio, composite.
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.uniqueTokenRatio(toks).as("uniq_ratio"),
+        TextAnalysis.stopwordRatio(toks, Seq("the", "a")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Language-ID heuristic: profile-overlap argmax, rolled up by
+  // (labeled lang, predicted profile).
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents(s, d)
+      .select(col("lang"),
+        TextAnalysis.langId(toks,
+          Seq("db" -> dbWords, "stream" -> streamWords, "ml" -> mlWords)).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  // Fingerprint + distinct 3-gram shingle count per doc.
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        size(array_distinct(TextAnalysis.shingles(toks, 3))).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_doc_stats" -> q30 _,
+    "q31_token_metrics" -> q31 _,
+    "q32_quality_scores" -> q32 _,
+    "q33_langid_rollup" -> q33 _,
+    "q34_fingerprint_shingles" -> q34 _
+  )
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracle: Map[String, String] = Map(
+    "q30_doc_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, MAX(n_chars) AS max_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q31_token_metrics" ->
+      ("SELECT doc_id, CAST(len(l) AS INT) AS n_tokens, " +
+        "GREATEST(1, CAST(FLOOR(LENGTH(text) / 4) AS BIGINT)) AS est_tokens, " +
+        "CAST(list_sum(list_transform(l, x -> LENGTH(x))) AS BIGINT) AS content_chars, " +
+        "CAST(list_sum(list_transform(l, x -> LENGTH(x))) AS DOUBLE) / len(l) AS mean_token_len " +
+        "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l FROM documents) " +
+        "ORDER BY doc_id"),
+    "q32_quality_scores" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio, " +
+        "CAST(len(list_filter(l, x -> x IN ('the','a'))) AS DOUBLE) / len(l) AS stopword_ratio, " +
+        "(LEAST(CAST(len(l) AS DOUBLE) / 20.0, 1.0) + " +
+        "CAST(len(list_distinct(l)) AS DOUBLE) / len(l)) / 2.0 AS quality " +
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents) " +
+        "ORDER BY doc_id"),
+    "q33_langid_rollup" ->
+      ("SELECT lang, CASE " +
+        s"WHEN s_db >= s_stream AND s_db >= s_ml THEN 'db' " +
+        s"WHEN s_stream >= s_ml THEN 'stream' ELSE 'ml' END AS pred, COUNT(*) AS n FROM " +
+        "(SELECT lang, " +
+        s"len(list_filter(l, x -> x IN ${inList(dbWords)})) AS s_db, " +
+        s"len(list_filter(l, x -> x IN ${inList(streamWords)})) AS s_stream, " +
+        s"len(list_filter(l, x -> x IN ${inList(mlWords)})) AS s_ml " +
+        "FROM (SELECT lang, string_split_regex(text, '\\s+') AS l FROM documents)) " +
+        "GROUP BY 1, 2 ORDER BY lang, pred"),
+    "q34_fingerprint_shingles" ->
+      ("SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
+        "CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 2), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS INT) AS n_shingles " +
+        "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l " +
+        "FROM documents) ORDER BY doc_id")
+  )
+}
