@@ -21,12 +21,14 @@ object SparkEntry {
       graft.queries.ArrayJsonQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimQueries.queries
+      graft.queries.SimQueries.queries ++
+      graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.ArrayJsonQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.SimQueries.oracle
+      graft.queries.SimQueries.oracle ++
+      graft.queries.DomainQueries.oracle
 }

@@ -1,0 +1,84 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.ColumnOps
+
+/** ETL pipeline operators (SURVEY §2.1/§2.9): keyed upsert, incremental
+  * ingest, transform/normalize, and P9 variant-group tagging — each a
+  * DataFrame → DataFrame function designed for partitioned execution.
+  */
+object Pipeline {
+
+  /** S5 — keyed upsert (supabase_loader.py:164-228 `upsert on_conflict`):
+    * latest-wins merge of `updates` into `base` on `key`, ordered by
+    * `version` desc (ties: updates beat base).
+    *
+    * Scale: one shuffle on the key; with bucketed warehouse tables the
+    * shuffle disappears (bucket-join). No driver-side state.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             version: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).desc, col("__src").desc)
+    base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** S8 — delete-by-predicate as an anti-rewrite. */
+  def deleteWhere(table: DataFrame, predicate: Column): DataFrame =
+    table.filter(!predicate || predicate.isNull)
+
+  /** D1/T1 — incremental ingest: drop rows whose key already exists in
+    * `seen` (pipeline.py:152-193 / tracker.py:107-126 anti-join dedup).
+    * `seen` is typically small relative to the batch → broadcast the keys.
+    */
+  def incrementalFilter(batch: DataFrame, seen: DataFrame, key: String): DataFrame =
+    batch.join(broadcast(seen.select(col(key)).distinct()), Seq(key), "left_anti")
+
+  /** Transform stage (SURVEY §3.1 step 4, product_transformer.py:94-140):
+    * clean name/description, compute discount, dedup list columns.
+    * Expects raw-product columns; passes everything else through. */
+  def transformProducts(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("name", ColumnOps.cleanName(col("name")))
+      .withColumn("description", ColumnOps.cleanDescription(col("description")))
+      .withColumn("discount_percentage",
+        ColumnOps.discountPct(col("price_current"), col("price_original")))
+      .withColumn("colors", ColumnOps.dedupCaseInsensitive(col("colors")))
+      .withColumn("materials", ColumnOps.dedupCaseInsensitive(col("materials")))
+
+  /** P9 — variant-group representative selection (pipeline.py:342-567):
+    * group by `coalesce(parent_id, id)`, pick the member with the most
+    * images (ties: smallest id), return (group_key, representative id).
+    *
+    * Scale: one window shuffle on the group key; skewed mega-groups would
+    * need salting, but group size is bounded by color-variant counts (~10)
+    * in this domain — documented rather than salted.
+    */
+  def variantRepresentatives(products: DataFrame, idCol: String,
+                             parentCol: String, imagesCol: String): DataFrame = {
+    val gk = coalesce(col(parentCol), col(idCol))
+    val w = Window.partitionBy(col("group_key"))
+      .orderBy(size(col(imagesCol)).desc, col(idCol))
+    products
+      .withColumn("group_key", gk)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("group_key"), col(idCol).as("representative_id"))
+  }
+
+  /** P9 tail — broadcast the representative's tags to every group member:
+    * tag once per group, join the result back on the group key. */
+  def broadcastGroupTags(products: DataFrame, groupTags: DataFrame,
+                         idCol: String, parentCol: String): DataFrame = {
+    val gk = coalesce(col(parentCol), col(idCol))
+    products.withColumn("group_key", gk)
+      .join(groupTags, Seq("group_key"), "left")
+      .drop("group_key")
+  }
+}

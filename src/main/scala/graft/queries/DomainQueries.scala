@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.etl.{Pipeline, TagStage}
+
+/** Flagship domain-operator queries: the P2∘P1 tag pipeline as a typed
+  * Dataset.map stage over deterministically synthesized LLM responses
+  * (rows-only check — semantics are ScalaTest-golden-verified against the
+  * reference's own examples), and the P9 variant-group representative
+  * selection (oracle-checked).
+  */
+object DomainQueries {
+
+  /** Deterministic synthetic raw LLM response per part row: category,
+    * style/fit/silhouette/formality candidates and confidences all derived
+    * from p_partkey so every run (and every engine) sees identical input. */
+  private def syntheticResponses(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey").cast("string").as("product_id"),
+      element_at(array(lit("bottom"), lit("top"), lit("footwear")),
+        (pmod(col("p_partkey"), lit(3)) + 1).cast("int")).as("category"),
+      col("p_name").as("product_name"),
+      lit("").as("subcategory"),
+      format_string(
+        """{"style_identity": [{"tag": "%s", "confidence": 0.%02d},
+          | {"tag": "%s", "confidence": 0.%02d}],
+          | "fit": {"tag": "%s", "confidence": 0.%02d},
+          | "silhouette": {"tag": "%s", "confidence": 0.%02d},
+          | "formality": {"tag": "%s", "confidence": 0.%02d},
+          | "shoe_type": {"tag": "%s", "confidence": 0.%02d},
+          | "profile": {"tag": "standard", "confidence": 0.85},
+          | "pattern": {"tag": "%s", "confidence": 0.%02d}}""".stripMargin,
+        element_at(array(lit("workwear"), lit("classic"), lit("minimal"),
+          lit("streetwear"), lit("spacewear")), (pmod(col("p_partkey"), lit(5)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 7, lit(50)) + 50).cast("int"),
+        element_at(array(lit("rugged"), lit("vintage"), lit("sporty")),
+          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 13, lit(60)) + 40).cast("int"),
+        element_at(array(lit("slim"), lit("oversized"), lit("baggy")),
+          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 11, lit(50)) + 50).cast("int"),
+        element_at(array(lit("straight"), lit("boxy"), lit("wide")),
+          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 17, lit(40)) + 60).cast("int"),
+        element_at(array(lit("casual"), lit("formal"), lit("athletic"),
+          lit("dressy")), (pmod(col("p_partkey"), lit(4)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 19, lit(50)) + 50).cast("int"),
+        element_at(array(lit("sneakers"), lit("boots"), lit("moon-boots")),
+          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 23, lit(40)) + 60).cast("int"),
+        element_at(array(lit("solid"), lit("stripe"), lit("plaid")),
+          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+        (pmod(col("p_partkey") * 29, lit(50)) + 50).cast("int")).as("raw_response"))
+
+  // P2∘P1 end-to-end: parse → policy → status rollup (rows-only).
+  private def q44(s: SparkSession, d: String): DataFrame =
+    TagStage.run(TagStage.fromDataFrame(syntheticResponses(s, d)))
+      .groupBy(col("category"), col("curation_status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_suppressed").cast("long")).as("total_suppressed"),
+        sum(col("n_defaults").cast("long")).as("total_defaults"),
+        sum(when(col("parse_failed"), 1L).otherwise(0L)).as("n_parse_failed"))
+      .orderBy(col("category"), col("curation_status"))
+
+  // P9: variant-group representative (argmax by image count) — oracle-checked.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val products = orders(s, d).select(
+      col("o_orderkey"),
+      when(pmod(col("o_orderkey"), lit(5)) > 0,
+        col("o_orderkey") - pmod(col("o_orderkey"), lit(5))).as("parent_id"),
+      array_repeat(lit("img"), pmod(col("o_orderkey"), lit(4)).cast("int")).as("images"))
+    Pipeline.variantRepresentatives(products, "o_orderkey", "parent_id", "images")
+      .orderBy(col("group_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_tag_pipeline" -> q44 _,
+    "q45_variant_representatives" -> q45 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_variant_representatives" ->
+      ("SELECT group_key, o_orderkey AS representative_id FROM " +
+        "(SELECT o_orderkey, group_key, ROW_NUMBER() OVER " +
+        "(PARTITION BY group_key ORDER BY n_img DESC, o_orderkey) AS rn FROM " +
+        "(SELECT o_orderkey, COALESCE(CASE WHEN o_orderkey % 5 > 0 " +
+        "THEN o_orderkey - o_orderkey % 5 END, o_orderkey) AS group_key, " +
+        "o_orderkey % 4 AS n_img FROM orders)) WHERE rn = 1 ORDER BY group_key")
+  )
+}

@@ -1,0 +1,93 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: latest version wins, new keys inserted, ties favor updates") {
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "ver")
+    val updates = Seq((2L, "B", 2), (4L, "d", 1)).toDF("id", "v", "ver")
+    val merged = Pipeline.upsert(base, updates, "id", "ver")
+      .orderBy("id").as[(Long, String, Int)].collect()
+    assert(merged.toSeq == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 1)))
+    // same version on both sides → the update wins
+    val tied = Pipeline.upsert(base, Seq((1L, "A", 1)).toDF("id", "v", "ver"), "id", "ver")
+      .filter($"id" === 1).as[(Long, String, Int)].head()
+    assert(tied._2 == "A")
+  }
+
+  test("incrementalFilter: only unseen keys survive") {
+    val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
+    val seen = Seq(Tuple1(2L)).toDF("id")
+    val out = Pipeline.incrementalFilter(batch, seen, "id")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "x"), (3L, "z")))
+  }
+
+  test("deleteWhere removes predicate matches only") {
+    val t = Seq((1L, "keep"), (2L, "drop")).toDF("id", "s")
+    val out = Pipeline.deleteWhere(t, $"s" === "drop").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "keep")))
+  }
+
+  test("transformProducts: X1/X2/X3/E7 semantics") {
+    val raw = Seq(
+      ("  relaxed   fit  SHIRT ", "  nice   shirt ", 49.9, 69.9,
+        Seq("White", "white", "Beige")),
+      ("", null.asInstanceOf[String], 100.0, 80.0, Seq.empty[String]))
+      .toDF("name", "description", "price_current", "price_original", "colors")
+      .withColumn("materials", col("colors"))
+    val out = Pipeline.transformProducts(raw).orderBy(asc("name"))
+    val rows = out.select("name", "description", "discount_percentage", "colors").collect()
+    assert(rows(0).getString(0) == "Relaxed Fit Shirt")
+    assert(rows(0).getString(1) == "nice shirt")
+    assert(rows(0).getDecimal(2).doubleValue() == 28.6) // round((1-49.9/69.9)*100, 1)
+    assert(rows(0).getSeq[String](3) == Seq("White", "Beige"))
+    assert(rows(1).getString(0) == "Unknown Product")
+    assert(rows(1).getString(1) == null)
+    assert(rows(1).get(2) == null) // price went up → no discount
+  }
+
+  test("variantRepresentatives: most images wins, ties by id") {
+    val products = Seq(
+      ("p1", null.asInstanceOf[String], Seq("a", "b")),
+      ("p2", "p1", Seq("a", "b", "c")),
+      ("p3", "p1", Seq("a", "b", "c")),
+      ("q1", null.asInstanceOf[String], Seq.empty[String]))
+      .toDF("id", "parent", "images")
+    val reps = Pipeline.variantRepresentatives(products, "id", "parent", "images")
+      .orderBy("group_key").as[(String, String)].collect()
+    assert(reps.toSeq == Seq(("p1", "p2"), ("q1", "q1")))
+  }
+
+  test("broadcastGroupTags: every member gets the group's tags") {
+    val products = Seq(("p1", null.asInstanceOf[String]), ("p2", "p1"), ("q1", null.asInstanceOf[String]))
+      .toDF("id", "parent")
+    val tags = Seq(("p1", "classic")).toDF("group_key", "style")
+    val out = Pipeline.broadcastGroupTags(products, tags, "id", "parent")
+      .orderBy("id").select("id", "style").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("p1", "classic"), ("p2", "classic"), ("q1", null)))
+  }
+
+  test("TagStage: end-to-end parse→policy over a Dataset") {
+    val input = Seq(
+      RawTagResponse("1", "bottom", "Cargo Pants", "",
+        """{"style_identity": [{"tag": "workwear", "confidence": 0.9}],
+           "fit": {"tag": "slim", "confidence": 0.9},
+           "silhouette": {"tag": "straight", "confidence": 0.9},
+           "formality": {"tag": "casual", "confidence": 0.9}}"""),
+      RawTagResponse("2", "top", "Knit Sweater", "", "no json here"))
+      .toDS()
+    val out = TagStage.run(input).collect().sortBy(_.product_id)
+    assert(out(0).curation_status == "approved")
+    assert(out(0).style_identity == Seq("workwear"))
+    assert(out(0).fit.contains("slim"))
+    assert(!out(0).parse_failed)
+    assert(out(1).parse_failed)
+    assert(out(1).curation_status == "needs_fix") // no style identity
+    assert(out(1).fit.contains("regular")) // defaulted
+    assert(out(1).top_layer_role.contains("mid")) // "Knit Sweater" → mid
+  }
+}

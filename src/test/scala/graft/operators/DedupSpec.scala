@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "The  Quick  Brown fox jumps over the lazy dog near the river bank"), // exact dup of 1 mod case/ws
+    (5L, "another unrelated document mentioning joins aggregates and windows"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup: case/whitespace-insensitive, keeps first by tie-break") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 deduped against 1
+  }
+
+  test("minHashLsh finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      numPerms = 32, numBands = 16, shingleN = 3, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("minHash signature is deterministic across evaluations") {
+    val sig1 = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
+      .as[Seq[Long]].collect()
+    val sig2 = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sig1.toSeq == sig2.toSeq)
+  }
+
+  test("simHash: near-dups within small hamming distance, unrelated far") {
+    val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(4L)) == 0) // normalized-identical
+    assert(hamming(hashes(1L), hashes(2L)) <= 16) // near-dup: one word differs
+    assert(hamming(hashes(1L), hashes(3L)) > 16) // unrelated
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("shingles: windows of n tokens, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(TextAnalysis.shingles(split(col("t"), " "), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+}
