@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
-      graft.queries.DomainQueries.queries
+      graft.queries.DomainQueries.queries ++
+      graft.queries.GeneratorQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimQueries.oracle ++
-      graft.queries.DomainQueries.oracle
+      graft.queries.DomainQueries.oracle ++
+      graft.queries.GeneratorQueries.oracle
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Multimodal
+
+/** T5 — the generator read-path spec (docs/Generator Execution & Scoring
+  * Model: hard filters → candidate pools per slot → additive bounded
+  * scoring → assembly one-per-slot → outfit scoring), plus the multimodal
+  * feature rollup. Scores are floored to exact integers (e6) before any
+  * cross-row summation so results are engine-exact.
+  */
+object GeneratorQueries {
+
+  /** Additive bounded score, all IEEE double ops in fixed order:
+    * 0.5·price_norm + 0.3·freshness + 0.2·priority_weight, floored at 1e-6. */
+  private def scoredCandidates(s: SparkSession, d: String): DataFrame = {
+    val ord = when(col("o_orderpriority") === "1-URGENT", 1)
+      .when(col("o_orderpriority") === "2-HIGH", 2)
+      .when(col("o_orderpriority") === "3-MEDIUM", 3)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+      .otherwise(5)
+    orders(s, d)
+      .filter(col("o_orderstatus") =!= "F") // hard filter
+      .withColumn("price_norm", col("o_totalprice") / 600000.0)
+      .withColumn("freshness",
+        lit(1.0) / (lit(1.0) +
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("double") / 365.0))
+      .withColumn("wt", (lit(6) - ord).cast("double") / 5.0)
+      .withColumn("score_e6",
+        floor((col("price_norm") * 0.5 + col("freshness") * 0.3 + col("wt") * 0.2) * 1e6)
+          .cast("long"))
+  }
+
+  // Candidate pools: per-slot top-2 by bounded additive score.
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("score_e6").desc, col("o_orderkey"))
+    scoredCandidates(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_orderpriority").as("slot"), col("rk"),
+        col("o_orderkey"), col("score_e6"))
+      .orderBy(col("slot"), col("rk"))
+  }
+
+  // Assembly: one product per slot (rank-1), outfit score = Σ slot scores.
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("score_e6").desc, col("o_orderkey"))
+    scoredCandidates(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderpriority").as("slot"), col("o_orderkey"), col("score_e6"))
+      .withColumn("outfit_score_e6", sum(col("score_e6")).over(Window.partitionBy()))
+      .orderBy(col("slot"))
+  }
+
+  // Multimodal: binary assets from documents → batched decode-stub →
+  // per-kind rollup. The byte histogram is stubbed; byte/frame accounting
+  // is exact and oracle-checked.
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Multimodal.featureStats(
+      Multimodal.decodeFeatures(
+        Multimodal.assetsFromText(documents(s, d), "doc_id", "text")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_generator_pools" -> q46 _,
+    "q47_outfit_assembly" -> q47 _,
+    "q48_multimodal_stats" -> q48 _
+  )
+
+  private val scoredCte =
+    "WITH scored AS (SELECT o_orderpriority, o_orderkey, " +
+      "CAST(FLOOR((o_totalprice / 600000.0 * 0.5 + " +
+      "1.0 / (1.0 + CAST(datediff('day', o_orderdate, DATE '2002-01-01') AS DOUBLE) / 365.0) * 0.3 + " +
+      "CAST(6 - (CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 " +
+      "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END) AS DOUBLE) / 5.0 * 0.2" +
+      ") * 1e6) AS BIGINT) AS score_e6 " +
+      "FROM orders WHERE o_orderstatus <> 'F'), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+      "ORDER BY score_e6 DESC, o_orderkey) AS rk FROM scored) "
+
+  val oracle: Map[String, String] = Map(
+    "q46_generator_pools" ->
+      (scoredCte + "SELECT o_orderpriority AS slot, rk, o_orderkey, score_e6 " +
+        "FROM ranked WHERE rk <= 2 ORDER BY slot, rk"),
+    "q47_outfit_assembly" ->
+      (scoredCte + "SELECT o_orderpriority AS slot, o_orderkey, score_e6, " +
+        "CAST(SUM(score_e6) OVER () AS BIGINT) AS outfit_score_e6 " +
+        "FROM ranked WHERE rk = 1 ORDER BY slot"),
+    "q48_multimodal_stats" ->
+      ("SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+        "CAST(SUM(n_frames) AS BIGINT) AS total_frames FROM " +
+        "(SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 3 = 2 THEN GREATEST(1, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT)) " +
+        "ELSE 1 END AS n_frames FROM documents) GROUP BY kind ORDER BY kind")
+  )
+}
