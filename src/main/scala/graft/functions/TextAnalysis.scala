@@ -84,11 +84,41 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** Word n-gram shingles: overlapping windows of `n` tokens joined by a
-    * single space; empty array when the doc has fewer than `n` tokens. */
+  /** Word n-gram shingles (row-local Column form): overlapping windows of
+    * `n` tokens joined by a single space; empty array when the doc has
+    * fewer than `n` tokens.
+    *
+    * NOTE: higher-order array lambdas are interpreted (no codegen) and
+    * re-evaluate captured expressions per element — fine for short arrays
+    * (names, tag lists), O(len²)-ish on long documents. For corpus-scale
+    * shingling use [[shingleRows]], which is fully codegen'd. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** Word n-gram shingles, table form: one output row per (id, shingle)
+    * position — posexplode tokens, window `lead(k)` per offset, concat.
+    *
+    * This is the corpus-scale path: every operator is codegen'd, each token
+    * is materialized exactly once, and the window's hash-partitioning on
+    * `id` is reused by any downstream per-id aggregation (one shuffle
+    * total). Docs with fewer than `n` tokens yield a single null-shingle
+    * row (so ids are preserved through outer explode). */
+  def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val base = df.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol))).as(Seq("pos", "t")))
+    val withLeads = (1 until n).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"l$k", lead(col("t"), k).over(w))
+    }
+    val shingle =
+      if (n == 1) when(col("t").isNotNull, col("t"))
+      else when(col("t").isNotNull && col(s"l${n - 1}").isNotNull,
+        concat_ws(" ", col("t") +: (1 until n).map(k => col(s"l$k")): _*))
+    withLeads.select(col("id"), shingle.as("shingle"))
+  }
 }

@@ -36,15 +36,35 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: `numPerms` permutations approximated by seeded
-    * xxhash64 over `shingleN`-token shingles; each signature slot is a
-    * row-local array_min — no explode, no shuffle. */
-  def minHashSignature(text: Column, numPerms: Int, shingleN: Int): Column = {
-    val sh = TextAnalysis.shingles(TextAnalysis.tokens(normalized(text)), shingleN)
-    array((0 until numPerms).map { i =>
-      coalesce(array_min(transform(sh, s => xxhash64(lit(i), s))),
-        lit(Long.MaxValue))
-    }: _*)
+  /** MinHash signatures for a whole table: `numPerms` permutations
+    * approximated by seeded xxhash64 over `shingleN`-token shingles.
+    *
+    * Shape: explode shingles → hash each ONCE → hash-aggregate `numPerms`
+    * MINs per doc. Spark's higher-order array lambdas are interpreted (no
+    * codegen, no cross-expression CSE), so a row-local `array_min(transform)`
+    * per permutation re-evaluates the shingling numPerms times — measured
+    * 100× slower. The explode+partial-agg shape is fully codegen'd and the
+    * map-side partial MIN reduces the shuffle to numPerms longs per doc per
+    * partition.
+    *
+    * Returns (id, sig array<long>); docs with fewer than `shingleN` tokens
+    * get Long.MaxValue slots. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int, shingleN: Int): DataFrame = {
+    val exploded = TextAnalysis.shingleRows(
+      df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
+      "id", "text", shingleN)
+      .withColumn("h", xxhash64(col("shingle")))
+    // xxhash64 skips null inputs (returns the seed), so null shingles from
+    // explode_outer must be masked explicitly to reach the MaxValue sentinel
+    val minCols = (0 until numPerms).map { i =>
+      coalesce(
+        min(when(col("shingle").isNotNull, xxhash64(lit(i), col("h")))),
+        lit(Long.MaxValue)).as(s"m$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Band hashes over a minhash signature: `numBands` hashes, each over
@@ -71,10 +91,10 @@ object Dedup {
                  shingleN: Int = 3, threshold: Double = 0.5,
                  maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerms / numBands
-    val sigs = df.select(
+    val tokens = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"),
-      minHashSignature(col(textCol), numPerms, shingleN).as("sig"))
+      array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"))
+    val sigs = minHashSignatures(df, idCol, textCol, numPerms, shingleN)
     val banded = sigs
       .select(col("id"), posexplode(bandHashes(col("sig"), numBands, rowsPerBand)))
       .toDF("id", "band", "bhash")
@@ -90,8 +110,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     pairs
-      .join(sigs.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(tokens.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(tokens.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
@@ -99,18 +119,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of token
-    * hashes, computed row-locally with nested array folds. */
-  def simHash(text: Column, bits: Int = 64): Column = {
-    val toks = TextAnalysis.tokens(normalized(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    // bit b set iff the sum of ±1 votes from token-hash bit b is positive
-    (0 until bits).map { b =>
-      when(
-        aggregate(hashes, lit(0L),
-          (vote, h) => vote + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
-        lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+  /** 64-bit SimHash per doc: bit b of the hash is set iff the sum of ±1
+    * votes from token-hash bit b is positive.
+    *
+    * Same explode+partial-agg shape as [[minHashSignatures]] (and for the
+    * same reason — interpreted array folds would re-hash every token 64
+    * times): explode tokens → xxhash64 once → 64 codegen'd SUM aggregates
+    * (map-side combined) → assemble bits. Returns (id, simhash). */
+  def simHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(normalized(col(textCol)))
+    val exploded = df.select(col(idCol).as("id"), explode_outer(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    exploded.groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { b =>
+          when(col(s"v$b") > 0,
+            lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** n-gram Jaccard similarity between two token-array columns (distinct

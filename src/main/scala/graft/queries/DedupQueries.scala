@@ -54,8 +54,8 @@ object DedupQueries {
 
   // SimHash signatures (rows-only): 64-bit near-dup fingerprints.
   private def q39(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    Dedup.simHashTable(documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -76,9 +76,41 @@ object DomainQueries {
       .orderBy(col("group_key"))
   }
 
+  // P7/P8: granular curation patch + mark-curated fan-out, end-to-end over
+  // synthesized tags (rows-only; semantics pinned by CurationSpec goldens).
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.etl.Curation
+    val products = part(s, d).select(
+      col("p_partkey").cast("string").as("product_id"),
+      format_string(
+        """{"category": "bottom", "style_identity": ["%s", "extra"], "fit": "slim"}""",
+        element_at(split(col("p_name"), " "), 1)).as("tags_final"))
+    val patches = part(s, d).select(
+      col("p_partkey").cast("string").as("product_id"),
+      lit("style_identity").as("field_name"),
+      lit("remove").as("action"),
+      element_at(split(col("p_name"), " "), 1).as("value"),
+      lit("bench-curator").as("curator"),
+      lit("synthetic removal").as("feedback_reason"),
+      lit("incorrect_value").as("feedback_category"))
+      .as[Curation.TagPatch]
+    val (results, feedback) = Curation.patchTags(products, patches)
+    val marked = Curation.markCurated(
+      results.toDF().withColumn("original_ai_tags", lit("{}")),
+      "bench-curator", "2026-02-27 00:00:00")
+    marked.historyAppend
+      .groupBy(col("curator"))
+      .agg(count(lit(1)).as("n_curated"),
+        sum(when(col("change_summary").contains("Removed:"), 1L).otherwise(0L))
+          .as("n_with_removals"))
+      .withColumn("n_feedback_rows", lit(feedback.count()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_pipeline" -> q44 _,
-    "q45_variant_representatives" -> q45 _
+    "q45_variant_representatives" -> q45 _,
+    "q49_curation_patch" -> q49 _
   )
 
   val oracle: Map[String, String] = Map(

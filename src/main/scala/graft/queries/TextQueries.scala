@@ -65,16 +65,16 @@ object TextQueries {
       .orderBy(col("lang"), col("pred"))
   }
 
-  // Fingerprint + distinct 3-gram shingle count per doc.
-  private def q34(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    documents(s, d)
-      .select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        size(array_distinct(TextAnalysis.shingles(toks, 3))).as("n_shingles"))
+  // Fingerprint + distinct 3-gram shingle count per doc (corpus-scale
+  // shingling via explode + window lead — see TextAnalysis.shingleRows).
+  private def q34(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.shingleRows(documents(s, d), "doc_id", "text", 3)
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shingles"))
+      .join(documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")), Seq("doc_id"))
+      .select(col("doc_id"), col("fp"), col("n_shingles"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_doc_stats" -> q30 _,
@@ -120,7 +120,7 @@ object TextQueries {
     "q34_fingerprint_shingles" ->
       ("SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
         "CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 2), " +
-        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS INT) AS n_shingles " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS BIGINT) AS n_shingles " +
         "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l " +
         "FROM documents) ORDER BY doc_id")
   )

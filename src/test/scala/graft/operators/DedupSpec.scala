@@ -30,16 +30,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
   }
 
-  test("minHash signature is deterministic across evaluations") {
-    val sig1 = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
-      .as[Seq[Long]].collect()
-    val sig2 = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
-      .as[Seq[Long]].collect()
-    assert(sig1.toSeq == sig2.toSeq)
+  test("minHash signatures are deterministic across evaluations, MaxValue for short docs") {
+    def sigs() = Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(sigs().toSeq == sigs().toSeq)
+    val short = Dedup.minHashSignatures(Seq((9L, "one two")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3).as[(Long, Seq[Long])].head()
+    assert(short._2.forall(_ == Long.MaxValue)) // no shingles → sentinel slots
   }
 
   test("simHash: near-dups within small hamming distance, unrelated far") {
-    val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+    val hashes = Dedup.simHashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(hashes(1L), hashes(4L)) == 0) // normalized-identical

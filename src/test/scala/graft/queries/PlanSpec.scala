@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, projections prune columns, dimension
+  * joins broadcast, top-k avoids global sorts, and hot paths stay inside
+  * WholeStageCodegen. Guards against regressions that correctness tests
+  * cannot see (a plan can be right and 100× slower).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter is pushed into the parquet scan") {
+    val p = plan("q02_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_orderstatus)") || p.contains("EqualTo(o_orderstatus"), p)
+  }
+
+  test("q02 scan reads only projected+filter columns (column pruning)") {
+    val p = plan("q02_project_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("q07 dimension joins are broadcast, not sort-merge") {
+    val p = plan("q07_join_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q09 anti-join broadcasts the key set") {
+    val p = plan("q09_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q06 aggregation has a map-side partial phase") {
+    val p = plan("q06_cond_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+  }
+
+  test("q25 pricing rollup: exactly agg-exchange + output-sort, decimal partials") {
+    val p = plan("q25_pricing_rollup")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2, s"expected agg + sort exchanges only:\n$p")
+    assert(p.contains("partial_sum(cast(l_quantity"), p) // map-side decimal partials
+  }
+
+  test("q40 cosine scoring: probe inlined as literal, no join, single output sort") {
+    val p = plan("q40_cosine_scores")
+    assert(!p.contains("Join"), s"probe should be a literal, not a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"only the deterministic output sort may shuffle:\n$p")
+  }
+}
