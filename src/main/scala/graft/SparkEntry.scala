@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
       graft.queries.DomainQueries.queries ++
-      graft.queries.GeneratorQueries.queries
+      graft.queries.GeneratorQueries.queries ++
+      graft.queries.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimQueries.oracle ++
       graft.queries.DomainQueries.oracle ++
-      graft.queries.GeneratorQueries.oracle
+      graft.queries.GeneratorQueries.oracle ++
+      graft.queries.MiscQueries.oracle
 }

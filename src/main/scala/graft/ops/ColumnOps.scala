@@ -88,6 +88,54 @@ object ColumnOps {
     when(lower(cat).isin("shoes", "boots", "footwear"), "footwear")
       .otherwise(lower(cat))
 
+  /** X5 (zara_extractor.py:915-927): product name from a URL slug — strip
+    * `-p<digits>.html`, split on '-', Title-Case join. */
+  def nameFromUrlSlug(url: Column): Column = {
+    val slug = regexp_replace(element_at(split(url, "/"), -1), "-p\\d+\\.html$", "")
+    initcap(regexp_replace(slug, "-", " "))
+  }
+
+  /** X12 (embeddings.py:115-165): embedding text builder — name, category,
+    * truncated description, colors, style tags, price bucket joined with
+    * " | "; null/empty segments dropped (concat_ws skips nulls). */
+  def embeddingText(name: Column, category: Column, description: Column,
+                    colors: Column, styleTags: Column, price: Column,
+                    descLimit: Int = 500): Column =
+    concat_ws(" | ",
+      name,
+      when(category.isNotNull, concat(lit("Category: "), category)),
+      when(description.isNotNull, substring(description, 1, descLimit)),
+      when(size(colors) > 0, concat(lit("Colors: "), array_join(colors, ", "))),
+      when(size(styleTags) > 0, concat(lit("Style: "), array_join(styleTags, ", "))),
+      priceBucketText(price))
+
+  /** X17 (curate.py:7545-7557): parse the removed-tags list back out of a
+    * change summary — `Removed:\s*([^;]+?)(?:;|$)`, split on ','. */
+  def parseRemovedFromSummary(summary: Column): Column = {
+    val seg = regexp_extract(summary, "Removed:\\s*([^;]+)", 1)
+    when(seg =!= "", transform(split(seg, ","), t => trim(t)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** E3 (docs/supabase_schema.sql:94-98): plain size list → struct array
+    * `[{size, available: true}]` (the sizes_availability migration). */
+  def sizesToStructArray(sizes: Column): Column =
+    transform(sizes, s => struct(s.as("size"), lit(true).as("available")))
+
+  /** E9 (zara_extractor.py:1215-1325): flatten nested composition
+    * (parts→areas→components) to "pct material" strings; for shoes keep
+    * only the part literally named "UPPER". Expects the
+    * composition_structured shape from ProductSources.rawProductSchema. */
+  def flattenComposition(comp: Column, isShoes: Column): Column = {
+    val parts = when(isShoes,
+      filter(comp.getField("parts"), p => upper(p.getField("name")) === "UPPER"))
+      .otherwise(comp.getField("parts"))
+    flatten(flatten(transform(parts, p =>
+      transform(p.getField("areas"), a =>
+        transform(a.getField("components"), c =>
+          concat_ws(" ", c.getField("percentage"), c.getField("material")))))))
+  }
+
   // ---- money ----
 
   /** X3 (product_transformer.py:97-102): discount percent, only when

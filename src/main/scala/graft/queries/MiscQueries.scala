@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.ColumnOps
+import graft.functions.VocabularyOps
+
+/** Remaining scalar/array operator coverage: URL functions (X4/X5/X9/X10),
+  * embedding-text builder (X12), summary round-trip (X16→X17), composition
+  * flatten (E9, rows-only — nested struct literals aren't practical in the
+  * oracle), and vocabulary validation (X24/P10).
+  */
+object MiscQueries {
+
+  // X4/X5/X9/X10 over URLs synthesized deterministically from part rows.
+  private def q50(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("url",
+        concat(lit("https://shop.example/c/"),
+          ColumnOps.slugify(col("p_name")), lit("-p"), col("p_partkey"),
+          lit(".html")))
+      .withColumn("price_text",
+        concat(lit("USD "), format_string("%.2f", col("p_retailprice"))))
+      .select(
+        col("p_partkey"),
+        ColumnOps.productIdFromUrl(col("url")).as("extracted_id"),
+        ColumnOps.nameFromUrlSlug(col("url")).as("name_from_slug"),
+        ColumnOps.parsePriceText(col("price_text")).as("parsed_price"),
+        ColumnOps.extensionFromUrl(concat(col("url"), lit("?x=1"))).as("ext"))
+      .orderBy(col("p_partkey"))
+
+  // E9: nested composition flatten (rows-only; covered by ColumnOpsSpec
+  // goldens against the reference shape).
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val comp = struct(array(
+      struct(
+        when(pmod(col("p_partkey"), lit(2)) === 0, lit("UPPER"))
+          .otherwise(lit("LINING")).as("name"),
+        array(struct(
+          lit("MAIN FABRIC").as("name"),
+          array(
+            struct(lit("cotton").as("material"), lit("82%").as("percentage")),
+            struct(lit("linen").as("material"), lit("18%").as("percentage")))
+            .as("components"))).as("areas"))).as("parts"))
+    part(s, d)
+      .withColumn("composition_structured", comp)
+      .select(
+        col("p_partkey"),
+        array_join(ColumnOps.flattenComposition(
+          col("composition_structured"),
+          pmod(col("p_partkey"), lit(3)) === 0), ", ").as("composition_flat"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // X16→X17 round trip: build a change summary from diffed arrays, parse
+  // the removed list back out (oracle-checked end to end).
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val ref = array(lit("widget"), lit("small"), lit("bolt"))
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .withColumn("summary", ColumnOps.changeSummary(
+        ColumnOps.addedTags(col("tokens"), ref),
+        ColumnOps.removedTags(col("tokens"), ref)))
+      .select(col("p_partkey"),
+        array_join(ColumnOps.parseRemovedFromSummary(col("summary")), "|")
+          .as("removed_roundtrip"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // X24: vocabulary validation with substring near-match (sorted output —
+  // DuckDB's list_distinct has no order guarantee).
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val vocab = Seq("widget", "bolt", "gear", "large-gizmo")
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        array_join(array_sort(VocabularyOps.validateTags(col("tokens"), vocab)), ",")
+          .as("valid_tags"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_url_functions" -> q50 _,
+    "q51_composition_flatten" -> q51 _,
+    "q52_summary_roundtrip" -> q52 _,
+    "q53_vocab_validate" -> q53 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_url_functions" ->
+      ("SELECT p_partkey, " +
+        "regexp_extract(url, '-p(\\d+)\\.html', 1) AS extracted_id, " +
+        "array_to_string(list_transform(string_split(" +
+        "regexp_replace(regexp_extract(url, '([^/]+)$', 1), '-p\\d+\\.html$', ''), '-'), " +
+        "t -> upper(t[1]) || lower(t[2:])), ' ') AS name_from_slug, " +
+        "CAST(replace(regexp_extract(price_text, '([0-9.,]+)', 1), ',', '') AS DOUBLE) AS parsed_price, " +
+        "'.jpg' AS ext FROM " +
+        "(SELECT p_partkey, 'https://shop.example/c/' || " +
+        "regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') " +
+        "|| '-p' || p_partkey || '.html' AS url, " +
+        "'USD ' || format('{:.2f}', p_retailprice) AS price_text FROM part) " +
+        "ORDER BY p_partkey"),
+    "q52_summary_roundtrip" ->
+      ("SELECT p_partkey, COALESCE(array_to_string(removed, '|'), '') AS removed_roundtrip FROM " +
+        "(SELECT p_partkey, list_sort(list_distinct(list_filter(l, x -> NOT list_contains(r, x)))) AS removed FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS l, " +
+        "['widget','small','bolt'] AS r FROM part)) ORDER BY p_partkey"),
+    "q53_vocab_validate" ->
+      ("SELECT p_partkey, COALESCE(array_to_string(list_sort(list_distinct(" +
+        "list_filter(l, c -> list_contains(v, c) OR " +
+        "len(list_filter(v, t -> contains(t, c) OR contains(c, t))) > 0))), ','), '') AS valid_tags FROM " +
+        "(SELECT p_partkey, string_split(p_name, ' ') AS l, " +
+        "['widget','bolt','gear','large-gizmo'] AS v FROM part) ORDER BY p_partkey")
+  )
+}
