@@ -80,11 +80,45 @@ object MiscQueries {
       .orderBy(col("p_partkey"))
   }
 
+  // A7: multi-source per-key activity aggregate — independent aggregates
+  // from multiple tables full-outer-joined on the shared key with zero
+  // fills (curate.py:7466-7503 per-curator across 3 tables).
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val custs = customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val supps = supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val balances = customer(s, d).filter(col("c_acctbal") > 0)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("pos_balance"))
+    custs.join(supps, Seq("nationkey"), "full_outer")
+      .join(balances, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("pos_balance"), lit(0.0)).as("pos_balance"))
+      .orderBy(col("nationkey"))
+  }
+
+  // O7: longest-match pick (zara_extractor.py:1500-1506) — max by
+  // (length, lexicographic) over the token list, as an array_max on
+  // (length, token) structs (no explode, no shuffle).
+  private def q55(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("tokens", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        array_max(transform(col("tokens"),
+          t => struct(length(t).as("l"), t.as("t")))).getField("t")
+          .as("longest_token"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_url_functions" -> q50 _,
     "q51_composition_flatten" -> q51 _,
     "q52_summary_roundtrip" -> q52 _,
-    "q53_vocab_validate" -> q53 _
+    "q53_vocab_validate" -> q53 _,
+    "q54_multi_source_agg" -> q54 _,
+    "q55_longest_token" -> q55 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,6 +145,26 @@ object MiscQueries {
         "list_filter(l, c -> list_contains(v, c) OR " +
         "len(list_filter(v, t -> contains(t, c) OR contains(c, t))) > 0))), ','), '') AS valid_tags FROM " +
         "(SELECT p_partkey, string_split(p_name, ' ') AS l, " +
-        "['widget','bolt','gear','large-gizmo'] AS v FROM part) ORDER BY p_partkey")
+        "['widget','bolt','gear','large-gizmo'] AS v FROM part) ORDER BY p_partkey"),
+    "q54_multi_source_agg" ->
+      ("WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers " +
+        "FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers " +
+        "FROM supplier GROUP BY 1), " +
+        "b AS (SELECT c_nationkey AS nationkey, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS pos_balance " +
+        "FROM customer WHERE c_acctbal > 0 GROUP BY 1) " +
+        "SELECT COALESCE(c.nationkey, s.nationkey, b.nationkey) AS nationkey, " +
+        "COALESCE(n_customers, 0) AS n_customers, " +
+        "COALESCE(n_suppliers, 0) AS n_suppliers, " +
+        "COALESCE(pos_balance, 0.0) AS pos_balance " +
+        "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey " +
+        "FULL OUTER JOIN b ON COALESCE(c.nationkey, s.nationkey) = b.nationkey " +
+        "ORDER BY nationkey"),
+    "q55_longest_token" ->
+      ("SELECT p_partkey, t AS longest_token FROM " +
+        "(SELECT p_partkey, unnest(string_split(p_name, ' ')) AS t FROM part) x " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey " +
+        "ORDER BY LENGTH(t) DESC, t DESC) = 1 ORDER BY p_partkey")
   )
 }

@@ -53,6 +53,7 @@ object ProductSources {
   def readProductTree(spark: SparkSession, root: String,
                       defaultBrand: String = "zara"): DataFrame =
     spark.read.schema(rawProductSchema)
+      .option("multiLine", "true") // pretty-printed documents, one per file
       .json(s"$root/*/*/metadata.json")
       .withColumn("category",
         element_at(split(input_file_name(), "/"), -3))
