@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.SimQueries.queries ++
       graft.queries.DomainQueries.queries ++
       graft.queries.GeneratorQueries.queries ++
-      graft.queries.MiscQueries.queries
+      graft.queries.MiscQueries.queries ++
+      graft.queries.EventQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.SimQueries.oracle ++
       graft.queries.DomainQueries.oracle ++
       graft.queries.GeneratorQueries.oracle ++
-      graft.queries.MiscQueries.oracle
+      graft.queries.MiscQueries.oracle ++
+      graft.queries.EventQueries.oracle
 }
