@@ -25,8 +25,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // Bench-scale split sizing: the sf0.1 tables are single ~10-30 MB
+      // parquet files — at the 128 MB default each scan is ONE task and
+      // CPU-bound queries run single-threaded. 4 MB splits engage the
+      // cores; a real cluster at 100 TB keeps the default (row groups
+      // there are plentiful).
+      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
+      .config("spark.sql.files.openCostInBytes", 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

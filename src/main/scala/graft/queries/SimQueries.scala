@@ -52,11 +52,25 @@ object SimQueries {
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("sim_e6").desc, col("vec_id"))
 
+  // q40 twin on the NATIVE codegen'd expression (plans/CosineSimilarity,
+  // registered by GraftExtensions) — identical results by construction
+  // (same sequential fold), same oracle SQL; exists to keep the native
+  // kernel continuously oracle-checked and benchmarked.
+  private def q58(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("sim",
+        call_function("graft_cosine", col("embedding"), typedlit(probeVec(s, d))))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("sim_e6"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_scores" -> q40 _,
     "q41_cosine_topk" -> q41 _,
     "q42_sim_label_rollup" -> q42 _,
-    "q43_ann_lsh_topk" -> q43 _
+    "q43_ann_lsh_topk" -> q43 _,
+    "q58_cosine_native" -> q58 _
   )
 
   private val probeCte =
@@ -73,6 +87,8 @@ object SimQueries {
         "ORDER BY sim_e6 DESC, vec_id LIMIT 20"),
     "q42_sim_label_rollup" ->
       (probeCte + "SELECT label, COUNT(*) AS n, CAST(SUM(sim_e6) AS BIGINT) AS sum_sim_e6 " +
-        "FROM scored WHERE sim_e6 >= 50000 GROUP BY label ORDER BY label")
+        "FROM scored WHERE sim_e6 >= 50000 GROUP BY label ORDER BY label"),
+    "q58_cosine_native" ->
+      (probeCte + "SELECT vec_id, label, sim_e6 FROM scored ORDER BY vec_id")
   )
 }
