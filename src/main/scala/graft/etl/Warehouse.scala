@@ -1,0 +1,48 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Warehouse layout management (SURVEY §7.1 step 5): partitioned +
+  * bucketed persistent tables so the hot keyed operations (S5 upsert
+  * merge, J1-J5 product joins, P9 group-bys) run WITHOUT a shuffle.
+  *
+  * Layout policy for the products star (mirrors §1.1):
+  *  - fact-ish tables bucketed by their join/merge key (`product_id`) —
+  *    two tables bucketed the same way join bucket-to-bucket (no
+  *    Exchange), and an upsert merge windows within buckets;
+  *  - partitioned by a low-cardinality pruning column (e.g.
+  *    `category_refitd`) so per-category queries touch one directory;
+  *  - bucket counts are powers of two so they can be coalesced (Spark
+  *    joins tables with differing bucket counts when one divides the
+  *    other, `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+  *
+  * At 100 TB this is the difference between an O(data) shuffle per merge
+  * and a local per-bucket sort.
+  */
+object Warehouse {
+
+  /** Write a table bucketed by `key` (and optionally partitioned), as a
+    * persistent table in the session catalog (bucketing metadata lives in
+    * the metastore; plain `.parquet()` writes cannot carry it). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8, partitionBy: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Bucket-local upsert: merge updates into a bucketed table and rewrite
+    * it. With both sides bucketed on the key, the row_number window
+    * reuses the bucket hash-partitioning — no exchange on the big side. */
+  def upsertBucketed(spark: SparkSession, table: String, updates: DataFrame,
+                     key: String, version: String, buckets: Int = 8): Unit = {
+    val merged = Pipeline.upsert(spark.table(table), updates, key, version)
+    // rewrite via a stable staging name, then swap
+    val staging = table + "__staging"
+    writeBucketed(merged, staging, key, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+}

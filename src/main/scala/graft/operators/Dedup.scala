@@ -146,4 +146,34 @@ object Dedup {
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Embedding-cosine near-duplicate pairs: bucket rows by hyperplane-LSH
+    * signature (row-local), self-join inside buckets with id_a < id_b,
+    * verify with exact cosine ≥ `threshold`.
+    *
+    * Scale twin of [[minHashLsh]] for the embedding modality: candidate
+    * count ∝ near-dup density (bucket join on a 2^numPlanes-way uniform
+    * signature), never N². Catches semantic dups that text shingles miss
+    * (paraphrases with identical embeddings). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95, numPlanes: Int = 12,
+                       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol)))
+      .first().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(numPlanes, dim, seed)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", SimilaritySearch.lshSignature(col("vec"), planes))
+    val bounded = sigs
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .withColumn("cosine_e6", floor(col("cosine") * 1e6).cast("long"))
+      .drop("cosine")
+  }
 }

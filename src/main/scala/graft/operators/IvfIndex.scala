@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF-style approximate nearest neighbour: partition the corpus into
+  * coarse cells around centroids, probe only the `nprobe` cells nearest
+  * the query, exact-rank inside them.
+  *
+  * Centroids are picked DETERMINISTICALLY (k-means|| would do better but
+  * brings RNG state): the corpus rows whose ids hash lowest become seeds —
+  * stable across runs and engines, which the round gate needs.
+  *
+  * Scale: cell assignment is one row-local argmin over k centroids
+  * (broadcast literals), persisted next to the table like the LSH
+  * signatures; a query scans |corpus|·nprobe/k rows. Complements
+  * [[SimilaritySearch.annTopK]] (hyperplane LSH) — IVF wins when the
+  * corpus is clustered, LSH when it is uniform.
+  */
+object IvfIndex {
+
+  /** Deterministic centroid choice: the k rows with smallest
+    * xxhash64(id). Returns (cell_id, centroid vector as Seq[Float]). */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Int, Seq[Float])] =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) => (i, row.getSeq[Float](1)) }
+
+  /** Row-local nearest-centroid assignment: argmax cosine over the
+    * broadcast centroid literals. */
+  def assignCells(df: DataFrame, vecCol: String,
+                  cents: Array[(Int, Seq[Float])]): DataFrame = {
+    val scores: Seq[(Int, Column)] = cents.toSeq.map { case (cid, c) =>
+      cid -> VectorOps.cosine(col(vecCol), typedlit(c))
+    }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestId, bestScore), (cid, score)) =>
+        (when(score > bestScore, lit(cid)).otherwise(bestId),
+          greatest(score, bestScore))
+    }
+    df.withColumn("ivf_cell", best._1)
+  }
+
+  /** ANN top-k: probe the `nprobe` cells whose centroids are nearest the
+    * probe vector, exact cosine re-rank inside them. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
+           k: Int, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(df, idCol, vecCol, numCells)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i).toDouble; na += a(i) * a(i).toDouble
+        nb += b(i) * b(i).toDouble; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0 || a.length != b.length) 0.0 else dot / den
+    }
+    val probeCells = cents.sortBy { case (cid, c) => (-cos(probe, c), cid) }
+      .take(nprobe).map(_._1)
+    val candidates = assignCells(df, vecCol, cents)
+      .filter(col("ivf_cell").isin(probeCells.toSeq: _*))
+    SimilaritySearch.topK(candidates, idCol, vecCol, probe, k).drop("ivf_cell")
+  }
+}

@@ -65,12 +65,31 @@ object SimQueries {
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("vec_id"))
 
+  // IVF-cell ANN (rows-only): deterministic coarse quantization, probe
+  // 2 of 8 cells, exact re-rank.
+  private def q59(s: SparkSession, d: String): DataFrame =
+    graft.operators.IvfIndex.topK(
+      embeddings(s, d).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", probeVec(s, d), k = 10, numCells = 8, nprobe = 2)
+      .select(col("vec_id"), col("label"), col("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("vec_id"))
+
+  // Embedding-cosine near-dup candidates (rows-only): LSH-bucketed
+  // self-join + exact cosine verification.
+  private def q60(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.embeddingNearDup(
+      embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.2, numPlanes = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_scores" -> q40 _,
     "q41_cosine_topk" -> q41 _,
     "q42_sim_label_rollup" -> q42 _,
     "q43_ann_lsh_topk" -> q43 _,
-    "q58_cosine_native" -> q58 _
+    "q58_cosine_native" -> q58 _,
+    "q59_ivf_topk" -> q59 _,
+    "q60_embedding_near_dup" -> q60 _
   )
 
   private val probeCte =
