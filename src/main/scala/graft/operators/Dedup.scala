@@ -171,7 +171,7 @@ object Dedup {
       .join(bounded.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .withColumn("cosine_e6", floor(col("cosine") * 1e6).cast("long"))
       .drop("cosine")

@@ -36,7 +36,7 @@ object IvfIndex {
   def assignCells(df: DataFrame, vecCol: String,
                   cents: Array[(Int, Seq[Float])]): DataFrame = {
     val scores: Seq[(Int, Column)] = cents.toSeq.map { case (cid, c) =>
-      cid -> VectorOps.cosine(col(vecCol), typedlit(c))
+      cid -> call_function("graft_cosine", col(vecCol), typedlit(c))
     }
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bestId, bestScore), (cid, score)) =>

@@ -19,7 +19,10 @@ object SimilaritySearch {
     * when the corpus no longer fits a scan budget. */
   def scoreAll(df: DataFrame, vecCol: String, probe: Seq[Float]): DataFrame = {
     val p = typedlit(probe)
-    df.withColumn("sim", VectorOps.cosine(col(vecCol), p))
+    // graft_cosine (plans/CosineSimilarity, registered by GraftExtensions)
+    // is bit-identical to VectorOps.cosine but codegen'd — the HOF form is
+    // interpreted and pays per-element lambda dispatch
+    df.withColumn("sim", call_function("graft_cosine", col(vecCol), p))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
   }
 
@@ -48,8 +51,9 @@ object SimilaritySearch {
     * product. Row-local expression. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, b) =>
-      when(VectorOps.dot(vec, typedlit(plane.toSeq)) > 0.0, lit(1L << b))
-        .otherwise(0L)
+      // sign(cosine) == sign(dot) (norms are positive; zero-norm → 0 both)
+      when(call_function("graft_cosine", vec, typedlit(plane.toSeq)) > 0.0,
+        lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
   /** ANN top-k: probe only rows whose LSH signature is within `maxHamming`

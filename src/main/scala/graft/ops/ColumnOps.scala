@@ -70,6 +70,11 @@ object ColumnOps {
       .when(price > 150.0, "premium luxury")
       .otherwise("mid-range")
 
+  /** X13 (curate.py:100-105, pipeline.py:456-460): public storage URL
+    * builder `{base}/storage/v1/object/public/{bucket}/{path}`. */
+  def storageUrl(baseUrl: Column, bucket: Column, path: Column): Column =
+    concat(baseUrl, lit("/storage/v1/object/public/"), bucket, lit("/"), path)
+
   /** X14 (refitd_tagger.py:1124-1130): confidence clamp to [0,1], parse
     * failure → 0.5. */
   def confidenceClamp(c: Column): Column =

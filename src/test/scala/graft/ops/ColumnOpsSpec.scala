@@ -110,6 +110,16 @@ class ColumnOpsSpec extends SparkSpec {
       .select(ColumnOps.parseRemovedFromSummary(col("s"))).as[Seq[String]].head().isEmpty)
   }
 
+  test("X13: storage URL builder; BPE-ish tokenizer splits on boundaries") {
+    val url = Seq(("https://x.supabase.co", "products", "shirts/p1/0.jpg"))
+      .toDF("b", "bk", "p")
+      .select(ColumnOps.storageUrl(col("b"), col("bk"), col("p"))).as[String].head()
+    assert(url == "https://x.supabase.co/storage/v1/object/public/products/shirts/p1/0.jpg")
+    val toks = Seq("don't re-tag v2!").toDF("t")
+      .select(graft.functions.TextAnalysis.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("don", "'", "t", "re", "-", "tag", "v2", "!"))
+  }
+
   test("E3: sizes to struct array") {
     val r = Seq(Tuple1(Seq("S", "M"))).toDF("sizes")
       .select(to_json(ColumnOps.sizesToStructArray(col("sizes")))).as[String].head()
