@@ -56,6 +56,20 @@ class ColumnOpsSpec extends SparkSpec {
     assert(pick("unknown") == Seq("a", "b")) // default
   }
 
+  test("E5 totality: every rule is safe on arrays of any length (property)") {
+    val rng = new scala.util.Random(11)
+    val rules = Seq("first_2", "last_2", "neg_4_to_2", "neg_3_and_4", "junk")
+    val cases = for (n <- 0 to 8; r <- rules) yield
+      (Seq.fill(n)(s"u${rng.nextInt(100)}"), r)
+    val df = cases.toDF("urls", "rule")
+      .select(col("urls"), ColumnOps.layFlatPick(col("urls"), col("rule")).as("picked"))
+    val rows = df.as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (urls, picked) =>
+      assert(picked.size <= 2, s"$urls -> $picked")
+      assert(picked.forall(urls.contains), s"$urls -> $picked")
+    }
+  }
+
   test("E6: stored indices are 0-based positions in the full list") {
     val r = Seq((Seq("c", "a"), Seq("a", "b", "c")))
       .toDF("kept", "all")
