@@ -16,7 +16,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q07_join_rollup")(spark, "/root/testdata/sf0.001")
 
+  /** Every query self-registers graft's native functions on the caller's
+    * session (idempotent) — the driver may hand us a session built without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  private def withGraftFunctions(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      graft.plans.GraftExtensions.ensure(spark)
+      fn(spark, dir)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, v) => k -> withGraftFunctions(v) }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.ArrayJsonQueries.queries ++
       graft.queries.TextQueries.queries ++

@@ -14,12 +14,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "graft_cosine(a, b) takes two array arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+    ext.injectFunction(GraftExtensions.cosineEntry)
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] val cosineEntry = (
+    new FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cosine(a, b) takes two array arguments")
+      CosineSimilarity(children.head, children(1)): Expression
+    })
+
+  /** Imperative fallback: register graft functions on a session that was
+    * built without `spark.sql.extensions` (e.g. a host application's own
+    * session handed to SparkEntry). Idempotent. */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(cosineEntry._1)) {
+      reg.registerFunction(cosineEntry._1, cosineEntry._2, cosineEntry._3)
+    }
   }
 }

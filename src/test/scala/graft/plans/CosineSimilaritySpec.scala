@@ -38,6 +38,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"), plan) // no interpreted HOF path
   }
 
+  test("SparkEntry self-registers the function on a session lacking it") {
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"))
+    val df = graft.SparkEntry.queries("q40_cosine_scores")(s2, "/root/testdata/sf0.001")
+    assert(df.count() > 0) // would fail with UNRESOLVED_ROUTINE without ensure()
+  }
+
   test("double-array inputs work too") {
     val d = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
       .select(call_function("graft_cosine", col("a"), col("b")))
