@@ -84,6 +84,41 @@ object Pipeline {
       .select(col("group_key"), col(idCol).as("representative_id"))
   }
 
+  /** Skew-salted two-phase aggregation (SURVEY §7.4 risk 5): when one key
+    * dominates (a mega variant-group, a viral product), a plain groupBy
+    * funnels it through one reducer. Phase 1 aggregates on
+    * (key, hash-salt) — spreading the hot key over `saltBuckets`
+    * reducers — phase 2 combines the partials per key. Results are
+    * identical to the unsalted aggregate (counts and sums are
+    * associative). */
+  def saltedCount(df: DataFrame, key: String, saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()),
+      lit(saltBuckets.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+
+  /** Skew-salted argmax (the P9 representative pick for mega-groups):
+    * phase 1 takes the per-(key, salt) best row by (orderCol desc,
+    * tieBreak asc), phase 2 reduces the ≤saltBuckets partials per key.
+    * Equivalent to the unsalted window argmax. */
+  def saltedArgMax(df: DataFrame, key: String, orderCol: String,
+                   tieBreak: String, saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(tieBreak)), lit(saltBuckets.toLong)))
+    val local = Window.partitionBy(col(key), col("__salt"))
+      .orderBy(col(orderCol).desc, col(tieBreak))
+    val global = Window.partitionBy(col(key))
+      .orderBy(col(orderCol).desc, col(tieBreak))
+    salted
+      .withColumn("__rn", row_number().over(local))
+      .filter(col("__rn") === 1) // ≤ saltBuckets survivors per key
+      .withColumn("__rn2", row_number().over(global))
+      .filter(col("__rn2") === 1)
+      .drop("__salt", "__rn", "__rn2")
+  }
+
   /** P9 tail — broadcast the representative's tags to every group member:
     * tag once per group, join the result back on the group key. */
   def broadcastGroupTags(products: DataFrame, groupTags: DataFrame,

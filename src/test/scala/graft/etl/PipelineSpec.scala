@@ -71,6 +71,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(("p1", "classic"), ("p2", "classic"), ("q1", null)))
   }
 
+  test("salted aggregation and argmax equal their unsalted forms on skewed data") {
+    // skewed: key "hot" has 500 rows, others 1-3
+    val rows = (1 to 500).map(i => ("hot", i.toLong, s"id$i")) ++
+      Seq(("a", 7L, "x1"), ("a", 9L, "x2"), ("b", 5L, "y1"))
+    val df = rows.toDF("key", "score", "id")
+
+    val plainCounts = df.groupBy("key").count()
+      .as[(String, Long)].collect().toMap
+    val saltedCounts = Pipeline.saltedCount(df, "key", saltBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(saltedCounts == plainCounts)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+    val plainBest = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .as[(String, Long, String)].collect().toSet
+    val saltedBest = Pipeline.saltedArgMax(df, "key", "score", "id", saltBuckets = 8)
+      .as[(String, Long, String)].collect().toSet
+    assert(saltedBest == plainBest)
+  }
+
   test("TagStage: end-to-end parse→policy over a Dataset") {
     val input = Seq(
       RawTagResponse("1", "bottom", "Cargo Pants", "",
