@@ -75,6 +75,41 @@ object Dedup {
         .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
+  /** Sentinel for empty-shingle docs in the portable (md5-hex) signature:
+    * lexicographically above every md5 hex digest. */
+  val PortableSentinel: String = "f" * 32
+
+  /** Portable twin of [[minHashSignatures]] keyed on md5 hex strings
+    * instead of seeded xxhash64 longs. md5 is computed identically by
+    * Spark and DuckDB, so queries built on this variant are verifiable by
+    * the SQL oracle; fixed-width hex compares lexicographically exactly as
+    * the underlying 128-bit value, so MIN over the strings is a valid
+    * minhash. Same explode → codegen'd partial-MIN shape (md5 costs ~10×
+    * xxhash64 per shingle — prefer [[minHashSignatures]] off the oracle
+    * path). Returns (id, sig array<string>). */
+  def minHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
+                                numPerms: Int, shingleN: Int): DataFrame = {
+    val exploded = TextAnalysis.shingleRows(
+      df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
+      "id", "text", shingleN)
+      .withColumn("hh", md5(col("shingle")))
+    val minCols = (0 until numPerms).map { i =>
+      coalesce(
+        min(when(col("shingle").isNotNull, md5(concat(lit(s"$i:"), col("hh"))))),
+        lit(PortableSentinel)).as(s"m$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Portable band hashes: md5 over '|'-joined slot digests. */
+  def bandHashesPortable(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     *
     * Pipeline: signature (row-local) → posexplode bands → self-join on
@@ -89,14 +124,31 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 32, numBands: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.5,
-                 maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numPerms / numBands
+                 maxBucket: Int = 1000): DataFrame =
+    lshVerify(df, idCol, textCol, threshold, maxBucket,
+      minHashSignatures(df, idCol, textCol, numPerms, shingleN),
+      sig => bandHashes(sig, numBands, numPerms / numBands))
+
+  /** [[minHashLsh]] on the portable md5-hex signatures — identical pair
+    * semantics, oracle-verifiable (DuckDB reproduces every hash). */
+  def minHashLshPortable(df: DataFrame, idCol: String, textCol: String,
+                         numPerms: Int = 32, numBands: Int = 8,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         maxBucket: Int = 1000): DataFrame =
+    lshVerify(df, idCol, textCol, threshold, maxBucket,
+      minHashSignaturesPortable(df, idCol, textCol, numPerms, shingleN),
+      sig => bandHashesPortable(sig, numBands, numPerms / numBands))
+
+  /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
+    * verification on candidate pairs. */
+  private def lshVerify(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, maxBucket: Int,
+                        sigs: DataFrame, bandHash: Column => Column): DataFrame = {
     val tokens = df.select(
       col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"))
-    val sigs = minHashSignatures(df, idCol, textCol, numPerms, shingleN)
     val banded = sigs
-      .select(col("id"), posexplode(bandHashes(col("sig"), numBands, rowsPerBand)))
+      .select(col("id"), posexplode(bandHash(col("sig"))))
       .toDF("id", "band", "bhash")
     val bounded = banded
       .withColumn("bucket_n",
@@ -142,6 +194,37 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Portable SimHash twin of [[simHashTable]]: the per-token 64-bit hash
+    * is the first 16 hex chars of md5(token) and the fingerprint is emitted
+    * as a 16-char hex string — every step (md5, substring, per-nibble bit
+    * votes) is computed identically by DuckDB, so this variant is
+    * oracle-verifiable. Same explode → 64 codegen'd SUM shape.
+    * Returns (id, simhash_hex). */
+  def simHashHexTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexChars = array(("0123456789abcdef").map(c => lit(c.toString)): _*)
+    val toks = TextAnalysis.tokens(normalized(col(textCol)))
+    // per-row: 16 nibble values of the token's 64-bit hash prefix
+    val chars = df.select(col(idCol).as("id"), explode_outer(toks).as("t"))
+      .withColumn("h", substring(md5(col("t")), 1, 16))
+      .select(col("id") +: (1 to 16).map(j =>
+        conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"c$j")): _*)
+    // bit b lives in hex char 16 - b/4 at in-nibble offset b%4
+    val voteCols = (0 until 64).map { b =>
+      sum(shiftright(col(s"c${16 - b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1)
+        .as(s"v$b")
+    }
+    val nibbleChars = (1 to 16).map { j =>
+      val base = 4 * (16 - j)
+      val nib = Seq(3, 2, 1, 0).map(k =>
+        when(col(s"v${base + k}") > 0, lit(1 << k)).otherwise(lit(0)))
+        .reduce(_ + _)
+      element_at(hexChars, nib + 1)
+    }
+    chars.groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), concat(nibbleChars: _*).as("simhash_hex"))
+  }
+
   /** n-gram Jaccard similarity between two token-array columns (distinct
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =
@@ -157,10 +240,14 @@ object Dedup {
     * (paraphrases with identical embeddings). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, numPlanes: Int = 12,
-                       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
-    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol)))
-      .first().getInt(0)
-    val planes = SimilaritySearch.hyperplanes(numPlanes, dim, seed)
+                       seed: Long = 42L, maxBucket: Int = 10000,
+                       dim: Int = -1): DataFrame = {
+    // pass `dim` explicitly when known — the fallback sniff is one driver
+    // round-trip per call (fine once, wasteful composed per-query)
+    val d = if (dim > 0) dim
+      else df.select(org.apache.spark.sql.functions.size(col(vecCol)))
+        .first().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(numPlanes, d, seed)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", SimilaritySearch.lshSignature(col("vec"), planes))
     val bounded = sigs

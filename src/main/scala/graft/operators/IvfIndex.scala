@@ -21,10 +21,13 @@ import graft.functions.VectorOps
 object IvfIndex {
 
   /** Deterministic centroid choice: the k rows with smallest
-    * xxhash64(id). Returns (cell_id, centroid vector as Seq[Float]). */
+    * md5(id-as-string) — a uniform pseudo-random pick that DuckDB computes
+    * identically (md5 hex compares lexicographically in both engines), so
+    * the whole IVF query is oracle-verifiable. Returns (cell_id, centroid
+    * vector as Seq[Float]). */
   def centroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Int, Seq[Float])] =
     df.select(col(idCol), col(vecCol))
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol))
       .limit(k)
       .collect()

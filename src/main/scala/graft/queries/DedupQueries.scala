@@ -43,19 +43,23 @@ object DedupQueries {
       .orderBy(col("doc_a"))
   }
 
-  // MinHash-LSH near-dup candidates (rows-only: banded xxhash64 signatures
-  // have no DuckDB equivalent). Deterministic output.
+  // MinHash-LSH near-dup candidates on the PORTABLE (md5-keyed) signature
+  // path — every hash is reproduced by the DuckDB oracle below, so the
+  // banded bucket join + exact-Jaccard verification is hash-checked end to
+  // end. The xxhash64 production path shares the same lshVerify tail and
+  // stays spec-covered (DedupSpec recall fixtures).
   private def q38(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashLsh(documents(s, d), "doc_id", "text",
+    Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
       numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
         floor(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
       .orderBy(col("id_a"), col("id_b"))
 
-  // SimHash signatures (rows-only): 64-bit near-dup fingerprints.
+  // SimHash fingerprints on the portable md5-bit path (oracle-checked
+  // nibble by nibble; the xxhash64 long variant stays spec-covered).
   private def q39(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashTable(documents(s, d), "doc_id", "text")
-      .select(col("id").as("doc_id"), col("simhash"))
+    Dedup.simHashHexTable(documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash_hex"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -66,7 +70,73 @@ object DedupQueries {
     "q39_simhash" -> q39 _
   )
 
+  /** Normalized-text expression shared by the generated oracles. */
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** `'\s+'` as a SQL literal (triple-quoted interpolations below do not
+    * process backslash escapes, so the regex is injected from here). */
+  private val wsRe = "'\\s+'"
+
+  /** Generated DuckDB mirror of [[Dedup.minHashLshPortable]] (32 perms,
+    * 8 bands × 4, 3-token shingles, threshold 0.3, maxBucket 1000):
+    * identical md5 keying, MIN-over-hex signatures, banded bucket join,
+    * exact-Jaccard verification. */
+  private def minHashLshOracle: String = {
+    val sent = graft.operators.Dedup.PortableSentinel
+    val mins = (0 until 32)
+      .map(i => s"COALESCE(MIN(md5('$i:' || hh)), '$sent') AS m$i").mkString(", ")
+    val bandRows = (0 until 8).map(b => s"($b)").mkString(", ")
+    val bandCase = "CASE b " + (0 until 8).map { b =>
+      val slots = (0 until 4).map(r => s"m${4 * b + r}").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($slots)"
+    }.mkString(" ") + " END"
+    s"""WITH toks AS (SELECT doc_id, string_split_regex($normSql, $wsRe) AS l FROM documents),
+       |sh AS (SELECT t.doc_id, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS hh
+       |       FROM toks t, UNNEST(range(1, len(l) - 1)) AS u(i)),
+       |sigs AS (SELECT t.doc_id, $mins
+       |         FROM toks t LEFT JOIN sh ON sh.doc_id = t.doc_id GROUP BY t.doc_id),
+       |banded AS (SELECT doc_id, b, $bandCase AS bhash FROM sigs, (VALUES $bandRows) bands(b)),
+       |bounded AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY b, bhash) <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |          FROM bounded a JOIN bounded b2
+       |          ON a.b = b2.b AND a.bhash = b2.bhash AND a.doc_id < b2.doc_id),
+       |tk AS (SELECT doc_id, list_distinct(string_split_regex($normSql, $wsRe)) AS toks FROM documents),
+       |jac AS (SELECT id_a, id_b,
+       |  CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_common,
+       |  CAST(len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_union
+       |  FROM pairs JOIN tk ta ON ta.doc_id = pairs.id_a JOIN tk tb ON tb.doc_id = pairs.id_b)
+       |SELECT id_a, id_b, n_common, n_union,
+       |  CAST(FLOOR(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT) AS jaccard_e6
+       |FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Generated DuckDB mirror of [[Dedup.simHashHexTable]]: md5-prefix
+    * token hashes, 64 ±1-vote sums, per-nibble hex assembly. */
+  private def simHashOracle: String = {
+    val chars = (1 to 16)
+      .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS c$j")
+      .mkString(", ")
+    val votes = (0 until 64)
+      .map(b => s"SUM((((c${16 - b / 4} >> ${b % 4}) & 1) * 2 - 1)) AS v$b")
+      .mkString(", ")
+    val hex = (1 to 16).map { j =>
+      val base = 4 * (16 - j)
+      val nib = Seq(3, 2, 1, 0)
+        .map(k => s"(CASE WHEN v${base + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($nib) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH toksr AS (SELECT doc_id, unnest(string_split_regex($normSql, $wsRe)) AS t FROM documents),
+       |hs AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM toksr),
+       |cs AS (SELECT doc_id, $chars FROM hs),
+       |vs AS (SELECT doc_id, $votes FROM cs GROUP BY doc_id)
+       |SELECT doc_id, $hex AS simhash_hex FROM vs ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q38_minhash_lsh" -> minHashLshOracle,
+    "q39_simhash" -> simHashOracle,
     "q35_exact_dedup_stats" ->
       ("SELECT COUNT(*) AS n_docs, " +
         "COUNT(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct, " +

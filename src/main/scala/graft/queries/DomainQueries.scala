@@ -77,7 +77,12 @@ object DomainQueries {
   }
 
   // P7/P8: granular curation patch + mark-curated fan-out, end-to-end over
-  // synthesized tags (rows-only; semantics pinned by CurationSpec goldens).
+  // synthesized tags. Oracle-checked per product: the patched JSON's
+  // observable fields (surviving array entry, deleted_tags record, change
+  // summary, feedback row) are extracted and compared against the oracle's
+  // from-first-principles reconstruction — verifying applyTagPatch /
+  // feedbackChangeSummary semantics without requiring byte-identical JSON
+  // rendering across engines. CurationSpec goldens pin the full shapes.
   private def q49(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.etl.Curation
@@ -100,11 +105,18 @@ object DomainQueries {
       results.toDF().withColumn("original_ai_tags", lit("{}")),
       "bench-curator", "2026-02-27 00:00:00")
     marked.historyAppend
-      .groupBy(col("curator"))
-      .agg(count(lit(1)).as("n_curated"),
-        sum(when(col("change_summary").contains("Removed:"), 1L).otherwise(0L))
-          .as("n_with_removals"))
-      .withColumn("n_feedback_rows", lit(feedback.count()))
+      .join(feedback.toDF()
+        .select(col("product_id"), col("removed_value").as("feedback_removed")),
+        Seq("product_id"))
+      .select(
+        col("product_id"),
+        get_json_object(col("corrected_tags"), "$.style_identity[0]").as("remaining_tag"),
+        get_json_object(col("corrected_tags"), "$.deleted_tags.style_identity[0].value").as("deleted_value"),
+        get_json_object(col("corrected_tags"), "$.fit").as("fit"),
+        col("change_summary"),
+        col("feedback_removed"),
+        col("curator"))
+      .orderBy(col("product_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,6 +126,13 @@ object DomainQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q49_curation_patch" ->
+      ("SELECT CAST(p_partkey AS VARCHAR) AS product_id, " +
+        "'extra' AS remaining_tag, t AS deleted_value, 'slim' AS fit, " +
+        "'Removed: style_identity:' || t AS change_summary, " +
+        "t AS feedback_removed, 'bench-curator' AS curator " +
+        "FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS t FROM part) " +
+        "ORDER BY product_id"),
     "q45_variant_representatives" ->
       ("SELECT group_key, o_orderkey AS representative_id FROM " +
         "(SELECT o_orderkey, group_key, ROW_NUMBER() OVER " +

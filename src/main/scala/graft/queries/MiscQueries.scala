@@ -30,8 +30,9 @@ object MiscQueries {
         ColumnOps.extensionFromUrl(concat(col("url"), lit("?x=1"))).as("ext"))
       .orderBy(col("p_partkey"))
 
-  // E9: nested composition flatten (rows-only; covered by ColumnOpsSpec
-  // goldens against the reference shape).
+  // E9: nested composition flatten (oracle-checked: DuckDB mirrors the
+  // struct literal and the filter/transform/flatten chain with its own
+  // list lambdas; ColumnOpsSpec goldens pin the reference shape).
   private def q51(s: SparkSession, d: String): DataFrame = {
     val comp = struct(array(
       struct(
@@ -122,6 +123,21 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q51_composition_flatten" ->
+      ("SELECT p_partkey, " +
+        "COALESCE(array_to_string(flatten(flatten(list_transform(parts_f, " +
+        "p -> list_transform(p.areas, a -> list_transform(a.components, " +
+        "c -> c.percentage || ' ' || c.material))))), ', '), '') AS composition_flat " +
+        "FROM (SELECT p_partkey, " +
+        "CASE WHEN p_partkey % 3 = 0 " +
+        "THEN list_filter(parts, p -> upper(p.name) = 'UPPER') " +
+        "ELSE parts END AS parts_f " +
+        "FROM (SELECT p_partkey, " +
+        "[{'name': CASE WHEN p_partkey % 2 = 0 THEN 'UPPER' ELSE 'LINING' END, " +
+        "'areas': [{'name': 'MAIN FABRIC', " +
+        "'components': [{'material': 'cotton', 'percentage': '82%'}, " +
+        "{'material': 'linen', 'percentage': '18%'}]}]}] AS parts " +
+        "FROM part)) ORDER BY p_partkey"),
     "q50_url_functions" ->
       ("SELECT p_partkey, " +
         "regexp_extract(url, '-p(\\d+)\\.html', 1) AS extracted_id, " +

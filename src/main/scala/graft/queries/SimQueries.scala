@@ -42,9 +42,12 @@ object SimQueries {
       .agg(count(lit(1)).as("n"), sum(col("sim_e6")).as("sum_sim_e6"))
       .orderBy(col("label"))
 
-  // ANN (LSH-bucketed) top-k — the 100 TB path; rows-only check (xxhash-
-  // seeded hyperplanes have no DuckDB equivalent). ScalaTest asserts recall
-  // vs brute force.
+  // ANN (LSH-bucketed) top-k — the 100 TB path. Oracle-checked: the
+  // splitmix hyperplanes are pure and deterministic, so the oracle embeds
+  // them as DOUBLE[] literals and re-derives every signature bit via
+  // list_cosine_similarity (bit-identical to graft_cosine — sign of the
+  // cosine is the sign of the dot product). ScalaTest asserts recall vs
+  // brute force.
   private def q43(s: SparkSession, d: String): DataFrame =
     SimilaritySearch.annTopK(embeddings(s, d).filter(col("vec_id") =!= 0),
       "vec_id", "embedding", probeVec(s, d), k = 10,
@@ -65,8 +68,8 @@ object SimQueries {
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("vec_id"))
 
-  // IVF-cell ANN (rows-only): deterministic coarse quantization, probe
-  // 2 of 8 cells, exact re-rank.
+  // IVF-cell ANN (oracle-checked): deterministic md5-keyed coarse
+  // quantization, probe 2 of 8 cells, exact re-rank.
   private def q59(s: SparkSession, d: String): DataFrame =
     graft.operators.IvfIndex.topK(
       embeddings(s, d).filter(col("vec_id") =!= 0),
@@ -74,12 +77,14 @@ object SimQueries {
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("sim_e6").desc, col("vec_id"))
 
-  // Embedding-cosine near-dup candidates (rows-only): LSH-bucketed
-  // self-join + exact cosine verification.
+  // Embedding-cosine near-dup candidates (oracle-checked): LSH-bucketed
+  // self-join + exact cosine verification. dim=64 is the fixture embedding
+  // width (TESTDATA.md) — passed explicitly so no driver round-trip sniffs
+  // it per run.
   private def q60(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.embeddingNearDup(
       embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.2, numPlanes = 6)
+      threshold = 0.2, numPlanes = 6, dim = EmbeddingDim)
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -98,7 +103,77 @@ object SimQueries {
       "CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) * 1000000.0) AS BIGINT) AS sim_e6 " +
       "FROM embeddings, probe WHERE vec_id <> 0) "
 
+  /** Fixture embedding width (TESTDATA.md — constant across scale
+    * factors); the generated oracles embed hyperplane/centroid literals at
+    * this dimensionality. */
+  private val EmbeddingDim = 64
+
+  /** Hyperplane literals for the generated oracles — the same pure
+    * splitmix values [[SimilaritySearch.hyperplanes]] evaluates on
+    * executors, rendered as a DuckDB VALUES list of (bit, DOUBLE[]). */
+  private def planesSql(numPlanes: Int): String =
+    SimilaritySearch.hyperplanes(numPlanes, EmbeddingDim).zipWithIndex
+      .map { case (pl, b) => s"($b, CAST([${pl.mkString(", ")}] AS DOUBLE[]))" }
+      .mkString(", ")
+
+  /** Oracle for q43: hamming distance re-derived per plane as a sign
+    * disagreement count (no bit packing needed), then the exact top-k. */
+  private def annLshOracle: String =
+    "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      s"planes(b, pl) AS (VALUES ${planesSql(16)}), " +
+      "ham AS (SELECT e.vec_id, " +
+      "SUM(CASE WHEN (list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pl) > 0) " +
+      "<> (list_cosine_similarity(p, pl) > 0) THEN 1 ELSE 0 END) AS hamming " +
+      "FROM embeddings e, planes, probe WHERE e.vec_id <> 0 GROUP BY e.vec_id), " +
+      "scored AS (SELECT vec_id, label, " +
+      "list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) AS sim " +
+      "FROM embeddings, probe WHERE vec_id <> 0) " +
+      "SELECT s.vec_id, s.label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
+      "FROM scored s JOIN ham USING (vec_id) " +
+      "WHERE hamming <= 6 AND s.sim > 0 " +
+      "ORDER BY sim_e6 DESC, vec_id LIMIT 10"
+
+  /** Oracle for q59: md5-keyed centroid pick, row_number argmax cell
+    * assignment (ties → lowest cell, matching the Spark fold), nprobe=2
+    * probe cells, exact re-rank. */
+  private def ivfOracle: String =
+    "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      "cents AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, " +
+      "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0 " +
+      "QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8), " +
+      "assign AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cell) AS rn " +
+      "FROM embeddings e, cents c WHERE e.vec_id <> 0), " +
+      "pcells AS (SELECT c.cell FROM cents c, probe " +
+      "ORDER BY list_cosine_similarity(p, c.cv) DESC, c.cell LIMIT 2), " +
+      "cand AS (SELECT a.vec_id, a.label, a.v FROM assign a " +
+      "WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM pcells)), " +
+      "scored AS (SELECT vec_id, label, list_cosine_similarity(v, p) AS sim FROM cand, probe) " +
+      "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
+      "FROM scored WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT 10"
+
+  /** Oracle for q60: 6-plane signature bucketing (bounded), bucket-local
+    * self-join, exact cosine ≥ 0.2. */
+  private def nearDupOracle: String =
+    s"WITH planes(b, pl) AS (VALUES ${planesSql(6)}), " +
+      "sigs AS (SELECT e.vec_id, " +
+      "CAST(SUM(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pl) > 0 " +
+      "THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig " +
+      "FROM embeddings e, planes GROUP BY e.vec_id), " +
+      "sv AS (SELECT s.vec_id, s.sig, CAST(e.embedding AS DOUBLE[]) AS v " +
+      "FROM sigs s JOIN embeddings e USING (vec_id)), " +
+      "bounded AS (SELECT * FROM sv QUALIFY COUNT(*) OVER (PARTITION BY sig) <= 10000) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS cosine_e6 " +
+      "FROM bounded a JOIN bounded b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.2 " +
+      "ORDER BY id_a, id_b"
+
   val oracle: Map[String, String] = Map(
+    "q43_ann_lsh_topk" -> annLshOracle,
+    "q59_ivf_topk" -> ivfOracle,
+    "q60_embedding_near_dup" -> nearDupOracle,
     "q40_cosine_scores" ->
       (probeCte + "SELECT vec_id, label, sim_e6 FROM scored ORDER BY vec_id"),
     "q41_cosine_topk" ->
