@@ -18,6 +18,7 @@ object AiResponseParser {
   /** X14 (refitd_tagger.py:1124-1130). */
   def clampConfidence(v: Any): Double = v match {
     case null => 0.5
+    case b: Boolean => if (b) 1.0 else 0.0 // Python float(bool)
     case d: Double => math.max(0.0, math.min(1.0, d))
     case i: Int => math.max(0.0, math.min(1.0, i.toDouble))
     case l: Long => math.max(0.0, math.min(1.0, l.toDouble))
