@@ -120,12 +120,41 @@ object TrainingValidate {
     fail()
   }
 
-  /** Validate a Dataset of JSONL lines → per-line results (line numbers are
-    * assigned by input order via zipWithIndex). */
+  /** Validate pre-numbered (lineNum, line) pairs — the scale path: a pure
+    * typed map, no global ordering derivation. Prefer this when the caller
+    * already knows line numbers (the export pipeline does). */
+  def validateNumbered(lines: Dataset[(Long, String)]): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines.map { case (n, line) => validateExample(line, n) }.toDF()
+  }
+
+  /** Validate a Dataset of JSONL lines → per-line results, numbering lines
+    * by input order.
+    *
+    * Global numbering is derived without leaving the DataFrame API and
+    * without collapsing to one partition: per-partition positions
+    * (row_number windowed on spark_partition_id, ordered by the
+    * partition-monotonic id) plus an exclusive prefix sum of partition
+    * counts (a #partitions-row aggregate, broadcast back). This is the
+    * Tungsten-native equivalent of rdd.zipWithIndex — same extra pass over
+    * the data, but codegen'd and without the RDD serialization hop. */
   def validate(lines: Dataset[String]): DataFrame = {
     import lines.sparkSession.implicits._
-    lines.rdd.zipWithIndex()
-      .map { case (line, idx) => validateExample(line, idx + 1) }
-      .toDF()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("pid")).orderBy(col("mid"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPos = lines.toDF("line")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pos", row_number().over(w))
+    val offsets = withPos.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    withPos.join(broadcast(offsets), "pid")
+      .select((col("offset") + col("pos")).as("line_num"), col("line"))
+      .as[(Long, String)]
+      .transform(validateNumbered)
   }
 }

@@ -104,6 +104,33 @@ class CurationSpec extends SparkSpec {
     assert(hist.getAs[String]("curator") == "tess")
   }
 
+  test("changeSummaryColumn: closed shapes match the UDF, open shapes fall back") {
+    import org.apache.spark.sql.functions.col
+    val closed = Seq(
+      """{"deleted_tags": {"style_identity": [{"value": "a"}, {"value": "b"}]}}""",
+      """{"added_tags": {"context": [{"value": "x", "reason": "r", "curator": "c"}]}, "modified_tags": {"fit": {"from": "a", "to": "b"}}}""",
+      """{"deleted_tags": {"fit": {"value": "slim"}, "pairing_tags": [{"value": "p"}]}}""",
+      """{}""",
+      """not json at all""")
+    val open = Seq(
+      """{"deleted_tags": {"mystery_field": [{"value": "a"}]}}""", // unknown key
+      """{"deleted_tags": {"style_identity": ["plain-string"]}}""", // stringly entry
+      """{"modified_tags": {"fit": {"from": "a"}}}""") // missing "to"
+    val rows = (closed ++ open).toDF("tags_final")
+      .select(col("tags_final"),
+        Curation.changeSummaryColumn(col("tags_final")).as("col_path"))
+      .collect()
+    rows.foreach { r =>
+      val tags = r.getString(0)
+      val colPath = Option(r.getString(1))
+      val udfVal = Curation.feedbackChangeSummary(tags)
+      if (closed.contains(tags))
+        assert(colPath.contains(udfVal), s"closed-shape divergence on $tags")
+      else
+        assert(colPath.isEmpty, s"open shape must fall back to the UDF: $tags")
+    }
+  }
+
   test("feedbackChangeSummary: all three sections, sorted fields") {
     val j =
       """{"added_tags": {"context": [{"value": "everyday", "curator": "t"}]},
