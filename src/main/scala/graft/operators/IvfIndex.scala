@@ -50,10 +50,22 @@ object IvfIndex {
   }
 
   /** ANN top-k: probe the `nprobe` cells whose centroids are nearest the
-    * probe vector, exact cosine re-rank inside them. */
+    * probe vector, exact cosine re-rank inside them. Cell assignment here
+    * is recomputed per query — at warehouse scale [[build]] persists it
+    * once and [[topKIndexed]] prunes whole partitions instead. */
   def topK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
            k: Int, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
     val cents = centroids(df, idCol, vecCol, numCells)
+    val probeCells = rankCells(cents, probe, nprobe)
+    val candidates = assignCells(df, vecCol, cents)
+      .filter(col("ivf_cell").isin(probeCells: _*))
+    SimilaritySearch.topK(candidates, idCol, vecCol, probe, k).drop("ivf_cell")
+  }
+
+  /** Rank centroids by driver-side cosine to the probe; nearest `nprobe`
+    * cell ids. */
+  private def rankCells(cents: Array[(Int, Seq[Float])], probe: Seq[Float],
+                        nprobe: Int): Seq[Int] = {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -64,10 +76,41 @@ object IvfIndex {
       val den = math.sqrt(na) * math.sqrt(nb)
       if (den == 0.0 || a.length != b.length) 0.0 else dot / den
     }
-    val probeCells = cents.sortBy { case (cid, c) => (-cos(probe, c), cid) }
-      .take(nprobe).map(_._1)
-    val candidates = assignCells(df, vecCol, cents)
-      .filter(col("ivf_cell").isin(probeCells.toSeq: _*))
+    cents.sortBy { case (cid, c) => (-cos(probe, c), cid) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** Persist the IVF index: the corpus written PARTITIONED BY ivf_cell
+    * (queries prune whole cell directories — the 100 TB win: a probe scans
+    * |corpus|·nprobe/k rows AND only those files), bucketed by id within
+    * cells; centroids go to a tiny sibling `<table>_centroids` table. */
+  def build(df: DataFrame, idCol: String, vecCol: String, table: String,
+            numCells: Int = 8, buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids(df, idCol, vecCol, numCells)
+    cents.toSeq.toDF("ivf_cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table + "_centroids")
+    graft.etl.Warehouse.writeBucketed(
+      assignCells(df, vecCol, cents), table, idCol, buckets,
+      partitionBy = Seq("ivf_cell"))
+  }
+
+  /** ANN top-k over a PERSISTED index: centroid ranking reads the
+    * O(numCells)-row sidecar table, the corpus scan carries an
+    * `ivf_cell IN (…)` partition filter (no per-row assignment recompute,
+    * no non-probed files read), then exact re-rank. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                  idCol: String, vecCol: String, probe: Seq[Float], k: Int,
+                  nprobe: Int = 2): DataFrame = {
+    val cents = spark.table(table + "_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val probeCells = rankCells(cents, probe, nprobe)
+    val candidates = spark.table(table)
+      .filter(col("ivf_cell").isin(probeCells: _*))
     SimilaritySearch.topK(candidates, idCol, vecCol, probe, k).drop("ivf_cell")
   }
 }

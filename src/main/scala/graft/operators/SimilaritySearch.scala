@@ -56,34 +56,70 @@ object SimilaritySearch {
         lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Driver-side signature of a probe vector (same splitmix planes the
+    * executors use). */
+  def probeSignature(probe: Seq[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    for (b <- planes.indices) {
+      var d = 0.0
+      for (i <- probe.indices) d += probe(i).toDouble * planes(b)(i)
+      if (d > 0.0) sig |= (1L << b)
+    }
+    sig
+  }
+
   /** ANN top-k: probe only rows whose LSH signature is within `maxHamming`
     * bits of the probe's signature, then exact cosine re-rank.
     *
-    * Scale path: signatures are computed once per row (and would be
-    * precomputed/persisted in a real warehouse); the candidate filter is a
-    * row-local bit_count — no shuffle until the final small top-k. Recall
-    * is tunable via numPlanes/maxHamming. */
+    * Scale path: signatures are computed row-locally; the candidate filter
+    * is a row-local bit_count — no shuffle until the final small top-k.
+    * Recall is tunable via numPlanes/maxHamming. Signatures here are
+    * recomputed per query — at warehouse scale build them ONCE with
+    * [[buildLshIndex]] and query via [[annTopKIndexed]]. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
               k: Int, numPlanes: Int = 16, maxHamming: Int = 3,
               seed: Long = 42L): DataFrame = {
-    val dim = probe.length
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val probeSig = {
-      // driver-side signature of the probe (same splitmix planes)
-      var sig = 0L
-      for (b <- 0 until numPlanes) {
-        var d = 0.0
-        for (i <- 0 until dim) d += probe(i).toDouble * planes(b)(i)
-        if (d > 0.0) sig |= (1L << b)
-      }
-      sig
-    }
+    val planes = hyperplanes(numPlanes, probe.length, seed)
     val withSig = df.withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+    annFilterRank(withSig, idCol, vecCol, probe, k,
+      probeSignature(probe, planes), maxHamming)
+  }
+
+  private def annFilterRank(withSig: DataFrame, idCol: String, vecCol: String,
+                            probe: Seq[Float], k: Int, probeSig: Long,
+                            maxHamming: Int): DataFrame =
     withSig
       .withColumn("hamming",
         bit_count(col("lsh_sig").bitwiseXOR(lit(probeSig))))
       .filter(col("hamming") <= maxHamming)
       .transform(cand => topK(cand, idCol, vecCol, probe, k))
       .drop("lsh_sig", "hamming")
+
+  /** Persist the LSH index: (id, vec, lsh_sig) bucketed by `idCol` in the
+    * warehouse (reference equivalent: the pgvector ivfflat declaration,
+    * embeddings.py:464-513 — here the signature column IS the index).
+    * Signatures are computed exactly once; `dim` must be the vector width
+    * (planes are materialized at build and re-derived at query time from
+    * the same pure seed). */
+  def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,
+                    table: String, numPlanes: Int = 16, dim: Int,
+                    seed: Long = 42L, buckets: Int = 8): Unit = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    graft.etl.Warehouse.writeBucketed(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("lsh_sig", lshSignature(col(vecCol), planes)),
+      table, idCol, buckets)
+  }
+
+  /** ANN top-k over a PERSISTED index: the plan reads `lsh_sig` from
+    * parquet — zero signature recompute (exactly one cosine expression
+    * remains: the candidate re-rank). */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     idCol: String, vecCol: String, probe: Seq[Float], k: Int,
+                     numPlanes: Int = 16, maxHamming: Int = 3,
+                     seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, probe.length, seed)
+    annFilterRank(spark.table(table), idCol, vecCol, probe, k,
+      probeSignature(probe, planes), maxHamming)
   }
 }
