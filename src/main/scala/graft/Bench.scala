@@ -48,7 +48,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q49_curation_patch,q38_minhash_lsh → time just
+    // those (skips the ann/scaled extras); dev loop for single-query tuning
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val t = try {
         force(fn(spark, sfDir)) // warm-up (plan + IO cache)
         val samples = Seq.fill(runs)(time(force(fn(spark, sfDir)))).sorted
@@ -58,7 +64,7 @@ object Bench {
     }
     // persisted-ANN paths: index build timed once, indexed query timed like
     // a normal query — shows the per-query saving vs q43/q59's recompute
-    val annResults: Seq[(String, Double)] = try {
+    val annResults: Seq[(String, Double)] = if (only.isDefined) Seq() else try {
       import org.apache.spark.sql.functions.col
       import graft.operators.{IvfIndex, SimilaritySearch}
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -86,7 +92,34 @@ object Bench {
         "x_ann_ivf_index_query" -> ivfSamples(ivfSamples.size / 2))
     } catch { case _: Throwable => Seq() }
 
-    val qs = (results ++ annResults).map { case (k, v) => "\"" + k + "\":" + v }
+    // Data-dominated scale point: when the 10×-replicated dataset exists
+    // (tools/gen_scaled_data.py), re-run the data-heavy query subset on it
+    // as x10_* lines. These measure marginal (data-proportional) cost —
+    // the sf0.1 suite is dominated by the ~0.2-0.5 s local job floor
+    // (BASELINE.md "floor analysis").
+    val scaledDir = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALED_DIR", "/root/repo/benchdata/sf1x10")
+    val scaledNames = Seq(
+      "q02_project_filter", "q05_group_summary", "q07_join_rollup",
+      "q18_argmax_per_group", "q20_explode_token_counts",
+      "q21_json_extract_agg", "q25_pricing_rollup", "q29_change_summary",
+      "q31_token_metrics", "q33_langid_rollup", "q34_fingerprint_shingles",
+      "q40_cosine_scores", "q56_event_windows", "q57_sessionization")
+    val scaledResults: Seq[(String, Double)] =
+      if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
+      else scaledNames.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val t = try {
+            force(fn(spark, scaledDir))
+            val samples = Seq.fill(runs)(time(force(fn(spark, scaledDir)))).sorted
+            samples(samples.size / 2)
+          } catch { case _: Throwable => -1.0 }
+          ("x10_" + n) -> t
+        }
+      }
+
+    val qs = (results ++ annResults ++ scaledResults)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

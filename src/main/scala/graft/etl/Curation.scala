@@ -320,8 +320,18 @@ object Curation {
 
   /** Change summary as a pure column over `tags_final` for closed shapes —
     * same sorted-field sections ("Added: f:v, …; Removed: …; Modified:
-    * f: a → b") as [[feedbackChangeSummary]], fully codegen'd. Returns null
-    * when the shape is open (caller falls back to the UDF). */
+    * f: a → b") as [[feedbackChangeSummary]]. Returns null when the shape
+    * is open (fall back to the UDF).
+    *
+    * NOT the default path, by measurement: Catalyst does not
+    * common-subexpression-eliminate get_json_object/from_json, so the
+    * shape checks + fragments here re-parse tags_final ~30× per row —
+    * benched 7× SLOWER than the single-parse UDF on the q49 pipeline
+    * (10.1 s vs 1.4 s at sf0.1; BASELINE.md). The UDF is the scale path
+    * for open-shaped JSON; this column form exists for pipelines that
+    * need pure-Column semantics (e.g. streaming sinks barring UDFs) and
+    * as an executable spec of the closed-shape summary (CurationSpec
+    * asserts equivalence). */
   def changeSummaryColumn(tags: Column): Column = {
     val addedJ = from_json(get_json_object(tags, "$.added_tags"), addedSchema)
     val deletedJ = from_json(get_json_object(tags, "$.deleted_tags"), deletedSchema)
@@ -346,16 +356,16 @@ object Curation {
     * curate.py:7239-7352). */
   def markCurated(products: DataFrame, curatedBy: String, asOf: String,
                   curationVersion: String = "v1"): CurationOutputs = {
-    // closed shapes (everything the patch pipeline itself writes) take the
-    // codegen'd column path; the UDF only runs on rows whose feedback maps
-    // carry open/degenerate shapes (CaseWhen branches evaluate lazily)
+    // one json4s parse per row — measured 7× faster than the
+    // changeSummaryColumn expression form (see its scaladoc); JSON here is
+    // open-shaped by reference contract (SURVEY §2.12)
     val summaryUdf = udf(feedbackChangeSummary _)
     val base = products.select(
       col("product_id").cast("string"),
       col("tags_final").cast("string"),
       coalesce(col("original_ai_tags"), lit("{}")).cast("string").as("original_ai_tags"))
       .withColumn("change_summary",
-        coalesce(changeSummaryColumn(col("tags_final")), summaryUdf(col("tags_final"))))
+        summaryUdf(col("tags_final")))
     CurationOutputs(
       statusUpsert = base.select(
         col("product_id"),

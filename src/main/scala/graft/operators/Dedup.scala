@@ -75,35 +75,46 @@ object Dedup {
         .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
-  /** Sentinel for empty-shingle docs in the portable (md5-hex) signature:
-    * lexicographically above every md5 hex digest. */
-  val PortableSentinel: String = "f" * 32
+  /** Sentinel for empty-shingle docs in the portable signature:
+    * lexicographically above every 8-hex-char md5 lane. */
+  val PortableSentinel: String = "f" * 8
 
-  /** Portable twin of [[minHashSignatures]] keyed on md5 hex strings
-    * instead of seeded xxhash64 longs. md5 is computed identically by
-    * Spark and DuckDB, so queries built on this variant are verifiable by
-    * the SQL oracle; fixed-width hex compares lexicographically exactly as
-    * the underlying 128-bit value, so MIN over the strings is a valid
-    * minhash. Same explode → codegen'd partial-MIN shape (md5 costs ~10×
-    * xxhash64 per shingle — prefer [[minHashSignatures]] off the oracle
-    * path). Returns (id, sig array<string>). */
+  /** Portable twin of [[minHashSignatures]] keyed on md5 hex instead of
+    * seeded xxhash64. md5 is computed identically by Spark and DuckDB, so
+    * queries built on this variant are hash-verifiable end to end;
+    * fixed-width hex compares lexicographically exactly as the underlying
+    * unsigned value, so MIN over the strings is a valid minhash. Each md5
+    * digest yields FOUR 32-bit lanes (8 hex chars each), so `numPerms`
+    * permutations cost numPerms/4 + 1 md5 calls per shingle; 32-bit
+    * minhash is ample since candidates are exact-Jaccard-verified. Lanes
+    * stay STRINGS deliberately: benched against both alternatives (one
+    * md5 per permutation: +20%; conv(hex,16,10)→long lanes: +55% — conv
+    * costs more than the string MIN aggregate saves). Still ~2.5× the
+    * xxhash64 path — prefer [[minHashSignatures]] off the oracle path.
+    * Returns (id, sig array<string>). */
   def minHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
                                 numPerms: Int, shingleN: Int): DataFrame = {
+    require(numPerms % 4 == 0, "numPerms must be a multiple of 4 (md5 lanes)")
     val exploded = TextAnalysis.shingleRows(
       df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
       "id", "text", shingleN)
       .withColumn("hh", md5(col("shingle")))
+    val groups = (0 until numPerms / 4).map { g =>
+      md5(concat(lit(s"$g:"), col("hh"))).as(s"g$g")
+    }
+    val laned = exploded.select(col("id") +: col("shingle") +: groups: _*)
     val minCols = (0 until numPerms).map { i =>
+      val lane = substring(col(s"g${i / 4}"), (i % 4) * 8 + 1, 8)
       coalesce(
-        min(when(col("shingle").isNotNull, md5(concat(lit(s"$i:"), col("hh"))))),
+        min(when(col("shingle").isNotNull, lane)),
         lit(PortableSentinel)).as(s"m$i")
     }
-    exploded.groupBy(col("id"))
+    laned.groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Portable band hashes: md5 over '|'-joined slot digests. */
+  /** Portable band hashes: md5 over '|'-joined slot lanes. */
   def bandHashesPortable(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand)

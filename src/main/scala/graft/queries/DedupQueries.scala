@@ -80,12 +80,13 @@ object DedupQueries {
 
   /** Generated DuckDB mirror of [[Dedup.minHashLshPortable]] (32 perms,
     * 8 bands × 4, 3-token shingles, threshold 0.3, maxBucket 1000):
-    * identical md5 keying, MIN-over-hex signatures, banded bucket join,
-    * exact-Jaccard verification. */
+    * identical md5 keying (4 × 8-hex lanes per digest), MIN-over-hex
+    * signatures, banded bucket join, exact-Jaccard verification. */
   private def minHashLshOracle: String = {
     val sent = graft.operators.Dedup.PortableSentinel
     val mins = (0 until 32)
-      .map(i => s"COALESCE(MIN(md5('$i:' || hh)), '$sent') AS m$i").mkString(", ")
+      .map(i => s"COALESCE(MIN(substr(md5('${i / 4}:' || hh), ${(i % 4) * 8 + 1}, 8)), '$sent') AS m$i")
+      .mkString(", ")
     val bandRows = (0 until 8).map(b => s"($b)").mkString(", ")
     val bandCase = "CASE b " + (0 until 8).map { b =>
       val slots = (0 until 4).map(r => s"m${4 * b + r}").mkString(" || '|' || ")
