@@ -54,7 +54,12 @@ object DomainQueries {
           (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
         (pmod(col("p_partkey") * 29, lit(50)) + 50).cast("int")).as("raw_response"))
 
-  // P2∘P1 end-to-end: parse → policy → status rollup (rows-only).
+  // P2∘P1 end-to-end: parse → policy → status rollup. Oracle-checked: the
+  // synthetic inputs are pure functions of p_partkey, so the oracle below
+  // re-derives every parser vocab drop and policy threshold decision from
+  // first principles as integer CASE logic (2-decimal confidences compare
+  // exactly as their integer numerators) — an independent reconstruction
+  // of the tag_policy.py:557-976 semantics for this closed input family.
   private def q44(s: SparkSession, d: String): DataFrame =
     TagStage.run(TagStage.fromDataFrame(syntheticResponses(s, d)))
       .groupBy(col("category"), col("curation_status"))
@@ -125,7 +130,69 @@ object DomainQueries {
     "q49_curation_patch" -> q49 _
   )
 
+  /** Generated oracle for q44: the synthetic response per part is fully
+    * determined by p_partkey, so the parser's vocab filtering and every
+    * policy threshold reduce to integer comparisons on the confidence
+    * numerators ((p*k)%m+c, two-decimal values). Facts encoded below,
+    * validated against the reference vocabularies (refitd_tagger.py):
+    * spacewear (style slot 5), dressy (formality slot 4), moon-boots
+    * (footwear's only shoe_type) and plaid (footwear's pattern) are
+    * out-of-vocab → parser-dropped; every other synthesized tag is legal
+    * for its category. Footwear therefore always misses shoe_type →
+    * needs_fix + dress-shoes default. Thresholds: style flag .70/auto
+    * .85, fit flag .65, silhouette allow .65/auto .80, formality flag
+    * .65, pattern allow .70. top_layer_role defaults unless a layer
+    * keyword occurs in the product name (tag_policy.py:493-514). */
+  private def tagPipelineOracle: String = {
+    val midKw = Seq("sweater", "cardigan", "hoodie", "hoodies", "knit",
+      "knitwear", "pullover", "sweatshirt", "fleece", "quarter-zip",
+      "half-zip", "zip-up")
+    val baseKw = Seq("tshirt", "t-shirt", "tee", "long sleeve", "shirt",
+      "polo", "tank", "henley")
+    val kw = (midKw ++ baseKw)
+      .map(k => s"lower(p_name) LIKE '%$k%'").mkString(" OR ")
+    s"""WITH b AS (
+       | SELECT p_partkey%3 AS m3, p_partkey%4 AS m4, p_partkey%5 AS m5,
+       |  CASE p_partkey%3 WHEN 0 THEN 'bottom' WHEN 1 THEN 'top' ELSE 'footwear' END AS category,
+       |  (p_partkey*7)%50+50 AS c1, (p_partkey*13)%60+40 AS c2,
+       |  (p_partkey*11)%50+50 AS cf, (p_partkey*17)%40+60 AS cs,
+       |  (p_partkey*19)%50+50 AS cfo, (p_partkey*29)%50+50 AS cp,
+       |  CASE WHEN NOT ($kw) THEN 1 ELSE 0 END AS tl_def
+       | FROM part),
+       |d AS (
+       | SELECT category, m3, tl_def,
+       |  (CASE WHEN m5 <> 4 AND c1 < 70 THEN 1 ELSE 0 END +
+       |   CASE WHEN c2 < 70 THEN 1 ELSE 0 END) AS style_supp,
+       |  ((m5 = 4 OR c1 < 70) AND c2 < 70) AS style_missing,
+       |  ((m5 <> 4 AND c1 >= 70 AND c1 < 85) OR (c2 >= 70 AND c2 < 85)) AS style_review,
+       |  CASE WHEN m4 <> 3 AND cfo < 65 THEN 1 ELSE 0 END AS form_supp,
+       |  CASE WHEN m4 = 3 OR cfo < 65 THEN 1 ELSE 0 END AS form_def,
+       |  CASE WHEN cf < 65 THEN 1 ELSE 0 END AS fit_supp,
+       |  CASE WHEN cs < 65 THEN 1 ELSE 0 END AS sil_supp,
+       |  (cs >= 65 AND cs < 80) AS sil_review,
+       |  CASE WHEN cp < 70 THEN 1 ELSE 0 END AS pat_supp
+       | FROM b),
+       |r AS (
+       | SELECT category,
+       |  CASE WHEN m3 = 2 THEN style_supp + form_supp
+       |       ELSE style_supp + form_supp + fit_supp + sil_supp + pat_supp END AS n_suppressed,
+       |  CASE WHEN m3 = 2 THEN form_def + 1
+       |       WHEN m3 = 1 THEN form_def + fit_supp + sil_supp + tl_def
+       |       ELSE form_def + fit_supp + sil_supp END AS n_defaults,
+       |  CASE WHEN m3 = 2 THEN 'needs_fix'
+       |       WHEN style_missing THEN 'needs_fix'
+       |       WHEN style_review OR sil_review THEN 'needs_review'
+       |       ELSE 'approved' END AS curation_status
+       | FROM d)
+       |SELECT category, curation_status, COUNT(*) AS n,
+       | CAST(SUM(n_suppressed) AS BIGINT) AS total_suppressed,
+       | CAST(SUM(n_defaults) AS BIGINT) AS total_defaults,
+       | CAST(SUM(0) AS BIGINT) AS n_parse_failed
+       |FROM r GROUP BY category, curation_status ORDER BY category, curation_status""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q44_tag_pipeline" -> tagPipelineOracle,
     "q49_curation_patch" ->
       ("SELECT CAST(p_partkey AS VARCHAR) AS product_id, " +
         "'extra' AS remaining_tag, t AS deleted_value, 'slim' AS fit, " +
