@@ -51,11 +51,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial"), p)
   }
 
-  test("q25 pricing rollup: exactly agg-exchange + output-sort, decimal partials") {
+  test("q25 pricing rollup: exactly agg-exchange + output-sort, LONG partials") {
     val p = plan("q25_pricing_rollup")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 2, s"expected agg + sort exchanges only:\n$p")
-    assert(p.contains("partial_sum(cast(l_quantity"), p) // map-side decimal partials
+    // map-side partial sums must run on bigint fixed-point, not decimal —
+    // sum(decimal(18,2)) widens past the compact-long Decimal and pays a
+    // java BigDecimal per row (ArrayJsonQueries.q25 scaladoc, BASELINE.md)
+    assert(p.contains("partial_sum(cast((cast(l_quantity"), p)
+    assert(p.contains("as bigint)"), s"fixed-point partials must be bigint:\n$p")
+    assert(!p.contains("partial_sum(cast(l_quantity#"),
+      s"no decimal partial aggregates:\n$p")
   }
 
   test("q40 cosine scoring: probe inlined as literal, no join, single output sort") {
