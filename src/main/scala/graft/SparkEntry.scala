@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.DomainQueries.queries ++
       graft.queries.GeneratorQueries.queries ++
       graft.queries.MiscQueries.queries ++
+      graft.queries.TrainingQueries.queries ++
       graft.queries.EventQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.DomainQueries.oracle ++
       graft.queries.GeneratorQueries.oracle ++
       graft.queries.MiscQueries.oracle ++
+      graft.queries.TrainingQueries.oracle ++
       graft.queries.EventQueries.oracle
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: language/domain
+  * balancing without RNG state. Every decision derives from md5 of the
+  * row id — reproducible across runs, machines, AND engines (the DuckDB
+  * oracle computes the identical picks), stateless (no driver-side
+  * sampling bookkeeping), and stable under repartitioning — properties
+  * `DataFrame.sample`/`sampleBy` do not give.
+  *
+  * Extends the engine beyond the reference (which samples nothing) with
+  * the pipeline-curation step every 100 TB corpus needs: per-stratum
+  * rate control (up/down-weighting languages, sources, quality bands).
+  */
+object Sampling {
+
+  /** Uniform 16-bit hash slot in [0, 65536): first 4 hex chars of
+    * md5(id:salt). Row-local, codegen'd, portable. */
+  def hashSlot(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Keep ≈`rate` of rows, deterministically: slot < rate·65536. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashSlot(col(idCol), salt) < math.round(rate * 65536).toInt)
+
+  /** Per-stratum rates: unlisted strata use `defaultRate`. Rate control
+    * is a row-local when-chain — one scan, no shuffle, no per-stratum
+    * passes. */
+  def stratifiedRate(df: DataFrame, idCol: String, stratumCol: String,
+                     rates: Map[String, Double], defaultRate: Double = 0.0,
+                     salt: String = "graft"): DataFrame = {
+    val bound = rates.foldLeft(lit(math.round(defaultRate * 65536).toInt)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum,
+          lit(math.round(rate * 65536).toInt)).otherwise(acc)
+    }
+    df.filter(hashSlot(col(idCol), salt) < bound)
+  }
+
+  /** EXACTLY `n` rows per stratum (fewer when the stratum is smaller),
+    * picked by md5 order — a deterministic reservoir. One shuffle on the
+    * stratum key; skewed strata can pre-thin with [[stratifiedRate]]
+    * before ranking. */
+  def stratifiedExact(df: DataFrame, idCol: String, stratumCol: String,
+                      n: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + salt))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}
