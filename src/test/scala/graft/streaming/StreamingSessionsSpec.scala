@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  test("sessionize: gap splits sessions, watermark finalizes them (q57 streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = StreamingSessions.sessionize(
+      input.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", gap = "5 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // user 1: two bursts 10:00-10:01 and 10:20 (gap > 5m → 2 sessions)
+    input.addData((ts(0), 1L, 1.0), (ts(1), 1L, 2.0), (ts(20), 1L, 4.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close everything
+    input.addData((ts(50), 2L, 8.0))
+    q.processAllAvailable()
+    input.addData((ts(59), 2L, 0.5)) // pushes watermark past user 2's first burst
+    q.processAllAvailable()
+    val out = spark.table("sessions")
+      .select($"user_id", $"n_events", $"total_value")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3))
+    q.stop()
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.length == 2, s"expected 2 sessions for user 1: ${out.toSeq}")
+    assert(u1.map(_._2).sorted.toSeq == Seq(1L, 2L)) // burst sizes
+    assert(u1.map(_._3).sum == 7.0)
+  }
+
+  test("contentDedup: duplicates within the watermark horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingSessions.contentDedup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts(0), 1L, "The quick  brown fox"),
+      (ts(1), 2L, "the quick brown fox"), // same normalized content → dropped
+      (ts(2), 3L, "another document"))
+    q.processAllAvailable()
+    input.addData((ts(3), 4L, "THE QUICK BROWN FOX")) // still duplicate
+    q.processAllAvailable()
+    val kept = spark.table("dedup_out").select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(kept == Seq(1L, 3L), s"first occurrence wins: $kept")
+  }
+
+  test("slidingActivity: overlapping windows count each event once per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingSessions.slidingActivity(
+      input.toDF().toDF("ts", "key"),
+      "ts", "key", window = "10 minutes", slide = "5 minutes",
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("activity")
+      .outputMode(OutputMode.Append).start()
+    input.addData((ts(7), 9L)) // falls in windows [10:00,10:10) and [10:05,10:15)
+    q.processAllAvailable()
+    input.addData((ts(40), 9L)) // advance watermark to close both
+    q.processAllAvailable()
+    val wins = spark.table("activity")
+      .selectExpr("window.start", "n_events").collect()
+    q.stop()
+    assert(wins.count(_.getLong(1) == 1L) >= 2,
+      s"event must appear in both overlapping windows: ${wins.toSeq}")
+  }
+}
