@@ -31,12 +31,48 @@ object TrainingQueries {
         col("n_windows"))
       .orderBy(col("doc_id"))
 
+  // The full corpus-curation pipeline as ONE query: exact dedup
+  // (keep-first) → quality filter → stratified sample (≤50/lang by md5
+  // order) → per-language stats. The composition every pretraining corpus
+  // goes through between ingest and packing; each stage reuses the
+  // oracle-verified operator.
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    val deduped = Dedup.exactDedup(documents(s, d), "text", "doc_id")
+    val filtered = deduped
+      .filter(TextAnalysis.qualityScore(col("text"), Nil) >= 0.5)
+    Sampling.stratifiedExact(filtered, "doc_id", "lang", n = 50)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(TextAnalysis.tokenEstimate(col("text"))).as("total_est_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_stratified_sample" -> q61 _,
-    "q62_sequence_packing" -> q62 _
+    "q62_sequence_packing" -> q62 _,
+    "q63_corpus_curation" -> q63 _
   )
 
   val oracle: Map[String, String] = Map(
+    "q63_corpus_curation" ->
+      ("WITH dd AS (SELECT doc_id, lang, text FROM " +
+        "(SELECT doc_id, lang, text, ROW_NUMBER() OVER " +
+        "(PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "q AS (SELECT doc_id, lang, text, " +
+        "len(string_split_regex(text, '\\s+')) AS n, " +
+        "len(list_distinct(string_split_regex(text, '\\s+'))) AS dtok FROM dd), " +
+        "f AS (SELECT * FROM q WHERE " +
+        "(LEAST(CAST(n AS DOUBLE) / 20.0, 1.0) + CAST(dtok AS DOUBLE) / n) / 2.0 >= 0.5), " +
+        "sampled AS (SELECT * FROM f QUALIFY ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) <= 50) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(GREATEST(1, CAST(FLOOR(LENGTH(text) / 4.0) AS BIGINT))) AS BIGINT) AS total_est_tokens " +
+        "FROM sampled GROUP BY lang ORDER BY lang"),
     "q61_stratified_sample" ->
       ("SELECT doc_id, lang, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4))::INT < 16384 " +
