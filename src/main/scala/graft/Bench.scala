@@ -35,6 +35,10 @@ object Bench {
       // there are plentiful).
       .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
       .config("spark.sql.files.openCostInBytes", 1024 * 1024)
+      // CPU-heavy text tables (documents ≈ 6 MB at the 10× point) would
+      // otherwise get 1-2 splits — force at least one split per core so
+      // row-local scans engage the full machine
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       // index-build bench lines write catalog tables — keep them off cwd
       .config("spark.sql.warehouse.dir",

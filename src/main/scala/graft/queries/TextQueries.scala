@@ -30,13 +30,16 @@ object TextQueries {
   // chars, mean token length.
   private def q31(s: SparkSession, d: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    // contentCharsOf: codegen'd regexp count, value-identical to the
+    // interpreted array fold (see TextAnalysis scaladoc)
     documents(s, d)
       .select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
-        TextAnalysis.contentChars(toks).as("content_chars"),
-        (TextAnalysis.contentChars(toks).cast("double") / size(toks)).as("mean_token_len"))
+        TextAnalysis.contentCharsOf(col("text")).as("content_chars"),
+        (TextAnalysis.contentCharsOf(col("text")).cast("double") / size(toks))
+          .as("mean_token_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -54,16 +57,14 @@ object TextQueries {
 
   // Language-ID heuristic: profile-overlap argmax, rolled up by
   // (labeled lang, predicted profile).
-  private def q33(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    documents(s, d)
-      .select(col("lang"),
-        TextAnalysis.langId(toks,
-          Seq("db" -> dbWords, "stream" -> streamWords, "ml" -> mlWords)).as("pred"))
+  private def q33(s: SparkSession, d: String): DataFrame =
+    // explode + conditional-sum argmax (langIdTable): identical semantics
+    // to the row-local langId fold, but codegen'd end to end
+    TextAnalysis.langIdTable(documents(s, d), Seq("doc_id", "lang"), "text",
+      Seq("db" -> dbWords, "stream" -> streamWords, "ml" -> mlWords))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
-  }
 
   // Fingerprint + distinct 3-gram shingle count per doc (corpus-scale
   // shingling via explode + window lead — see TextAnalysis.shingleRows).

@@ -42,8 +42,14 @@ def main(factor=10, out_dir=None):
     for table, keys in TABLES.items():
         src = f"read_parquet('{SF_DIR}/{table}.parquet')"
         dst = os.path.join(out_dir, f"{table}.parquet")
+        # Row groups are Spark's (and DuckDB's) parallelism unit — a
+        # single-row-group file caps any scan at one task no matter the
+        # split config. Target ~64 groups per table.
+        n_rows = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
+        rg = max(2048, n_rows // 64)
         if keys is None:
-            sql = f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)"
+            sql = (f"COPY (SELECT * FROM {src}) TO '{dst}' "
+                   f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         else:
             repl = [f"{k} + r * {OFF} AS {k}" for k in keys]
             if table == "events":
@@ -55,9 +61,10 @@ def main(factor=10, out_dir=None):
                 repl.append(
                     "CASE WHEN r = 0 THEN text ELSE "
                     r"regexp_replace(text, '(\S+)', '\1_' || r, 'g') END AS text")
+            rg = max(2048, (n_rows * factor) // 64)
             sql = (f"COPY (SELECT * REPLACE ({', '.join(repl)}) "
                    f"FROM {src}, range({factor}) rt(r)) "
-                   f"TO '{dst}' (FORMAT PARQUET)")
+                   f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         con.execute(sql)
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}")
