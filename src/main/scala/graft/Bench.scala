@@ -52,6 +52,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // per-job floor: schedule+commit cost of a 1-row job through the same
+    // noop sink — subtract from any query time to get its marginal cost
+    val floor = {
+      force(spark.range(1).toDF("x"))
+      val fs = Seq.fill(3)(time(force(spark.range(1).toDF("x")))).sorted
+      fs(1)
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=q49_curation_patch,q38_minhash_lsh → time just
     // those (skips the ann/scaled extras); dev loop for single-query tuning
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -126,7 +134,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

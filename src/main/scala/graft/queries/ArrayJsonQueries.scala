@@ -23,7 +23,11 @@ object ArrayJsonQueries {
   // (docs/supabase_schema.sql:464-478; main.py:522-525).
   private def q21(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
       .filter(col("k").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
