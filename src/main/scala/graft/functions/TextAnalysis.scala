@@ -22,6 +22,14 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= "" && t =!= " ")
 
+  /** BPE-ish token COUNT via one codegen'd regexp_extract_all (letter
+    * runs | digit runs | punctuation runs) — no lookarounds, so RE2
+    * engines (DuckDB) compute it identically → oracle-portable; and no
+    * interpreted filter lambda. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+
   /** X19: `max(1, len(text) // 4)` estimator. */
   def tokenEstimate(text: Column): Column =
     greatest(lit(1L), floor(length(text) / 4).cast("long"))
@@ -84,6 +92,40 @@ object TextAnalysis {
         (when(score > bestScore, lit(name)).otherwise(bestName),
           greatest(score, bestScore))
     }._1
+  }
+
+  /** Winnowing fingerprints (the rolling-hash document fingerprint, per
+    * Schleimer/Wilkerson/Aiken's MOSS scheme): hash every character
+    * k-gram of the normalized text, then for each window of `w`
+    * consecutive gram hashes record the minimum — the distinct recorded
+    * minima are the document's fingerprints. Near-identical documents
+    * share most fingerprints even under edits (the property plain
+    * whole-document hashing lacks).
+    *
+    * Shape: position explode → substring+md5 lane (codegen'd) → windowed
+    * MIN per doc (reuses the doc-id partitioning) → distinct. Returns
+    * (id, fp) rows; hashes are md5-lane hex so the DuckDB oracle
+    * reproduces them exactly. */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val base = df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"), col("t"),
+        when(length(col("t")) >= k,
+          sequence(lit(1), length(col("t")) - (k - 1))).otherwise(array())
+          .as("positions"))
+      .select(col("id"), col("t"), explode(col("positions")).as("pos"))
+      .select(col("id"), col("pos"),
+        substring(md5(col("t").substr(col("pos"), lit(k))), 1, 8).as("g"))
+    val nGrams = Window.partitionBy(col("id"))
+    val winMin = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    base
+      .withColumn("n", count(lit(1)).over(nGrams))
+      .withColumn("fp", min(col("g")).over(winMin))
+      .filter(col("pos") <= col("n") - (w - 1)) // full windows only
+      .select(col("id"), col("fp")).distinct()
   }
 
   /** Corpus-scale language-ID: same semantics as [[langId]] (occurrence

@@ -39,7 +39,8 @@ object TextQueries {
         TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
         TextAnalysis.contentCharsOf(col("text")).as("content_chars"),
         (TextAnalysis.contentCharsOf(col("text")).cast("double") / size(toks))
-          .as("mean_token_len"))
+          .as("mean_token_len"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -77,18 +78,40 @@ object TextQueries {
       .select(col("doc_id"), col("fp"), col("n_shingles"))
       .orderBy(col("doc_id"))
 
+  // Winnowing fingerprints (MOSS rolling-hash scheme): per-doc distinct
+  // fingerprint count + extremes — robust near-dup fingerprints where the
+  // q34 whole-doc md5 only catches exact matches.
+  private def q64(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(documents(s, d), "doc_id", "text",
+      k = 8, w = 4)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_doc_stats" -> q30 _,
     "q31_token_metrics" -> q31 _,
     "q32_quality_scores" -> q32 _,
     "q33_langid_rollup" -> q33 _,
-    "q34_fingerprint_shingles" -> q34 _
+    "q34_fingerprint_shingles" -> q34 _,
+    "q64_winnowing_fingerprints" -> q64 _
   )
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "q64_winnowing_fingerprints" ->
+      ("WITH nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), " +
+        "g AS (SELECT doc_id, i AS pos, substr(md5(substr(t, i, 8)), 1, 8) AS g " +
+        "FROM nt, UNNEST(range(1, len(t) - 6)) AS u(i)), " +
+        "w AS (SELECT doc_id, pos, MIN(g) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g), " +
+        "f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 3) " +
+        "SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
     "q30_doc_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, MAX(n_chars) AS max_chars " +
@@ -97,7 +120,8 @@ object TextQueries {
       ("SELECT doc_id, CAST(len(l) AS INT) AS n_tokens, " +
         "GREATEST(1, CAST(FLOOR(LENGTH(text) / 4) AS BIGINT)) AS est_tokens, " +
         "CAST(list_sum(list_transform(l, x -> LENGTH(x))) AS BIGINT) AS content_chars, " +
-        "CAST(list_sum(list_transform(l, x -> LENGTH(x))) AS DOUBLE) / len(l) AS mean_token_len " +
+        "CAST(list_sum(list_transform(l, x -> LENGTH(x))) AS DOUBLE) / len(l) AS mean_token_len, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS bpe_tokens " +
         "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l FROM documents) " +
         "ORDER BY doc_id"),
     "q32_quality_scores" ->

@@ -30,6 +30,28 @@ class TextKernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints survive local edits; whole-doc hash does not") {
+    val original = "the quick brown fox jumps over the lazy dog " * 6
+    val edited = original.replace("lazy dog", "sleepy cat") // one local edit
+    val df = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val a = fps(1L); val b = fps(2L)
+    val overlap = (a & b).size.toDouble / (a | b).size
+    assert(overlap > 0.5, s"edited doc must share most fingerprints: $overlap")
+    assert(a != b, "but not all of them")
+    // the whole-document fingerprint sees them as completely different
+    val whole = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(whole.distinct.length == 2)
+  }
+
+  test("bpeishTokenCount splits letter/digit/punct runs like a pre-tokenizer") {
+    val rows = Seq("abc123, def!", "  ", "a-b_c", "42").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect()
+    // "abc","123",",","def","!" = 5; "" = 0; "a","-","b","_","c" = 5; "42" = 1
+    assert(rows.toSeq == Seq(5, 0, 5, 1))
+  }
+
   test("langIdTable == row-local langId fold on the documents fixture") {
     val profiles = Seq(
       "db" -> Seq("table", "join", "query", "scan", "merge"),
