@@ -71,6 +71,40 @@ object Multimodal {
     assets.mapPartitions(decodeKernel)
   }
 
+  /** One sampled frame: index, byte offset, content hash. */
+  final case class FrameSample(
+      asset_id: Long, frame_idx: Int, offset: Long, frame_md5: String)
+
+  /** Frame sampling over video assets: frames are fixed-size byte chunks
+    * (`frameBytes`; assets shorter than one chunk yield a single partial
+    * frame), of which every `stride`-th is emitted with its md5. The
+    * chunking here is the STUB for a codec's keyframe index — a real
+    * deployment swaps the slicing for container parsing; the batched
+    * per-partition shape (digest instance initialized once per partition,
+    * like a codec would be) and the output schema stay.
+    *
+    * Emitted hashes are plain md5 of the frame bytes, so the oracle
+    * reconstructs them with substr+md5 (asset payloads are ASCII text
+    * standins). */
+  def sampleFrames(assets: Dataset[Asset], frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(_.kind == "video").flatMap { a =>
+        val nFrames = math.max(1, a.bytes.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { i =>
+          val start = i * frameBytes
+          val end = math.min(start + frameBytes, a.bytes.length)
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(a.bytes, start, end))
+            .map("%02x".format(_)).mkString
+          FrameSample(a.asset_id, i, start.toLong, hex)
+        }
+      }
+    }
+  }
+
   /** Per-kind rollup over extracted features (exact integer/decimal
     * arithmetic for deterministic output). */
   def featureStats(features: Dataset[AssetFeatures]): DataFrame =

@@ -66,10 +66,26 @@ object GeneratorQueries {
       Multimodal.decodeFeatures(
         Multimodal.assetsFromText(documents(s, d), "doc_id", "text")))
 
+  // Frame sampling over the video assets: every 4th 64-byte frame, with
+  // per-frame content hashes — the sampled-frame inventory a vision
+  // training pipeline feeds to its decoder. Oracle reconstructs every
+  // frame hash via substr+md5 (payloads are ASCII text standins).
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromText(documents(s, d), "doc_id", "text"),
+      frameBytes = 64, stride = 4)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("frame_md5")).as("n_distinct_frames"),
+        min(col("frame_md5")).as("min_frame_md5"),
+        max(col("offset")).as("max_offset"))
+      .orderBy(col("asset_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_generator_pools" -> q46 _,
     "q47_outfit_assembly" -> q47 _,
-    "q48_multimodal_stats" -> q48 _
+    "q48_multimodal_stats" -> q48 _,
+    "q65_frame_sampling" -> q65 _
   )
 
   private val scoredCte =
@@ -97,6 +113,17 @@ object GeneratorQueries {
         "(SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 3 = 2 THEN GREATEST(1, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT)) " +
-        "ELSE 1 END AS n_frames FROM documents) GROUP BY kind ORDER BY kind")
+        "ELSE 1 END AS n_frames FROM documents) GROUP BY kind ORDER BY kind"),
+    "q65_frame_sampling" ->
+      ("WITH v AS (SELECT doc_id AS asset_id, text, " +
+        "GREATEST(1, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT)) AS n_frames " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT asset_id, i AS frame_idx, CAST(i * 64 AS BIGINT) AS off, " +
+        "md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS fmd5 " +
+        "FROM v, UNNEST(range(0, n_frames)) u(i) WHERE i % 4 = 0) " +
+        "SELECT asset_id, COUNT(*) AS n_sampled, " +
+        "CAST(COUNT(DISTINCT fmd5) AS BIGINT) AS n_distinct_frames, " +
+        "MIN(fmd5) AS min_frame_md5, MAX(off) AS max_offset " +
+        "FROM fr GROUP BY asset_id ORDER BY asset_id")
   )
 }
