@@ -48,6 +48,14 @@ object StreamingSessions {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Stream-static enrichment: left-join the stream against a batch
+    * dimension, explicitly broadcast. The static side is re-evaluated per
+    * micro-batch, so a slowly-changing dimension (vocabulary, category
+    * map, curated products) refreshes without restarting the stream; the
+    * join itself never shuffles the stream. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming refresh-priority signal (T3/T4 flavored): per-key decayed
     * activity over sliding windows — emits (key, window, n_events) that a
     * downstream refresh queue consumes. */

@@ -57,6 +57,23 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L), s"first occurrence wins: $kept")
   }
 
+  test("enrich: stream-static broadcast join fills dimension values") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("key", "label")
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingSessions.enrich(
+      input.toDF().toDF("key", "n"), dim, "key")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    input.addData(("a", 1L), ("c", 2L))
+    q.processAllAvailable()
+    val out = spark.table("enriched")
+      .select($"key", $"label").as[(String, Option[String])]
+      .collect().sortBy(_._1)
+    q.stop()
+    assert(out.toSeq == Seq(("a", Some("Alpha")), ("c", None)))
+  }
+
   test("slidingActivity: overlapping windows count each event once per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
