@@ -21,6 +21,12 @@ object ArrayJsonQueries {
 
   // E2/F5: JSON scalar extract + null/empty disjunction filter
   // (docs/supabase_schema.sql:464-478; main.py:522-525).
+  // One JSON parse per row: a pre-filter on k would be pushed below the
+  // projection and duplicate the parse (predicate pushdown re-evaluates
+  // from_json in the filter); instead count/sum/min/max already ignore
+  // nulls, so WHERE k IS NOT NULL ≡ HAVING count(k) > 0 — measured ~1.5×
+  // at the x10 scale point. CollapseProject keeps the single parse (it
+  // refuses to inline a non-cheap expression referenced 4×).
   private def q21(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("k",
@@ -28,10 +34,10 @@ object ArrayJsonQueries {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",
               org.apache.spark.sql.types.LongType)))).getField("k"))
-      .filter(col("k").isNotNull)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .filter(col("n") > 0)
       .orderBy(col("event_type"))
 
   // E5/E6-adjacent: positional array slicing — first/last/first-2/size
