@@ -116,7 +116,8 @@ object Bench {
       "q18_argmax_per_group", "q20_explode_token_counts",
       "q21_json_extract_agg", "q25_pricing_rollup", "q29_change_summary",
       "q31_token_metrics", "q33_langid_rollup", "q34_fingerprint_shingles",
-      "q40_cosine_scores", "q56_event_windows", "q57_sessionization")
+      "q40_cosine_scores", "q56_event_windows", "q57_sessionization",
+      "q66_asof_attribution", "q67_range_join_activity")
     val scaledResults: Seq[(String, Double)] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: match point rows with `timeCol` in
+  * `[startCol, endCol)` to interval rows sharing the same key, without a
+  * theta-join.
+  *
+  * Spark executes a plain `l.key = r.key AND t >= start AND t < end` join
+  * as a hash join on the key followed by a per-key cross-product filter —
+  * quadratic in the rows per key, which is exactly the shape that dies on
+  * a hot key at 100 TB. This operator makes the join an EQUI-join by
+  * time-binning (the trick behind Databricks' range-join hints and
+  * Flink's interval join): each interval is exploded into the fixed-width
+  * bins it overlaps, each point hashes to its own bin, and the join key
+  * becomes (key, bin). The exact bound predicate then filters the
+  * candidates.
+  *
+  * Cost model: an interval of length L produces ⌈L/binWidth⌉+1 bin rows,
+  * so fan-out is bounded and chosen by `binWidth` — set it near the
+  * median interval length so most intervals land in 1-2 bins; candidates
+  * per point are the intervals overlapping its bin, not all intervals of
+  * the key. All arithmetic is integer (`DIV`) — no double rounding on
+  * epoch-nanos magnitudes (2^60; double division would lose the low
+  * bits).
+  *
+  * Contract: times are non-negative longs on a shared clock; key columns
+  * share names across the two sides; all other column names must be
+  * disjoint (select/rename first). Returns matched (interval ⋈ point)
+  * rows — aggregate or re-join to the interval table for outer semantics.
+  */
+object RangeJoin {
+
+  def intervalJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      timeCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn(
+      "__bin",
+      explode(sequence(
+        expr(s"$startCol DIV $binWidth"),
+        expr(s"($endCol - 1) DIV $binWidth"))))
+    val pts = points.withColumn("__bin", expr(s"$timeCol DIV $binWidth"))
+    binned
+      .join(pts, keys :+ "__bin")
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("__bin")
+  }
+}

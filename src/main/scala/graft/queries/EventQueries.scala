@@ -54,9 +54,84 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  // As-of join (attribution): each purchase attributed to the user's
+  // latest click at-or-before purchase time. Times are µs-truncated on
+  // the Spark side to match DuckDB's parquet-nanos read precision (see
+  // q57 note); clicks are deduped per (user, t) by max event_id so the
+  // match is deterministic in both engines. Oracle uses DuckDB's native
+  // ASOF LEFT JOIN — a direct cross-engine proof of the union+window
+  // formulation in [[graft.operators.AsOfJoin]].
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("click_t", col("t"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t").as("ts_ns"))
+    graft.operators.AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts_ns", "t",
+        payload = Seq("click_id", "click_t"))
+      .orderBy(col("event_id"))
+  }
+
+  // Range join (follow-on activity): per error event, how much activity
+  // the same user produced in the 30 minutes strictly after it. The
+  // half-open [t+1µs, t+gap+1µs) window over µs-grid times is exactly
+  // (t, t+gap]; the oracle states it as the plain inequality join DuckDB
+  // can afford at oracle scale, while the Spark side goes through the
+  // binned equi-join in [[graft.operators.RangeJoin]].
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val Us = 1000L
+    val e = events(s, d)
+      .withColumn("t", (col("ts") - pmod(col("ts"), lit(Us))).cast("long"))
+    val errs = e
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        (col("t") + lit(Us)).as("win_start"),
+        (col("t") + lit(GapNs + Us)).as("win_end"))
+    val pts = e.select(col("user_id"), col("t"),
+      col("event_type").as("f_type"), col("event_id").as("f_id"))
+    val matched = graft.operators.RangeJoin
+      .intervalJoin(errs, pts, Seq("user_id"), "win_start", "win_end", "t", GapNs)
+    val counts = matched
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_follow"), countDistinct(col("f_type")).as("n_types"))
+    errs
+      .select(col("err_id"), col("user_id"))
+      .join(counts, Seq("err_id"), "left")
+      .select(col("err_id"), col("user_id"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .orderBy(col("err_id"))
+  }
+
+  // Exact quantiles + distinct counts per language over documents — the
+  // oracle-checkable twins of the sketch aggregates (approx_percentile /
+  // approx_count_distinct / HLL are asserted against these exact values
+  // in SketchSpec; approximate answers are not cross-engine stable).
+  // n_chars is integral and the quartile fractions are dyadic, so the
+  // (n-1)·p interpolation is IEEE-exact in both engines.
+  private def q68(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        expr("percentile(n_chars, 0.25D)").as("p25"),
+        expr("percentile(n_chars, 0.5D)").as("p50"),
+        expr("percentile(n_chars, 0.75D)").as("p75"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_event_windows" -> q56 _,
-    "q57_sessionization" -> q57 _
+    "q57_sessionization" -> q57 _,
+    "q66_asof_attribution" -> q66 _,
+    "q67_range_join_activity" -> q67 _,
+    "q68_quantile_sketch" -> q68 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -79,6 +154,31 @@ object EventQueries {
         "FROM sess GROUP BY 1, 2) " +
         "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events, " +
         "MAX(n_events) AS max_session_events FROM per_session " +
-        "GROUP BY user_id ORDER BY user_id")
+        "GROUP BY user_id ORDER BY user_id"),
+    "q66_asof_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
+        "c AS (SELECT user_id, t, MAX(event_id) AS click_id FROM e " +
+        "WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.t AS ts_ns, " +
+        "c.click_id AS asof_click_id, c.t AS asof_click_t " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t " +
+        "ORDER BY p.event_id"),
+    "q67_range_join_activity" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
+        "err AS (SELECT event_id AS err_id, user_id, t FROM e WHERE event_type = 'error') " +
+        "SELECT err.err_id, err.user_id, " +
+        "CAST(COUNT(f.event_id) AS BIGINT) AS n_follow, " +
+        "CAST(COUNT(DISTINCT f.event_type) AS BIGINT) AS n_types " +
+        "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
+        "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
+        "GROUP BY 1, 2 ORDER BY err.err_id"),
+    "q68_quantile_sketch" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "quantile_cont(n_chars, 0.25) AS p25, " +
+        "quantile_cont(n_chars, 0.5) AS p50, " +
+        "quantile_cont(n_chars, 0.75) AS p75 " +
+        "FROM documents GROUP BY lang ORDER BY lang")
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Binned interval join: half-open bounds, bin-spanning intervals, key
+  * isolation, and equivalence to the theta-join it avoids. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("half-open [start, end) bounds with bin-spanning intervals") {
+    val intervals = Seq(
+      ("a", 10L, 30L, "i1"), // spans bins 1-2 at width 10
+      ("a", 25L, 26L, "i2"),
+      ("b", 10L, 30L, "i3")  // same window, other key
+    ).toDF("key", "s", "e", "iid")
+    val points = Seq(
+      ("a", 10L, "p_at_start"),   // == start: included
+      ("a", 29L, "p_before_end"), // end-1: included
+      ("a", 30L, "p_at_end"),     // == end: excluded
+      ("a", 25L, "p_mid"),
+      ("b", 25L, "p_other_key")
+    ).toDF("key", "t", "pid")
+
+    val got = RangeJoin
+      .intervalJoin(intervals, points, Seq("key"), "s", "e", "t", 10L)
+      .select("iid", "pid").as[(String, String)].collect().toSet
+
+    assert(got === Set(
+      ("i1", "p_at_start"), ("i1", "p_before_end"), ("i1", "p_mid"),
+      ("i2", "p_mid"),
+      ("i3", "p_other_key")))
+  }
+
+  test("agrees with the naive theta-join across bin widths") {
+    val rnd = new scala.util.Random(7)
+    val intervals = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${i % 4}", s, s + 1 + rnd.nextInt(80), i.toLong)
+    }.toDF("key", "s", "e", "iid")
+    val points = (1 to 400).map(i =>
+      (s"k${i % 5}", rnd.nextInt(1100).toLong, i.toLong)).toDF("key", "t", "pid")
+
+    val naive = intervals.as("i")
+      .join(points.as("p"),
+        $"i.key" === $"p.key" && $"p.t" >= $"i.s" && $"p.t" < $"i.e")
+      .select($"iid", $"pid")
+
+    for (width <- Seq(1L, 7L, 64L, 2048L)) {
+      val ours = RangeJoin
+        .intervalJoin(intervals, points, Seq("key"), "s", "e", "t", width)
+        .select("iid", "pid")
+      assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty,
+        s"binWidth=$width diverged from theta-join")
+    }
+  }
+}
