@@ -62,12 +62,29 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("simhash_hex"))
       .orderBy(col("doc_id"))
 
+  // Near-dup CLUSTERS: the LSH candidate pairs become an edge set and
+  // min-label connected components assign every doc its cluster (minimum
+  // member doc_id) — the keep-one-per-component shape a corpus-scale
+  // dedup pass actually executes. Isolated docs are singleton clusters.
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
+      numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = documents(s, d).select(col("doc_id").as("id"))
+    val comps = graft.operators.ConnectedComponents.minLabel(pairs, nodes)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    comps.select(col("id").as("doc_id"), col("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_exact_dedup_stats" -> q35 _,
     "q36_dedup_keep_first" -> q36 _,
     "q37_jaccard_pairs" -> q37 _,
     "q38_minhash_lsh" -> q38 _,
-    "q39_simhash" -> q39 _
+    "q39_simhash" -> q39 _,
+    "q69_near_dup_components" -> q69 _
   )
 
   /** Normalized-text expression shared by the generated oracles. */
@@ -82,7 +99,7 @@ object DedupQueries {
     * 8 bands × 4, 3-token shingles, threshold 0.3, maxBucket 1000):
     * identical md5 keying (4 × 8-hex lanes per digest), MIN-over-hex
     * signatures, banded bucket join, exact-Jaccard verification. */
-  private def minHashLshOracle: String = {
+  private def minHashPairCtes: String = {
     val sent = graft.operators.Dedup.PortableSentinel
     val mins = (0 until 32)
       .map(i => s"COALESCE(MIN(substr(md5('${i / 4}:' || hh), ${(i % 4) * 8 + 1}, 8)), '$sent') AS m$i")
@@ -92,7 +109,7 @@ object DedupQueries {
       val slots = (0 until 4).map(r => s"m${4 * b + r}").mkString(" || '|' || ")
       s"WHEN $b THEN md5($slots)"
     }.mkString(" ") + " END"
-    s"""WITH toks AS (SELECT doc_id, string_split_regex($normSql, $wsRe) AS l FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex($normSql, $wsRe) AS l FROM documents),
        |sh AS (SELECT t.doc_id, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS hh
        |       FROM toks t, UNNEST(range(1, len(l) - 1)) AS u(i)),
        |sigs AS (SELECT t.doc_id, $mins
@@ -106,11 +123,31 @@ object DedupQueries {
        |jac AS (SELECT id_a, id_b,
        |  CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_common,
        |  CAST(len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_union
-       |  FROM pairs JOIN tk ta ON ta.doc_id = pairs.id_a JOIN tk tb ON tb.doc_id = pairs.id_b)
+       |  FROM pairs JOIN tk ta ON ta.doc_id = pairs.id_a JOIN tk tb ON tb.doc_id = pairs.id_b)""".stripMargin
+  }
+
+  private def minHashLshOracle: String =
+    s"""WITH $minHashPairCtes
        |SELECT id_a, id_b, n_common, n_union,
        |  CAST(FLOOR(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT) AS jaccard_e6
        |FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q69 oracle: the q38 pair CTEs + a recursive reachability closure.
+    * `reach` enumerates (node, seed) pairs over the symmetrized edges with
+    * UNION set-semantics, so min(seed) per node is the component's minimum
+    * doc_id — exactly [[graft.operators.ConnectedComponents.minLabel]]'s
+    * fixpoint. */
+  private def nearDupComponentsOracle: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT doc_id, component,
+       |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   /** Generated DuckDB mirror of [[Dedup.simHashHexTable]]: md5-prefix
     * token hashes, 64 ±1-vote sums, per-nibble hex assembly. */
@@ -138,6 +175,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "q38_minhash_lsh" -> minHashLshOracle,
     "q39_simhash" -> simHashOracle,
+    "q69_near_dup_components" -> nearDupComponentsOracle,
     "q35_exact_dedup_stats" ->
       ("SELECT COUNT(*) AS n_docs, " +
         "COUNT(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct, " +

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** Min-label connected components: multi-hop chains (forces >1 round),
+  * isolated singletons, duplicate/symmetric edge input, and equivalence
+  * with a brute-force union-find on random graphs. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, cliques, and isolated nodes resolve to min-id components") {
+    // component {1,2,3,4,5} as a chain (diameter 4), clique {10,11,12},
+    // isolated 20; edge 3-2 duplicated and reversed on purpose
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val nodes = (Seq(20L) ++ (1L to 5L) ++ (10L to 12L)).toDF("id")
+    val got = ConnectedComponents.minLabel(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val edgeList = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: driver-side union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    // min-id canonicalization: union-find roots are not necessarily the
+    // min member, so remap each root to its component minimum
+    val minOfRoot = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val want = expected.map { case (k, r) => k -> minOfRoot(r) }
+
+    val got = ConnectedComponents.minLabel(
+      edgeList.toDF("src", "dst"), (0L until n.toLong).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+}
