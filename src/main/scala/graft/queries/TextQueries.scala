@@ -56,6 +56,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Per-source quality quota: keep the top-20 docs per source by quality
+  // score (CommonCrawl-style per-domain caps — prevents one prolific
+  // source dominating the training mix). Quality doubles are bit-equal
+  // across engines (proved by q32), so the DESC ordering is engine-exact;
+  // doc_id breaks ties and the emitted score is e6-floored per the
+  // oracle-parity rules.
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("source"), col("rank"),
+        floor(col("quality") * 1e6).cast("long").as("quality_e6"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   // Language-ID heuristic: profile-overlap argmax, rolled up by
   // (labeled lang, predicted profile).
   private def q33(s: SparkSession, d: String): DataFrame =
@@ -95,7 +115,8 @@ object TextQueries {
     "q32_quality_scores" -> q32 _,
     "q33_langid_rollup" -> q33 _,
     "q34_fingerprint_shingles" -> q34 _,
-    "q64_winnowing_fingerprints" -> q64 _
+    "q64_winnowing_fingerprints" -> q64 _,
+    "q70_source_quota" -> q70 _
   )
 
   private def inList(words: Seq[String]): String =
@@ -124,6 +145,16 @@ object TextQueries {
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS bpe_tokens " +
         "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l FROM documents) " +
         "ORDER BY doc_id"),
+    "q70_source_quota" ->
+      ("WITH q AS (SELECT doc_id, source, " +
+        "(LEAST(CAST(len(l) AS DOUBLE) / 20.0, 1.0) + " +
+        "CAST(len(list_distinct(l)) AS DOUBLE) / len(l)) / 2.0 AS quality " +
+        "FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS l FROM documents)), " +
+        "r AS (SELECT doc_id, source, quality, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM q) " +
+        "SELECT doc_id, source, CAST(rank AS BIGINT) AS rank, " +
+        "CAST(FLOOR(quality * 1000000.0) AS BIGINT) AS quality_e6 " +
+        "FROM r WHERE rank <= 20 ORDER BY source, rank"),
     "q32_quality_scores" ->
       ("SELECT doc_id, " +
         "CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS uniq_ratio, " +
