@@ -117,7 +117,7 @@ object TextAnalysis {
           .as("positions"))
       .select(col("id"), col("t"), explode(col("positions")).as("pos"))
       .select(col("id"), col("pos"),
-        substring(md5(col("t").substr(col("pos"), lit(k))), 1, 8).as("g"))
+        substring(graft.plans.GraftMd5.column(col("t").substr(col("pos"), lit(k))), 1, 8).as("g"))
     val nGrams = Window.partitionBy(col("id"))
     val winMin = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)

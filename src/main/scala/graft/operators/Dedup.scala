@@ -98,9 +98,9 @@ object Dedup {
     val exploded = TextAnalysis.shingleRows(
       df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
       "id", "text", shingleN)
-      .withColumn("hh", md5(col("shingle")))
+      .withColumn("hh", graft.plans.GraftMd5.column(col("shingle")))
     val groups = (0 until numPerms / 4).map { g =>
-      md5(concat(lit(s"$g:"), col("hh"))).as(s"g$g")
+      graft.plans.GraftMd5.column(concat(lit(s"$g:"), col("hh"))).as(s"g$g")
     }
     val laned = exploded.select(col("id") +: col("shingle") +: groups: _*)
     val minCols = (0 until numPerms).map { i =>
@@ -117,7 +117,7 @@ object Dedup {
   /** Portable band hashes: md5 over '|'-joined slot lanes. */
   def bandHashesPortable(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand)
+      graft.plans.GraftMd5.column(concat_ws("|", (0 until rowsPerBand)
         .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
     }: _*)
 
@@ -216,7 +216,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(normalized(col(textCol)))
     // per-row: 16 nibble values of the token's 64-bit hash prefix
     val chars = df.select(col(idCol).as("id"), explode_outer(toks).as("t"))
-      .withColumn("h", substring(md5(col("t")), 1, 16))
+      .withColumn("h", substring(graft.plans.GraftMd5.column(col("t")), 1, 16))
       .select(col("id") +: (1 to 16).map(j =>
         conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"c$j")): _*)
     // bit b lives in hex char 16 - b/4 at in-nibble offset b%4

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineEntry)
+    ext.injectFunction(GraftExtensions.md5Entry)
   }
 }
 
@@ -28,13 +29,23 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1)): Expression
     })
 
+  private[graft] val md5Entry = (
+    new FunctionIdentifier("graft_md5"),
+    new ExpressionInfo(classOf[GraftMd5].getName, "graft_md5"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_md5(x) takes one argument")
+      GraftMd5(children.head): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(cosineEntry._1)) {
-      reg.registerFunction(cosineEntry._1, cosineEntry._2, cosineEntry._3)
+    Seq(cosineEntry, md5Entry).foreach { e =>
+      if (!reg.functionExists(e._1)) {
+        reg.registerFunction(e._1, e._2, e._3)
+      }
     }
   }
 }
