@@ -102,12 +102,28 @@ object TextAnalysis {
     * share most fingerprints even under edits (the property plain
     * whole-document hashing lacks).
     *
-    * Shape: position explode → substring+md5 lane (codegen'd) → windowed
-    * MIN per doc (reuses the doc-id partitioning) → distinct. Returns
-    * (id, fp) rows; hashes are md5-lane hex so the DuckDB oracle
-    * reproduces them exactly. */
+    * Shape: one row-local kernel call per document
+    * ([[graft.plans.GraftWinnow]] — O(n) boundary walk + monotonic-deque
+    * window min, no shuffle) → explode → distinct. Hashes are md5-lane
+    * hex so the DuckDB oracle reproduces them exactly; the declarative
+    * explode→substr→md5→window-MIN twin below is spec-pinned equal. */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"),
+        explode(call_function("graft_winnow", col("t"), lit(k), lit(w))).as("fp"))
+      .distinct()
+  }
+
+  /** The pure-relational formulation of [[winnowingFingerprints]] — kept
+    * as the kernel's semantic pin (WinnowingSpec asserts equality) and as
+    * documentation of the shape: the `substr(t, pos, k)` here re-counts
+    * code points from the string start per gram (O(n²) per document),
+    * which is why the kernel exists. */
+  def winnowingFingerprintsDeclarative(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     val base = df.select(col(idCol).as("id"), norm.as("t"))

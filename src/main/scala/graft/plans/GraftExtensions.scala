@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(GraftExtensions.md5Entry)
+    ext.injectFunction(GraftExtensions.winnowEntry)
   }
 }
 
@@ -37,12 +38,20 @@ object GraftExtensions {
       GraftMd5(children.head): Expression
     })
 
+  private[graft] val winnowEntry = (
+    new FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_winnow(text, k, w) takes three arguments")
+      GraftWinnow(children(0), children(1), children(2)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineEntry, md5Entry).foreach { e =>
+    Seq(cosineEntry, md5Entry, winnowEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprint kernel: all sliding-window minima of the k-gram
+  * md5 lanes of one document, in one pass (Schleimer/Wilkerson/Aiken's
+  * MOSS scheme — same semantics as the declarative
+  * explode→substr→md5→window-MIN pipeline it replaces, which the q64
+  * DuckDB oracle still checks end to end).
+  *
+  * Why a kernel (measured, sf0.1 documents): `substr(t, pos, k)` on
+  * UTF8String counts code points from the string START for every gram —
+  * O(pos) per call, O(n²) per document — and the window MIN costs a
+  * corpus-wide shuffle + per-doc sort. Stage timings: explode 0.26 s,
+  * +substr 1.40 s, +md5 1.66 s, +window 2.57 s. This expression walks
+  * char boundaries incrementally (one pass), hashes each gram's bytes
+  * directly (thread-local digest, first 4 md5 bytes = the 8-hex lane,
+  * packed into a long — lexicographic hex compare ≡ unsigned long
+  * compare), and slides the window with a monotonic deque, so the whole
+  * per-document computation is O(n) with no shuffle at all. Emits the
+  * minima array; `explode` + `distinct` stay declarative corpus-level
+  * operators.
+  */
+case class GraftWinnow(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("graft_winnow needs a string text argument")
+    else if (second.dataType != IntegerType || third.dataType != IntegerType ||
+      !second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winnow needs literal int k and w")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    GraftWinnow.minima(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, w) => s"graft.plans.GraftWinnow.minima($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GraftWinnow =
+    copy(first = f, second = s, third = t)
+}
+
+object GraftWinnow {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".getBytes
+
+  /** First 8 hex chars of md5(bytes[from, until)) packed into a long
+    * (big-endian ascii) — unsigned compare ≡ hex-string compare. */
+  private def gramHash(md: java.security.MessageDigest,
+                       bytes: Array[Byte], from: Int, until: Int): Long = {
+    md.reset()
+    md.update(bytes, from, until - from)
+    val raw = md.digest()
+    var packed = 0L
+    var i = 0
+    while (i < 4) {
+      packed = (packed << 8) | HEX((raw(i) >> 4) & 0xf)
+      packed = (packed << 8) | HEX(raw(i) & 0xf)
+      i += 1
+    }
+    packed
+  }
+
+  private def unpack(packed: Long): UTF8String = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) {
+      out(i) = ((packed >>> (8 * (7 - i))) & 0xff).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def minima(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = t.getBytes
+    // char-boundary byte offsets, one pass (UTF-8: continuation bytes
+    // are 10xxxxxx)
+    val offsets = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      offsets(nChars) = b
+      val c = bytes(b) & 0xff
+      b += (if (c < 0x80) 1 else if (c < 0xe0) 2 else if (c < 0xf0) 3 else 4)
+      nChars += 1
+    }
+    offsets(nChars) = bytes.length
+    val nGrams = nChars - k + 1
+    val nWindows = nGrams - w + 1
+    if (nGrams <= 0 || nWindows <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = gramHash(md, bytes, offsets(i), offsets(i + k))
+      i += 1
+    }
+    // sliding-window min via monotonic deque of indices
+    val out = new Array[Any](nWindows)
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // deque is [head, tail)
+    i = 0
+    while (i < nGrams) {
+      while (tail > head &&
+        java.lang.Long.compareUnsigned(hashes(deque(tail - 1)), hashes(i)) >= 0) {
+        tail -= 1
+      }
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - (w - 1)) = unpack(hashes(deque(head)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

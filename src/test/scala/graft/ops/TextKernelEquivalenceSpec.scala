@@ -45,6 +45,21 @@ class TextKernelEquivalenceSpec extends SparkSpec {
     assert(whole.distinct.length == 2)
   }
 
+  test("graft_winnow kernel equals the declarative explode/substr/window pipeline") {
+    val rnd = new scala.util.Random(5)
+    val cases = Seq(
+      "", "short", "exactly8", "exactly8c", // below/at/above k=8 chars
+      "abcdefghijk", // grams exist but fewer than w=4 windows
+      "née Müller über alles ϕϑ ω and some ascii tail to make grams",
+      "aaaaaaaaaaaaaaaaaaaaaa" // constant text: all gram hashes tie
+    ) ++ (1 to 40).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+      Seq("fox", "dog", "née", "42").apply(rnd.nextInt(4))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", 8, 4)
+    val declar = TextAnalysis.winnowingFingerprintsDeclarative(df, "doc_id", "text", 8, 4)
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("bpeishTokenCount splits letter/digit/punct runs like a pre-tokenizer") {
     val rows = Seq("abc123, def!", "  ", "a-b_c", "42").toDF("text")
       .select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect()
