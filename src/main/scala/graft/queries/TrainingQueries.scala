@@ -51,10 +51,36 @@ object TrainingQueries {
       .orderBy(col("lang"))
   }
 
+  // Train/eval contamination check: per eval-split doc, the fraction of
+  // its distinct 3-gram shingles that appear anywhere in the train split
+  // (the n-gram-containment test run before trusting a benchmark score).
+  // Deterministic split by doc_id mod; one semi-joinable LEFT join on the
+  // shingle string — at corpus scale the train side is a distinct shingle
+  // set that AQE sizes, or a bloom-filter broadcast if approximate
+  // containment suffices. Counts are integers; the ratio is one IEEE
+  // division (parity-safe).
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val sh = TextAnalysis.shingleRows(documents(s, d), "doc_id", "text", 3)
+      .filter(col("shingle").isNotNull)
+    val trainSh = sh.filter(col("id") % 10 =!= 0).select(col("shingle")).distinct()
+    val evalSh = sh.filter(col("id") % 10 === 0)
+      .select(col("id"), col("shingle")).distinct()
+    evalSh
+      .join(trainSh.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_stratified_sample" -> q61 _,
     "q62_sequence_packing" -> q62 _,
-    "q63_corpus_curation" -> q63 _
+    "q63_corpus_curation" -> q63 _,
+    "q71_contamination" -> q71 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +116,18 @@ object TrainingQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset " +
         "FROM (SELECT doc_id % 8 AS shard, doc_id, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
-        "FROM documents)) ORDER BY doc_id")
+        "FROM documents)) ORDER BY doc_id"),
+    "q71_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM t), " +
+        "train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0), " +
+        "ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 10 = 0) " +
+        "SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
+        "AS contamination " +
+        "FROM ev LEFT JOIN train ON train.s = ev.s " +
+        "GROUP BY ev.doc_id ORDER BY ev.doc_id")
   )
 }
