@@ -86,14 +86,27 @@ object Dedup {
     * unsigned value, so MIN over the strings is a valid minhash. Each md5
     * digest yields FOUR 32-bit lanes (8 hex chars each), so `numPerms`
     * permutations cost numPerms/4 + 1 md5 calls per shingle; 32-bit
-    * minhash is ample since candidates are exact-Jaccard-verified. Lanes
-    * stay STRINGS deliberately: benched against both alternatives (one
-    * md5 per permutation: +20%; conv(hex,16,10)→long lanes: +55% — conv
-    * costs more than the string MIN aggregate saves). Still ~2.5× the
-    * xxhash64 path — prefer [[minHashSignatures]] off the oracle path.
+    * minhash is ample since candidates are exact-Jaccard-verified.
+    * Computed by the one-pass [[graft.plans.GraftMinHash]] kernel —
+    * signatures are a per-document property, and the declarative
+    * explode→window-lead→MIN formulation (kept below as the spec-pinned
+    * twin) pays two corpus-wide shuffles for what a row-local pass
+    * computes in place. Still costlier than the xxhash64 path — prefer
+    * [[minHashSignatures]] off the oracle path.
     * Returns (id, sig array<string>). */
   def minHashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
-                                numPerms: Int, shingleN: Int): DataFrame = {
+                                numPerms: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("graft_minhash", normalized(col(textCol)),
+        lit(numPerms), lit(shingleN)).as("sig"))
+
+  /** The pure-relational formulation of [[minHashSignaturesPortable]] —
+    * the kernel's semantic pin (DedupSpec asserts equality). Lane-packing
+    * alternatives benched here historically: one md5 per permutation
+    * +20%; conv(hex,16,10)→long lanes +55%. */
+  def minHashSignaturesPortableDeclarative(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, shingleN: Int): DataFrame = {
     require(numPerms % 4 == 0, "numPerms must be a multiple of 4 (md5 lanes)")
     val exploded = TextAnalysis.shingleRows(
       df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),

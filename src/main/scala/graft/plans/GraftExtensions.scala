@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(GraftExtensions.md5Entry)
     ext.injectFunction(GraftExtensions.winnowEntry)
+    ext.injectFunction(GraftExtensions.minHashEntry)
   }
 }
 
@@ -46,12 +47,21 @@ object GraftExtensions {
       GraftWinnow(children(0), children(1), children(2)): Expression
     })
 
+  private[graft] val minHashEntry = (
+    new FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[GraftMinHash].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_minhash(normText, numPerms, n) takes three arguments")
+      GraftMinHash(children(0), children(1), children(2)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineEntry, md5Entry, winnowEntry).foreach { e =>
+    Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

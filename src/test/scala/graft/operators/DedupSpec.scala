@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     assert(short._2.forall(_ == Long.MaxValue)) // no shingles → sentinel slots
   }
 
+  test("graft_minhash kernel equals the declarative signature pipeline") {
+    val rnd = new scala.util.Random(9)
+    val words = Seq("fox", "dog", "née", "42", "the", "a", "über")
+    val cases = Seq(
+      "", "one", "one two", "one two three", // 0/1/2/3 tokens: sentinel edge
+      "  padded   whitespace  runs\tand tabs ", // normalization input
+      "née über ϕϑ mixed unicode tokens here okay",
+      "same same same same same" // identical shingles
+    ) ++ (1 to 40).map(_ =>
+      (1 to 3 + rnd.nextInt(25)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = graft.operators.Dedup
+      .minHashSignaturesPortable(df, "doc_id", "text", 32, 3)
+    val declar = graft.operators.Dedup
+      .minHashSignaturesPortableDeclarative(df, "doc_id", "text", 32, 3)
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("simHash: near-dups within small hamming distance, unrelated far") {
     val hashes = Dedup.simHashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
