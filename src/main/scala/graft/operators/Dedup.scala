@@ -222,9 +222,16 @@ object Dedup {
     * is the first 16 hex chars of md5(token) and the fingerprint is emitted
     * as a 16-char hex string — every step (md5, substring, per-nibble bit
     * votes) is computed identically by DuckDB, so this variant is
-    * oracle-verifiable. Same explode → 64 codegen'd SUM shape.
-    * Returns (id, simhash_hex). */
-  def simHashHexTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * oracle-verifiable. Computed by the one-pass [[graft.plans.GraftSimHash]]
+    * kernel (fingerprints are per-document; the declarative twin below is
+    * the spec pin). Returns (id, simhash_hex). */
+  def simHashHexTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("graft_simhash", normalized(col(textCol))).as("simhash_hex"))
+
+  /** The explode → conv-nibble → 64-SUM-votes formulation of
+    * [[simHashHexTable]] — the kernel's semantic pin (DedupSpec). */
+  def simHashHexTableDeclarative(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hexChars = array(("0123456789abcdef").map(c => lit(c.toString)): _*)
     val toks = TextAnalysis.tokens(normalized(col(textCol)))
     // per-row: 16 nibble values of the token's 64-bit hash prefix

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md5Entry)
     ext.injectFunction(GraftExtensions.winnowEntry)
     ext.injectFunction(GraftExtensions.minHashEntry)
+    ext.injectFunction(GraftExtensions.simHashEntry)
   }
 }
 
@@ -56,12 +57,20 @@ object GraftExtensions {
       GraftMinHash(children(0), children(1), children(2)): Expression
     })
 
+  private[graft] val simHashEntry = (
+    new FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[GraftSimHash].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_simhash(normText) takes one argument")
+      GraftSimHash(children.head): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry).foreach { e =>
+    Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -57,6 +57,18 @@ class DedupSpec extends SparkSpec {
     assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
   }
 
+  test("graft_simhash kernel equals the declarative vote pipeline") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("fox", "dog", "née", "42", "the", "a", "über")
+    val cases = Seq("", " ", "one", "  padded  runs ", "née über ϕϑ unicode") ++
+      (1 to 40).map(_ =>
+        (1 to 1 + rnd.nextInt(25)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = graft.operators.Dedup.simHashHexTable(df, "doc_id", "text")
+    val declar = graft.operators.Dedup.simHashHexTableDeclarative(df, "doc_id", "text")
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("simHash: near-dups within small hamming distance, unrelated far") {
     val hashes = Dedup.simHashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
