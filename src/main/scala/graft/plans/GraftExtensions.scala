@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowEntry)
     ext.injectFunction(GraftExtensions.minHashEntry)
     ext.injectFunction(GraftExtensions.simHashEntry)
+    ext.injectFunction(GraftExtensions.shingleCountEntry)
   }
 }
 
@@ -65,12 +66,21 @@ object GraftExtensions {
       GraftSimHash(children.head): Expression
     })
 
+  private[graft] val shingleCountEntry = (
+    new FunctionIdentifier("graft_shingle_count"),
+    new ExpressionInfo(classOf[GraftShingleCount].getName, "graft_shingle_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_shingle_count(text, n) takes two arguments")
+      GraftShingleCount(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry).foreach { e =>
+    Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
+      shingleCountEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

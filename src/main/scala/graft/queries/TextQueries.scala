@@ -87,15 +87,17 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
-  // Fingerprint + distinct 3-gram shingle count per doc (corpus-scale
-  // shingling via explode + window lead — see TextAnalysis.shingleRows).
+  // Fingerprint + distinct 3-gram shingle count per doc. Both are
+  // per-document properties, so ONE scan computes both row-locally
+  // (graft_shingle_count kernel; the previous shape shuffled every
+  // shingle of the corpus to countDistinct, then joined a second scan
+  // back for the fingerprint — two shuffles for zero cross-row data
+  // dependency).
   private def q34(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.shingleRows(documents(s, d), "doc_id", "text", 3)
-      .groupBy(col("id").as("doc_id"))
-      .agg(countDistinct(col("shingle")).as("n_shingles"))
-      .join(documents(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")), Seq("doc_id"))
-      .select(col("doc_id"), col("fp"), col("n_shingles"))
+    documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        call_function("graft_shingle_count", col("text"), lit(3)).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   // Winnowing fingerprints (MOSS rolling-hash scheme): per-doc distinct

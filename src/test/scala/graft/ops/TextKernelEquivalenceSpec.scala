@@ -60,6 +60,22 @@ class TextKernelEquivalenceSpec extends SparkSpec {
     assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
   }
 
+  test("graft_shingle_count equals the explode/countDistinct pipeline") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("fox", "dog", "née", "42", "the")
+    val cases = Seq("", " ", "  ", "one two", "one two three",
+      " leading space", "trailing space ", "tab\tand\nnewline seps here",
+      "dup dup dup dup dup") ++ (1 to 40).map(_ =>
+      (1 to rnd.nextInt(25)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+      call_function("graft_shingle_count", col("text"), lit(3)).as("n"))
+    val declar = TextAnalysis.shingleRows(df, "doc_id", "text", 3)
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n"))
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("bpeishTokenCount splits letter/digit/punct runs like a pre-tokenizer") {
     val rows = Seq("abc123, def!", "  ", "a-b_c", "42").toDF("text")
       .select(TextAnalysis.bpeishTokenCount($"text")).as[Int].collect()
