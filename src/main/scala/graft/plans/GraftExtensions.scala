@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minHashEntry)
     ext.injectFunction(GraftExtensions.simHashEntry)
     ext.injectFunction(GraftExtensions.shingleCountEntry)
+    ext.injectFunction(GraftExtensions.textMetricsEntry)
   }
 }
 
@@ -74,13 +75,21 @@ object GraftExtensions {
       GraftShingleCount(children(0), children(1)): Expression
     })
 
+  private[graft] val textMetricsEntry = (
+    new FunctionIdentifier("graft_text_metrics"),
+    new ExpressionInfo(classOf[GraftTextMetrics].getName, "graft_text_metrics"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_text_metrics(text) takes one argument")
+      GraftTextMetrics(children.head): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry).foreach { e =>
+      shingleCountEntry, textMetricsEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -29,18 +29,22 @@ object TextQueries {
   // Per-doc token metrics: exact whitespace count, X19 estimator, content
   // chars, mean token length.
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    // contentCharsOf: codegen'd regexp count, value-identical to the
-    // interpreted array fold (see TextAnalysis scaladoc)
+    // One code-point pass per doc (graft_text_metrics kernel) instead of
+    // three regex passes; the withColumn keeps the array computed once —
+    // CollapseProject refuses to inline a non-cheap expression referenced
+    // five times. Values pinned to the declarative column battery in
+    // TextKernelEquivalenceSpec; the DuckDB oracle is unchanged.
+    val m = col("__m")
     documents(s, d)
+      .withColumn("__m", call_function("graft_text_metrics", col("text")))
       .select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
-        TextAnalysis.contentCharsOf(col("text")).as("content_chars"),
-        (TextAnalysis.contentCharsOf(col("text")).cast("double") / size(toks))
+        element_at(m, 1).cast("int").as("n_tokens"),
+        greatest(lit(1L), floor(element_at(m, 4) / 4).cast("long")).as("est_tokens"),
+        element_at(m, 2).as("content_chars"),
+        (element_at(m, 2).cast("double") / element_at(m, 1).cast("int"))
           .as("mean_token_len"),
-        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        element_at(m, 3).cast("int").as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 

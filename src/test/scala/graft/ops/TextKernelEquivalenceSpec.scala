@@ -60,6 +60,28 @@ class TextKernelEquivalenceSpec extends SparkSpec {
     assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
   }
 
+  test("graft_text_metrics equals the declarative token/char/bpe columns") {
+    val rnd = new scala.util.Random(23)
+    val cases = Seq("", " ", "  ", "a", " a b ", "abc123, def!", "a-b_c", "42",
+      "née über ϕϑ 𝄞clef mixed", "tab\tsep\nnewline\rcr", "x" * 500) ++
+      (1 to 40).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        Seq("fox", "42", "a,b", "né!", "_")(rnd.nextInt(5))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = col("__m")
+    val kernel = df.withColumn("__m", call_function("graft_text_metrics", col("text")))
+      .select(col("doc_id"),
+        element_at(m, 1).cast("int").as("n_tokens"),
+        element_at(m, 2).as("content_chars"),
+        element_at(m, 3).cast("int").as("bpe_tokens"),
+        element_at(m, 4).cast("int").as("n_chars"))
+    val declar = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.contentCharsOf(col("text")).as("content_chars"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"),
+      length(col("text")).as("n_chars"))
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("graft_shingle_count equals the explode/countDistinct pipeline") {
     val rnd = new scala.util.Random(17)
     val words = Seq("fox", "dog", "née", "42", "the")
