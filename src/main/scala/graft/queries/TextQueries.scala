@@ -80,6 +80,22 @@ object TextQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  // Inverted index construction: token → sorted posting list (doc ids)
+  // + document frequency, for the 200 most frequent tokens. The posting
+  // list is THE at-scale lookup structure behind contamination checks
+  // and keyword attribution; building it is one explode + one shuffle on
+  // the token. Postings are sort_array'd so the layout is deterministic
+  // for the oracle (collect_list order is not).
+  private def q72(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(200)
+
   // Language-ID heuristic: profile-overlap argmax, rolled up by
   // (labeled lang, predicted profile).
   private def q33(s: SparkSession, d: String): DataFrame =
@@ -122,7 +138,8 @@ object TextQueries {
     "q33_langid_rollup" -> q33 _,
     "q34_fingerprint_shingles" -> q34 _,
     "q64_winnowing_fingerprints" -> q64 _,
-    "q70_source_quota" -> q70 _
+    "q70_source_quota" -> q70 _,
+    "q72_inverted_index" -> q72 _
   )
 
   private def inList(words: Seq[String]): String =
@@ -151,6 +168,12 @@ object TextQueries {
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS bpe_tokens " +
         "FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS l FROM documents) " +
         "ORDER BY doc_id"),
+    "q72_inverted_index" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token " +
+        "FROM documents) " +
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "list_sort(list(doc_id)) AS postings " +
+        "FROM tok GROUP BY token ORDER BY df DESC, token LIMIT 200"),
     "q70_source_quota" ->
       ("WITH q AS (SELECT doc_id, source, " +
         "(LEAST(CAST(len(l) AS DOUBLE) / 20.0, 1.0) + " +
