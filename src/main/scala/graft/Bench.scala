@@ -104,6 +104,33 @@ object Bench {
         "x_ann_ivf_index_query" -> ivfSamples(ivfSamples.size / 2))
     } catch { case _: Throwable => Seq() }
 
+    // Schema'd-ingestion demo: q21 pays a JSON parse per row per query;
+    // the warehouse answer is to parse ONCE at write time. x_json_build
+    // is that one-time cost; x_json_query is the same aggregate over the
+    // materialized column — the number a 100 TB deployment actually pays
+    // per query.
+    val jsonResults: Seq[(String, Double)] = if (only.isDefined) Seq() else try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val parsedPath = java.nio.file.Files
+        .createTempDirectory("graft-bench-ingest").toString + "/events_parsed"
+      val parsed = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("k", from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).getField("k"))
+        .drop("props")
+      val tBuild = time(parsed.write.mode("overwrite").parquet(parsedPath))
+      def q(): Unit = force(spark.read.parquet(parsedPath)
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .filter(col("n") > 0)
+        .orderBy(col("event_type")))
+      q()
+      val samples = Seq.fill(runs)(time(q())).sorted
+      Seq("x_json_ingest_build" -> tBuild,
+        "x_json_ingested_query" -> samples(samples.size / 2))
+    } catch { case _: Throwable => Seq() }
+
     // Data-dominated scale point: when the 10×-replicated dataset exists
     // (tools/gen_scaled_data.py), re-run the data-heavy query subset on it
     // as x10_* lines. These measure marginal (data-proportional) cost —
@@ -131,7 +158,7 @@ object Bench {
         }
       }
 
-    val qs = (results ++ annResults ++ scaledResults)
+    val qs = (results ++ annResults ++ jsonResults ++ scaledResults)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
