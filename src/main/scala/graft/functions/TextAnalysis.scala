@@ -109,11 +109,12 @@ object TextAnalysis {
     * explode→substr→md5→window-MIN twin below is spec-pinned equal. */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    // kernel output is already the per-document DISTINCT minima, so no
+    // corpus-wide distinct shuffle is needed after the explode
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     df.select(col(idCol).as("id"), norm.as("t"))
       .select(col("id"),
         explode(call_function("graft_winnow", col("t"), lit(k), lit(w))).as("fp"))
-      .distinct()
   }
 
   /** The pure-relational formulation of [[winnowingFingerprints]] — kept

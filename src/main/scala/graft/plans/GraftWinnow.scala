@@ -112,8 +112,12 @@ object GraftWinnow {
       hashes(i) = gramHash(md, bytes, offsets(i), offsets(i + k))
       i += 1
     }
-    // sliding-window min via monotonic deque of indices
-    val out = new Array[Any](nWindows)
+    // sliding-window min via monotonic deque of indices; adjacent
+    // windows mostly share their minimum, so dedupe HERE (first-
+    // occurrence order, deterministic) — the recorded fingerprints are
+    // the distinct minima, and emitting them pre-deduped removes the
+    // corpus-wide distinct shuffle downstream
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val deque = new Array[Int](nGrams)
     var head = 0
     var tail = 0 // deque is [head, tail)
@@ -126,9 +130,13 @@ object GraftWinnow {
       deque(tail) = i
       tail += 1
       if (deque(head) <= i - w) head += 1
-      if (i >= w - 1) out(i - (w - 1)) = unpack(hashes(deque(head)))
+      if (i >= w - 1) seen.add(hashes(deque(head)))
       i += 1
     }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = unpack(it.next()); i += 1 }
     new GenericArrayData(out)
   }
 }

@@ -72,9 +72,10 @@ object KernelProperties extends Properties("TextKernels") {
         java.security.MessageDigest.getInstance("MD5")
           .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       }
+      // kernel emits the DISTINCT minima in first-occurrence order
       val ref =
         if (hashes.length < w) Seq.empty[String]
-        else hashes.sliding(w).map(_.min).toSeq
+        else hashes.sliding(w).map(_.min).toSeq.distinct
       val got = {
         val a = GraftWinnow.minima(UTF8String.fromString(s), k, w)
         (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
