@@ -68,4 +68,26 @@ object StreamingSessions {
         org.apache.spark.sql.functions.window(col(tsCol), window, slide),
         col(keyCol))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-stream attribution join (q66's streaming counterpart): each
+    * purchase paired with the same user's clicks from the `lookback`
+    * window before it. The equi-key plus the two-sided time-range
+    * condition is what lets Structured Streaming BOUND the buffered
+    * state — clicks are evicted once the purchase-side watermark passes
+    * `click time + lookback`, so state holds one lookback horizon of
+    * clicks per active user, not the stream's history. Column names must
+    * be disjoint across the two sides (rename before calling). Emits ALL
+    * in-window pairs (append mode cannot retract); the batch
+    * [[graft.operators.AsOfJoin]] computes the exact latest-only match,
+    * and a per-micro-batch argmax over this output approximates it
+    * online. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      pUser: String, cUser: String, pTs: String, cTs: String,
+                      lookback: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame =
+    purchases.withWatermark(pTs, watermark)
+      .join(clicks.withWatermark(cTs, watermark),
+        col(pUser) === col(cUser) &&
+          col(cTs) >= col(pTs) - expr(s"interval $lookback") &&
+          col(cTs) <= col(pTs))
 }

@@ -70,4 +70,38 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"only the deterministic output sort may shuffle:\n$p")
   }
+
+  test("q66 as-of join: no join operator at all — union + one window shuffle") {
+    val p = plan("q66_asof_attribution")
+    // the whole point of the union+window formulation: the per-key cross
+    // product of a theta-join never exists in the plan
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q67 range join is an equi-join on (key, bin), never nested-loop") {
+    val p = plan("q67_range_join_activity")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must stay an equi-join:\n$p")
+    // the bound predicate is a post-join filter on an equi-join, so a
+    // hash/sort-merge join keyed on (user_id, __bin) must appear
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q34 per-doc metrics plan has no join and no pre-sort exchange") {
+    val p = plan("q34_fingerprint_shingles")
+    assert(!p.contains("Join"), s"one scan, no fingerprint re-join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"only the deterministic output sort may shuffle:\n$p")
+  }
+
+  test("q31 text metrics: kernel computed once, no regex expressions in plan") {
+    val p = plan("q31_token_metrics")
+    assert(p.linesIterator.count(_.contains("graft_text_metrics")) <= 1,
+      s"metrics array must be computed once, not per output column:\n$p")
+    assert(!p.contains("regexp_extract_all") && !p.contains("regexp_replace"),
+      s"regex passes should be gone:\n$p")
+  }
 }

@@ -36,6 +36,29 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(u1.map(_._3).sum == 7.0)
   }
 
+  test("attributionJoin: clicks in the lookback window match, outside do not") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamingSessions.attributionJoin(
+      purchases.toDF().toDF("p_ts", "p_user", "purchase_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      "p_user", "c_user", "p_ts", "c_ts",
+      lookback = "10 minutes", watermark = "5 minutes")
+      .select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    // user 1 purchase at 10:20; clicks at 10:12/10:18 (in window),
+    // 10:05 (too old), 10:25 (after purchase); user 2's click never joins
+    clicks.addData((ts(5), 1L, 100L), (ts(12), 1L, 101L),
+      (ts(18), 1L, 102L), (ts(25), 1L, 103L), (ts(15), 2L, 200L))
+    purchases.addData((ts(20), 1L, 900L))
+    q.processAllAvailable()
+    val out = spark.table("attribution").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out === Set((900L, 101L), (900L, 102L)), s"got $out")
+  }
+
   test("contentDedup: duplicates within the watermark horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
