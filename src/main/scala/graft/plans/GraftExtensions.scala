@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashEntry)
     ext.injectFunction(GraftExtensions.shingleCountEntry)
     ext.injectFunction(GraftExtensions.textMetricsEntry)
+    ext.injectFunction(GraftExtensions.shinglesEntry)
   }
 }
 
@@ -83,13 +84,21 @@ object GraftExtensions {
       GraftTextMetrics(children.head): Expression
     })
 
+  private[graft] val shinglesEntry = (
+    new FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_shingles(text, n) takes two arguments")
+      GraftShingles(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry).foreach { e =>
+      shingleCountEntry, textMetricsEntry, shinglesEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

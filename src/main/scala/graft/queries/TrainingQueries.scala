@@ -60,9 +60,10 @@ object TrainingQueries {
   // containment suffices. Counts are integers; the ratio is one IEEE
   // division (parity-safe).
   private def q71(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextAnalysis
-    val sh = TextAnalysis.shingleRows(documents(s, d), "doc_id", "text", 3)
-      .filter(col("shingle").isNotNull)
+    // shingle generation is row-local (graft_shingles array + explode) —
+    // no window-lead shuffle just to build the join keys
+    val sh = documents(s, d).select(col("doc_id").as("id"),
+      explode(call_function("graft_shingles", col("text"), lit(3))).as("shingle"))
     val trainSh = sh.filter(col("id") % 10 =!= 0).select(col("shingle")).distinct()
     val evalSh = sh.filter(col("id") % 10 === 0)
       .select(col("id"), col("shingle")).distinct()

@@ -82,6 +82,20 @@ class TextKernelEquivalenceSpec extends SparkSpec {
     assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
   }
 
+  test("explode(graft_shingles) equals the shingleRows window pipeline") {
+    val rnd = new scala.util.Random(29)
+    val words = Seq("fox", "dog", "née", "42", "the")
+    val cases = Seq("", " ", "one two", "one two three", " lead", "trail ",
+      "tab\tsep here now", "a b c d e") ++ (1 to 30).map(_ =>
+      (1 to rnd.nextInt(20)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id").as("id"),
+      explode(call_function("graft_shingles", col("text"), lit(3))).as("shingle"))
+    val declar = TextAnalysis.shingleRows(df, "doc_id", "text", 3)
+      .filter(col("shingle").isNotNull)
+    assert(kernel.exceptAll(declar).isEmpty && declar.exceptAll(kernel).isEmpty)
+  }
+
   test("graft_shingle_count equals the explode/countDistinct pipeline") {
     val rnd = new scala.util.Random(17)
     val words = Seq("fox", "dog", "née", "42", "the")
