@@ -84,15 +84,17 @@ object TextQueries {
   // + document frequency, for the 200 most frequent tokens. The posting
   // list is THE at-scale lookup structure behind contamination checks
   // and keyword attribution; building it is one explode + one shuffle on
-  // the token. Postings are sort_array'd so the layout is deterministic
-  // for the oracle (collect_list order is not).
+  // the token. Postings are sort_array'd (collect_list order is not
+  // deterministic) and emitted as a comma-joined string: the verify
+  // harness canonical-sorts result columns and an ARRAY column is not
+  // hashable there, so the deterministic scalar form is the contract.
   private def q72(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .distinct()
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
       .orderBy(col("df").desc, col("token"))
       .limit(200)
 
@@ -172,7 +174,7 @@ object TextQueries {
       ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token " +
         "FROM documents) " +
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
-        "list_sort(list(doc_id)) AS postings " +
+        "COALESCE(array_to_string(list_sort(list(doc_id)), ','), '') AS postings " +
         "FROM tok GROUP BY token ORDER BY df DESC, token LIMIT 200"),
     "q70_source_quota" ->
       ("WITH q AS (SELECT doc_id, source, " +
