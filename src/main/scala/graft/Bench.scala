@@ -9,11 +9,39 @@ import org.apache.spark.sql.SparkSession
   * Protocol (BASELINE.md): per query 1 warm-up + 3 timed runs, median
   * reported. Execution is forced through the noop sink so projections are
   * fully materialized (a bare count() lets Spark skip column evaluation).
+  *
+  * Self-diagnosis (round-3): a median alone cannot distinguish a noisy
+  * shared box from a real bimodal regression (spill, GC, cold page
+  * cache), so every run is recorded, not just the winner:
+  *   - "samples": ALL timed runs per query, in order;
+  *   - "gc_sec": JVM GC time attributed to each query's timed runs — a
+  *     50 s reading with 45 s of GC is a heap event, with 0 s it's the
+  *     box;
+  *   - "at_sec": wall-clock offset of each query's first timed run — two
+  *     adjacent outliers with a matching gap in the timeline are one
+  *     external stall;
+  *   - "floor"/"floor_post": the 1-row job floor measured before AND
+  *     after the suite — if the floor itself moved, the box moved.
   */
 object Bench {
 
   def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  private val gcBeans =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+
+  private def gcMillis: Long = {
+    var sum = 0L
+    val it = gcBeans.iterator()
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+    sum
+  }
+
+  /** One measured query: median of the timed runs plus the evidence. */
+  final case class Measure(
+      name: String, median: Double, samples: Seq[Double],
+      gcSec: Double, atSec: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,19 +74,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val suiteT0 = System.nanoTime()
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Warm-up once, time `runs` runs, keep every sample + GC delta. */
+    def measure(name: String, f: => Unit): Measure = {
+      val at = (System.nanoTime() - suiteT0) / 1e9
+      try {
+        f // warm-up (plan + IO cache)
+        val gc0 = gcMillis
+        val samples = Seq.fill(runs)(time(f))
+        val gcSec = (gcMillis - gc0) / 1e3
+        Measure(name, samples.sorted.apply(samples.size / 2), samples, gcSec, at)
+      } catch {
+        case _: Throwable => Measure(name, -1.0, Seq(), 0.0, at)
+      }
+    }
+
     // per-job floor: schedule+commit cost of a 1-row job through the same
     // noop sink — subtract from any query time to get its marginal cost
-    val floor = {
+    def measureFloor(): Double = {
       force(spark.range(1).toDF("x"))
       val fs = Seq.fill(3)(time(force(spark.range(1).toDF("x")))).sorted
       fs(1)
     }
+    val floor = measureFloor()
 
     // SPARK_GRAFT_BENCH_ONLY=q49_curation_patch,q38_minhash_lsh → time just
     // those (skips the ann/scaled extras); dev loop for single-query tuning
@@ -66,50 +111,50 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
-      .map { case (name, fn) =>
-      val t = try {
-        force(fn(spark, sfDir)) // warm-up (plan + IO cache)
-        val samples = Seq.fill(runs)(time(force(fn(spark, sfDir)))).sorted
-        samples(samples.size / 2) // median
-      } catch { case _: Throwable => -1.0 }
-      name -> t
-    }
+      .map { case (name, fn) => measure(name, force(fn(spark, sfDir))) }
+
     // persisted-ANN paths: index build timed once, indexed query timed like
-    // a normal query — shows the per-query saving vs q43/q59's recompute
-    val annResults: Seq[(String, Double)] = if (only.isDefined) Seq() else try {
+    // a normal query — shows the per-query saving vs q43/q59's recompute.
+    // A broken index path reports -1.0 sentinels (same convention as
+    // per-query failures), never silence.
+    val annResults: Seq[Measure] = if (only.isDefined) Seq() else try {
       import org.apache.spark.sql.functions.col
       import graft.operators.{IvfIndex, SimilaritySearch}
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val probe = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val corpus = emb.filter(col("vec_id") =!= 0)
+      val atLsh = (System.nanoTime() - suiteT0) / 1e9
       val tLshBuild = time(SimilaritySearch.buildLshIndex(
         corpus, "vec_id", "embedding", "bench_lsh_idx",
         numPlanes = 16, dim = probe.length))
-      def lshQ() = force(SimilaritySearch.annTopKIndexed(spark,
-        "bench_lsh_idx", "vec_id", "embedding", probe, k = 10,
-        numPlanes = 16, maxHamming = 6))
-      lshQ()
-      val lshSamples = Seq.fill(runs)(time(lshQ())).sorted
+      val mLsh = measure("x_ann_lsh_index_query",
+        force(SimilaritySearch.annTopKIndexed(spark,
+          "bench_lsh_idx", "vec_id", "embedding", probe, k = 10,
+          numPlanes = 16, maxHamming = 6)))
+      val atIvf = (System.nanoTime() - suiteT0) / 1e9
       val tIvfBuild = time(IvfIndex.build(
         corpus, "vec_id", "embedding", "bench_ivf_idx", numCells = 8))
-      def ivfQ() = force(IvfIndex.topKIndexed(spark, "bench_ivf_idx",
-        "vec_id", "embedding", probe, k = 10, nprobe = 2))
-      ivfQ()
-      val ivfSamples = Seq.fill(runs)(time(ivfQ())).sorted
+      val mIvf = measure("x_ann_ivf_index_query",
+        force(IvfIndex.topKIndexed(spark, "bench_ivf_idx",
+          "vec_id", "embedding", probe, k = 10, nprobe = 2)))
       Seq(
-        "x_ann_lsh_index_build" -> tLshBuild,
-        "x_ann_lsh_index_query" -> lshSamples(lshSamples.size / 2),
-        "x_ann_ivf_index_build" -> tIvfBuild,
-        "x_ann_ivf_index_query" -> ivfSamples(ivfSamples.size / 2))
-    } catch { case _: Throwable => Seq() }
+        Measure("x_ann_lsh_index_build", tLshBuild, Seq(tLshBuild), 0.0, atLsh),
+        mLsh,
+        Measure("x_ann_ivf_index_build", tIvfBuild, Seq(tIvfBuild), 0.0, atIvf),
+        mIvf)
+    } catch { case _: Throwable =>
+      Seq("x_ann_lsh_index_build", "x_ann_lsh_index_query",
+        "x_ann_ivf_index_build", "x_ann_ivf_index_query")
+        .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
+    }
 
     // Schema'd-ingestion demo: q21 pays a JSON parse per row per query;
     // the warehouse answer is to parse ONCE at write time. x_json_build
     // is that one-time cost; x_json_query is the same aggregate over the
     // materialized column — the number a 100 TB deployment actually pays
     // per query.
-    val jsonResults: Seq[(String, Double)] = if (only.isDefined) Seq() else try {
+    val jsonResults: Seq[Measure] = if (only.isDefined) Seq() else try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val parsedPath = java.nio.file.Files
@@ -118,18 +163,20 @@ object Bench {
         .withColumn("k", from_json(col("props"),
           StructType(Seq(StructField("k", LongType)))).getField("k"))
         .drop("props")
+      val atB = (System.nanoTime() - suiteT0) / 1e9
       val tBuild = time(parsed.write.mode("overwrite").parquet(parsedPath))
-      def q(): Unit = force(spark.read.parquet(parsedPath)
-        .groupBy(col("event_type"))
-        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .filter(col("n") > 0)
-        .orderBy(col("event_type")))
-      q()
-      val samples = Seq.fill(runs)(time(q())).sorted
-      Seq("x_json_ingest_build" -> tBuild,
-        "x_json_ingested_query" -> samples(samples.size / 2))
-    } catch { case _: Throwable => Seq() }
+      val m = measure("x_json_ingested_query",
+        force(spark.read.parquet(parsedPath)
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .filter(col("n") > 0)
+          .orderBy(col("event_type"))))
+      Seq(Measure("x_json_ingest_build", tBuild, Seq(tBuild), 0.0, atB), m)
+    } catch { case _: Throwable =>
+      Seq("x_json_ingest_build", "x_json_ingested_query")
+        .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
+    }
 
     // Data-dominated scale point: when the 10×-replicated dataset exists
     // (tools/gen_scaled_data.py), re-run the data-heavy query subset on it
@@ -145,24 +192,25 @@ object Bench {
       "q31_token_metrics", "q33_langid_rollup", "q34_fingerprint_shingles",
       "q40_cosine_scores", "q56_event_windows", "q57_sessionization",
       "q66_asof_attribution", "q67_range_join_activity")
-    val scaledResults: Seq[(String, Double)] =
+    val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>
-          val t = try {
-            force(fn(spark, scaledDir))
-            val samples = Seq.fill(runs)(time(force(fn(spark, scaledDir)))).sorted
-            samples(samples.size / 2)
-          } catch { case _: Throwable => -1.0 }
-          ("x10_" + n) -> t
+          measure("x10_" + n, force(fn(spark, scaledDir)))
         }
       }
 
-    val qs = (results ++ annResults ++ jsonResults ++ scaledResults)
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"queries":$qs,"sf":"$sfDir"}""")
+    val floorPost = measureFloor()
+
+    val all = results ++ annResults ++ jsonResults ++ scaledResults
+    def fmtMap(f: Measure => String): String =
+      all.map(m => "\"" + m.name + "\":" + f(m)).mkString("{", ",", "}")
+    val qs = fmtMap(_.median.toString)
+    val samples = fmtMap(_.samples.mkString("[", ",", "]"))
+    val gcs = fmtMap(m => f"${m.gcSec}%.3f")
+    val ats = fmtMap(m => f"${m.atSec}%.3f")
+    val total = results.map(_.median).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"queries":$qs,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * Contract: `right` must be unique per (keys, rightTime) — pre-aggregate
   * (e.g. argmax by a tie-break column) so the match is deterministic.
   * Key columns must share names across the two sides; left rows with no
-  * prior right row get a null payload (left-outer semantics). Skewed keys
+  * prior right row get a null payload (left-outer semantics). Null keys
+  * follow SQL join semantics: null-key right rows are dropped before the
+  * union (Window.partitionBy would otherwise group them with null-key
+  * left rows — a match SQL/DuckDB ASOF would never produce), so a
+  * null-key left row always gets a null payload. Skewed keys
   * serialize within their partition (the carry-forward is inherently
   * sequential per key); for a monster key, pre-split by coarse time range
   * and replicate the last right row of each range into the next.
@@ -51,6 +55,7 @@ object AsOfJoin {
       prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     val rightSel = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select((keys.map(col) :+ col(rightTime).as("__t") :+
         struct(payload.map(col): _*).as("__p")): _*)
       .withColumn("__side", lit(0))

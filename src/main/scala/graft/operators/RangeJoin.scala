@@ -41,11 +41,17 @@ object RangeJoin {
       timeCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // Empty/inverted intervals ([s, e) with e <= s) match nothing; without
+    // the guard, sequence(hi, lo) would emit a DESCENDING bin list — still
+    // filtered out by the exact-bound predicate, but each degenerate
+    // interval would fan out spurious candidate rows first.
     val binned = intervals.withColumn(
       "__bin",
-      explode(sequence(
-        expr(s"$startCol DIV $binWidth"),
-        expr(s"($endCol - 1) DIV $binWidth"))))
+      explode(when(col(endCol) > col(startCol),
+        sequence(
+          expr(s"$startCol DIV $binWidth"),
+          expr(s"($endCol - 1) DIV $binWidth")))
+        .otherwise(array())))
     val pts = points.withColumn("__bin", expr(s"$timeCol DIV $binWidth"))
     binned
       .join(pts, keys :+ "__bin")

@@ -75,10 +75,11 @@ object GraftMinHash {
   def signature(norm: UTF8String, numPerms: Int, n: Int): ArrayData = {
     require(numPerms % 4 == 0 && numPerms <= 40,
       "numPerms must be a multiple of 4, at most 40 (single-digit group prefixes)")
+    require(n >= 1, "shingle width n must be >= 1")
     val bytes = norm.getBytes
     // token starts: 0 and every byte after a space (normalized text has
-    // only single 0x20 separators)
-    var nTokens = if (bytes.length == 0) 1 else 1
+    // only single 0x20 separators); "" counts as one empty token
+    var nTokens = 1
     var b = 0
     while (b < bytes.length) { if (bytes(b) == ' ') nTokens += 1; b += 1 }
     val starts = new Array[Int](nTokens + 1)

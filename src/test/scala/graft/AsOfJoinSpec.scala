@@ -42,6 +42,19 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("null keys never match (SQL join semantics)") {
+    val l = Seq((1L, null.asInstanceOf[String], 100L), (2L, "a", 100L))
+      .toDF("id", "key", "t")
+    val r = Seq((null.asInstanceOf[String], 50L, "null@50"), ("a", 50L, "a@50"))
+      .toDF("key", "rt", "v")
+    val got = AsOfJoin.backward(l, r, Seq("key"), "t", "rt", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))))
+    // the null-key left row must NOT pick up the null-key right row
+    assert(got.toSeq === Seq((1L, None), (2L, Some("a@50"))))
+  }
+
   test("agrees with the naive theta-join + argmax on random data") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))

@@ -32,6 +32,26 @@ class RangeJoinSpec extends SparkSpec {
       ("i3", "p_other_key")))
   }
 
+  test("empty and inverted intervals match nothing and fan out no bins") {
+    val intervals = Seq(
+      ("a", 20L, 20L, "empty"),    // [20, 20) = ∅
+      ("a", 30L, 10L, "inverted"), // end < start
+      ("a", 10L, 12L, "ok")
+    ).toDF("key", "s", "e", "iid")
+    val points = Seq(("a", 11L, "p1"), ("a", 20L, "p2")).toDF("key", "t", "pid")
+
+    val got = RangeJoin
+      .intervalJoin(intervals, points, Seq("key"), "s", "e", "t", 10L)
+      .select("iid", "pid").as[(String, String)].collect().toSet
+    assert(got === Set(("ok", "p1")))
+
+    // degenerate intervals must not even reach the join as candidates
+    val binned = intervals.withColumn("__bin",
+      explode(when($"e" > $"s",
+        sequence(expr("s DIV 10"), expr("(e - 1) DIV 10"))).otherwise(array())))
+    assert(binned.filter($"iid" =!= "ok").count() === 0)
+  }
+
   test("agrees with the naive theta-join across bin widths") {
     val rnd = new scala.util.Random(7)
     val intervals = (1 to 120).map { i =>
