@@ -29,6 +29,39 @@ object Pipeline {
       .drop("__rn", "__src")
   }
 
+  /** S5 under schema drift (supabase_loader.py:194-228): the base table's
+    * schema is the contract. The reference retries a PGRST204 upsert with
+    * the unknown columns dropped, and a PostgREST upsert leaves columns
+    * absent from the payload untouched on conflicting rows — so here:
+    *   - update columns the base lacks are DROPPED;
+    *   - base columns the updates lack KEEP the existing row's value for
+    *     updated keys (null for brand-new keys);
+    *   - shared columns take the winner's value, including explicit nulls.
+    *
+    * Same single shuffle as [[upsert]]: the carry-forward window shares
+    * the merge window's partitioning, so Catalyst reuses the exchange.
+    */
+  def upsertEvolving(base: DataFrame, updates: DataFrame, key: String,
+                     version: String): DataFrame = {
+    val extras = updates.columns.filterNot(base.columns.contains)
+    val missing = base.columns
+      .filterNot(c => updates.columns.contains(c) || c == key || c == version)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).desc, col("__src").desc)
+    val carry = Window.partitionBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val merged = base.withColumn("__src", lit(0))
+      .unionByName(updates.drop(extras: _*).withColumn("__src", lit(1)),
+        allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+    missing.foldLeft(merged) { (df, c) =>
+      df.withColumn(c, coalesce(col(c),
+        first(when(col("__src") === 0, col(c)), ignoreNulls = true).over(carry)))
+    }
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** S8 — delete-by-predicate as an anti-rewrite. */
   def deleteWhere(table: DataFrame, predicate: Column): DataFrame =
     table.filter(!predicate || predicate.isNull)

@@ -18,6 +18,36 @@ class PipelineSpec extends SparkSpec {
     assert(tied._2 == "A")
   }
 
+  test("upsertEvolving: extra update columns dropped, missing columns keep base values") {
+    val base = Seq((1L, "a", "m1", 1), (2L, "b", "m2", 1))
+      .toDF("id", "v", "meta", "ver")
+
+    // drift 1: updates carry a column the base table doesn't have yet
+    val extra = Seq((2L, "B", "new-col", 2)).toDF("id", "v", "img_all", "ver")
+    val mergedExtra = Pipeline.upsertEvolving(base, extra, "id", "ver")
+    assert(mergedExtra.columns.toSeq == base.columns.toSeq) // img_all dropped
+    assert(mergedExtra.filter($"id" === 2).select("v").as[String].head() == "B")
+
+    // drift 2: updates miss a base column → updated key keeps the base
+    // value, brand-new key gets null
+    val missing = Seq((2L, "B2", 3), (9L, "new", 1)).toDF("id", "v", "ver")
+    val mergedMissing = Pipeline.upsertEvolving(base, missing, "id", "ver")
+      .orderBy("id").select("id", "v", "meta")
+      .as[(Long, String, Option[String])].collect()
+    assert(mergedMissing.toSeq == Seq(
+      (1L, "a", Some("m1")),
+      (2L, "B2", Some("m2")), // meta carried from the replaced base row
+      (9L, "new", None)))     // no prior row → null
+
+    // shared columns still take the winner's value — including both drifts
+    // at once, and latest-wins ordering is preserved
+    val both = Seq((1L, "A9", "x", 9), (1L, "A5", "y", 5))
+      .toDF("id", "v", "junk", "ver")
+    val winner = Pipeline.upsertEvolving(base, both, "id", "ver")
+      .filter($"id" === 1).select("v", "meta").as[(String, String)].head()
+    assert(winner == (("A9", "m1")))
+  }
+
   test("incrementalFilter: only unseen keys survive") {
     val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
     val seen = Seq(Tuple1(2L)).toDF("id")
