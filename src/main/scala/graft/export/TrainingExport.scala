@@ -145,4 +145,31 @@ object TrainingExport {
       .withColumn("est_cost_usd",
         col("est_tokens").cast("double") / 1e6 * CostPerMTokensGpt4o)
   }
+
+  /** A13 with the reference's per-category distribution
+    * (export_training_data.py:206-232): token estimate over each record's
+    * real JSONL line, rolled up per category with the GPT-4o cost
+    * arithmetic; a missing/empty category falls back to "unknown" exactly
+    * like the reference's `record.get("category") or "unknown"`. */
+  def exportStatsByCategory(records: DataFrame, systemPrompt: String): DataFrame = {
+    import records.sparkSession.implicits._
+    records.select(
+      col("corrected_tags").cast("string"),
+      col("product_name").cast("string"),
+      col("category").cast("string"),
+      col("description").cast("string"),
+      col("brand_name").cast("string"))
+      .as[(String, String, String, String, String)]
+      .map { case (tags, name, cat, desc, brand) =>
+        val line = buildExampleJson(systemPrompt, Option(tags).getOrElse("{}"),
+          Option(name), Option(cat), Option(desc), Option(brand))
+        (Option(cat).filter(_.nonEmpty).getOrElse("unknown"), estimateTokens(line))
+      }
+      .toDF("category", "tokens")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_examples"), sum("tokens").as("est_tokens"))
+      .withColumn("est_cost_usd",
+        col("est_tokens").cast("double") / 1e6 * CostPerMTokensGpt4o)
+      .orderBy(col("category"))
+  }
 }

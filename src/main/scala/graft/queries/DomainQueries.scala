@@ -124,10 +124,32 @@ object DomainQueries {
       .orderBy(col("product_id"))
   }
 
+  private val ExportSystemPrompt = "You are a fashion product tagging assistant."
+
+  // A13: the full export-stats rollup (token estimate over the REAL JSONL
+  // line built by TrainingExport.buildExampleJson, per-category counts,
+  // GPT-4o cost arithmetic — export_training_data.py:206-232). The oracle
+  // below reconstructs each three-message JSONL line character-exactly in
+  // DuckDB (to_json escaping ≡ json4s JString rendering on this ASCII
+  // input; Jackson pretty-print ≡ the literal " : "-separated template),
+  // so the byte length — and hence estimate_tokens — matches exactly.
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val cat = element_at(array(lit("bottom"), lit("top"), lit("footwear")),
+      (pmod(col("p_partkey"), lit(3)) + 1).cast("int"))
+    val records = part(s, d).select(
+      cat.as("category"),
+      col("p_name").as("product_name"),
+      col("p_type").as("description"),
+      col("p_brand").as("brand_name"),
+      format_string("""{"category": "%s", "fit": "slim"}""", cat).as("corrected_tags"))
+    graft.export.TrainingExport.exportStatsByCategory(records, ExportSystemPrompt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_pipeline" -> q44 _,
     "q45_variant_representatives" -> q45 _,
-    "q49_curation_patch" -> q49 _
+    "q49_curation_patch" -> q49 _,
+    "q73_export_cost_stats" -> q73 _
   )
 
   /** Generated oracle for q44: the synthetic response per part is fully
@@ -191,8 +213,46 @@ object DomainQueries {
        |FROM r GROUP BY category, curation_status ORDER BY category, curation_status""".stripMargin
   }
 
+  /** q73 oracle: rebuild each JSONL line character-exactly (DuckDB
+    * `to_json` string escaping ≡ json4s JString; Jackson default pretty ≡
+    * the 2-space " : " template on this flat object), then the reference's
+    * max(1, len/4) token estimate and cost arithmetic per category. */
+  private def exportCostOracle: String =
+    s"""WITH rec AS (
+       |  SELECT CASE p_partkey%3 WHEN 0 THEN 'bottom' WHEN 1 THEN 'top'
+       |              ELSE 'footwear' END AS category,
+       |         p_name, p_type, p_brand
+       |  FROM part),
+       |lines AS (
+       |  SELECT category,
+       |    '{"messages":[{"role":"system","content":' ||
+       |    CAST(to_json('$ExportSystemPrompt') AS VARCHAR) ||
+       |    '},{"role":"user","content":' ||
+       |    CAST(to_json('{' || chr(10) ||
+       |      '  "title": ' || CAST(to_json(p_name) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "category": ' || CAST(to_json(category) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "description": ' || CAST(to_json(p_type) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "brand": ' || CAST(to_json(p_brand) AS VARCHAR) || chr(10) ||
+       |      '}') AS VARCHAR) ||
+       |    '},{"role":"assistant","content":' ||
+       |    CAST(to_json('{' || chr(10) ||
+       |      '  "category" : ' || CAST(to_json(category) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "fit" : "slim"' || chr(10) ||
+       |      '}') AS VARCHAR) ||
+       |    '}]}' AS line
+       |  FROM rec)
+       |SELECT category,
+       |  COUNT(*) AS n_examples,
+       |  CAST(SUM(GREATEST(1, length(line) // 4)) AS BIGINT) AS est_tokens,
+       |  CAST(CAST(SUM(GREATEST(1, length(line) // 4)) AS BIGINT) AS DOUBLE)
+       |    / 1000000.0 * 25.0 AS est_cost_usd
+       |FROM lines
+       |GROUP BY category
+       |ORDER BY category""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q44_tag_pipeline" -> tagPipelineOracle,
+    "q73_export_cost_stats" -> exportCostOracle,
     "q49_curation_patch" ->
       ("SELECT CAST(p_partkey AS VARCHAR) AS product_id, " +
         "'extra' AS remaining_tag, t AS deleted_value, 'slim' AS fit, " +

@@ -63,6 +63,29 @@ class TrainingExportSpec extends SparkSpec {
     assert(stats._1 == 2 && stats._2 > 100)
   }
 
+  test("per-category export stats: token math + unknown fallback (A13)") {
+    val records = Seq(
+      (correctedTags, "Cargo Pants", "bottom", "desc", "Zara"),
+      (correctedTags, "Chinos", "bottom", "desc", "Zara"),
+      ("""{"fit": "slim"}""", "Mystery Item", null, "", ""))
+      .toDF("corrected_tags", "product_name", "category", "description", "brand_name")
+    val stats = TrainingExport.exportStatsByCategory(records, "SYSTEM")
+      .as[(String, Long, Long, Double)].collect()
+    assert(stats.map(_._1).toSeq == Seq("bottom", "unknown"))
+    val bottom = stats(0)
+    assert(bottom._2 == 2)
+    // tokens = Σ max(1, len/4) over the real JSONL lines
+    val expected = Seq(("Cargo Pants", "bottom", "desc", "Zara", correctedTags),
+      ("Chinos", "bottom", "desc", "Zara", correctedTags))
+      .map { case (n, c, d, b, t) =>
+        TrainingExport.estimateTokens(
+          TrainingExport.buildExampleJson("SYSTEM", t, Some(n), Some(c), Some(d), Some(b)))
+      }.sum
+    assert(bottom._3 == expected)
+    assert(bottom._4 == expected.toDouble / 1e6 * TrainingExport.CostPerMTokensGpt4o)
+    assert(stats(1)._2 == 1)
+  }
+
   test("validation failures (validate_training_data.py:40-126)") {
     def check(line: String): Seq[String] =
       TrainingValidate.validateExample(line, 1).errors
