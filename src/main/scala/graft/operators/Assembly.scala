@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T5 assembly — "Outfits are assembled by combining exactly one item per
+  * enabled slot … No duplicate products within an outfit"
+  * (reference docs/Generator Execution & Scoring Model - RF (1.15.2026).md:198-214).
+  *
+  * Greedy, deterministic: slots are processed in ascending slot order (for
+  * the reference's named slots that IS priority order); each slot takes its
+  * best-scoring product not already used by an earlier slot, ties broken by
+  * ascending product id. A slot whose whole pool is already consumed is
+  * left unfilled (the reference discards incoherent assemblies rather than
+  * duplicating an item).
+  *
+  * Scale shape: only the top-S candidates per slot (S = #slots) can ever be
+  * picked — at most S-1 products are consumed by the other slots — so the
+  * catalog-sized input is reduced by one per-slot window to ≤ S² rows, and
+  * the inherently sequential greedy walk runs on that bounded set
+  * driver-side (same sanctioned pattern as the k-row IVF centroid seed).
+  */
+object Assembly {
+
+  /** One row per filled slot: (slotCol, productCol, scoreCol), best-score
+    * greedy assignment with no product reuse across slots. */
+  def assembleDistinct(candidates: DataFrame, slotCol: String,
+                       productCol: String, scoreCol: String): DataFrame = {
+    val spark = candidates.sparkSession
+    // A product listed twice within a slot is one candidate at its best score.
+    val best = candidates.groupBy(col(slotCol), col(productCol))
+      .agg(max(col(scoreCol)).as(scoreCol))
+    val nSlots = best.select(col(slotCol)).distinct().count().toInt
+    if (nSlots == 0) return best
+    val w = Window.partitionBy(col(slotCol))
+      .orderBy(col(scoreCol).desc, col(productCol))
+    val topS = best
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nSlots)
+      .orderBy(col(slotCol), col("__rk"))
+      .drop("__rk")
+      .collect() // bounded: ≤ S² rows
+
+    val used = scala.collection.mutable.Set.empty[Any]
+    val filled = scala.collection.mutable.Set.empty[Any]
+    val picks = new java.util.ArrayList[Row]()
+    topS.foreach { r =>
+      val slot = r.get(0)
+      val product = r.get(1)
+      if (!filled.contains(slot) && !used.contains(product)) {
+        filled += slot
+        used += product
+        picks.add(r)
+      }
+    }
+    spark.createDataFrame(picks, best.schema)
+  }
+}

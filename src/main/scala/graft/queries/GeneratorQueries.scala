@@ -46,14 +46,17 @@ object GeneratorQueries {
       .orderBy(col("slot"), col("rk"))
   }
 
-  // Assembly: one product per slot (rank-1), outfit score = Σ slot scores.
+  // Assembly: exactly one product per slot with NO duplicate product across
+  // slots (generator doc §6) — greedy in slot/priority order via
+  // Assembly.assembleDistinct. The product identity is the customer
+  // (o_custkey), which unlike o_orderkey CAN top several slots, so the
+  // cross-slot exclusion is actually exercised. Outfit score = Σ slot scores.
   private def q47(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("score_e6").desc, col("o_orderkey"))
-    scoredCandidates(s, d)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("o_orderpriority").as("slot"), col("o_orderkey"), col("score_e6"))
+    val cands = scoredCandidates(s, d).select(
+      col("o_orderpriority").as("slot"),
+      col("o_custkey").as("product_id"),
+      col("score_e6"))
+    graft.operators.Assembly.assembleDistinct(cands, "slot", "product_id", "score_e6")
       .withColumn("outfit_score_e6", sum(col("score_e6")).over(Window.partitionBy()))
       .orderBy(col("slot"))
   }
@@ -99,14 +102,42 @@ object GeneratorQueries {
       "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
       "ORDER BY score_e6 DESC, o_orderkey) AS rk FROM scored) "
 
+  /** q47 oracle: the greedy walk unrolled per slot — the 5 order
+    * priorities ARE the slot set, processed in ascending (= priority)
+    * order, each excluding every earlier slot's pick. */
+  private def outfitAssemblyOracle: String = {
+    val slots = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val base =
+      "WITH scored AS (SELECT o_orderpriority AS slot, o_custkey AS product_id, " +
+        "CAST(FLOOR((o_totalprice / 600000.0 * 0.5 + " +
+        "1.0 / (1.0 + CAST(datediff('day', o_orderdate, DATE '2002-01-01') AS DOUBLE) / 365.0) * 0.3 + " +
+        "CAST(6 - (CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 " +
+        "WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END) AS DOUBLE) / 5.0 * 0.2" +
+        ") * 1e6) AS BIGINT) AS score_e6 " +
+        "FROM orders WHERE o_orderstatus <> 'F'), " +
+        "best AS (SELECT slot, product_id, MAX(score_e6) AS score_e6 " +
+        "FROM scored GROUP BY slot, product_id)"
+    val stepCtes = slots.zipWithIndex.map { case (slot, i) =>
+      val exclusions =
+        if (i == 0) ""
+        else " AND product_id NOT IN (" +
+          (0 until i).map(j => s"SELECT product_id FROM s$j").mkString(" UNION ") + ")"
+      s", s$i AS (SELECT slot, product_id, score_e6 FROM best " +
+        s"WHERE slot = '$slot'$exclusions ORDER BY score_e6 DESC, product_id LIMIT 1)"
+    }.mkString
+    val unionAll = slots.indices.map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    base + stepCtes +
+      s", picks AS ($unionAll) " +
+      "SELECT slot, product_id, score_e6, " +
+      "CAST(SUM(score_e6) OVER () AS BIGINT) AS outfit_score_e6 " +
+      "FROM picks ORDER BY slot"
+  }
+
   val oracle: Map[String, String] = Map(
     "q46_generator_pools" ->
       (scoredCte + "SELECT o_orderpriority AS slot, rk, o_orderkey, score_e6 " +
         "FROM ranked WHERE rk <= 2 ORDER BY slot, rk"),
-    "q47_outfit_assembly" ->
-      (scoredCte + "SELECT o_orderpriority AS slot, o_orderkey, score_e6, " +
-        "CAST(SUM(score_e6) OVER () AS BIGINT) AS outfit_score_e6 " +
-        "FROM ranked WHERE rk = 1 ORDER BY slot"),
+    "q47_outfit_assembly" -> outfitAssemblyOracle,
     "q48_multimodal_stats" ->
       ("SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
         "CAST(SUM(n_frames) AS BIGINT) AS total_frames FROM " +
