@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, batched
   * decode/feature-extract/frame-sample operators.
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS ARE
-  * DETERMINISTIC STUBS (clearly marked below) — what is real and tested is
-  * the Spark-side design: schema convention, `mapPartitions` batch shape
-  * (one kernel invocation per partition, the same shape a native/Python
-  * batch decoder needs), partition sizing, and downstream aggregation.
+  * The decode step is a REAL header decode (MediaCodec): assets are genuine
+  * PNG chunk streams / WAV RIFF chunks / MP4 box trees, and the kernel
+  * walks the container structure (verifying PNG CRC-32s) to recover
+  * dimensions, channel counts, sample rates, and the payload region. Only
+  * deep payload decode (pixel/sample data — the part that genuinely needs
+  * a codec library) stays out of scope; the payload bytes are opaque text
+  * standins, which keeps every downstream byte/frame/hash observable by
+  * the DuckDB oracle.
   */
 object Multimodal {
 
-  /** Typed asset row: binary payload + metadata. */
+  /** Typed asset row: binary container + metadata. `n_bytes` is the media
+    * payload size (what the decoder must also find inside the container). */
   final case class Asset(
       asset_id: Long,
       kind: String, // image | audio | video
@@ -23,44 +27,58 @@ object Multimodal {
       n_bytes: Long,
       bytes: Array[Byte])
 
+  /** Header-decoded features. Zero-valued fields are format-inapplicable
+    * (e.g. sample_rate for images); `decode_ok=false` marks a container
+    * that failed structural/CRC validation. */
   final case class AssetFeatures(
       asset_id: Long,
       kind: String,
-      n_bytes: Long,
-      // 16-dim byte-histogram feature vector (STUB for a real embedding)
-      features: Array[Float],
+      decode_ok: Boolean,
+      n_bytes: Long, // payload bytes as located by the parser
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, bits_per_sample: Int,
       n_frames: Int)
 
-  /** Build an asset table from any (id, text) source — the text bytes stand
-    * in for an undecodable media payload. */
+  /** Build an asset table from any (id, text) source: the text bytes become
+    * the media payload inside a structurally genuine container, with
+    * id-derived dimensions/channels/rates (so the oracle can re-derive what
+    * the decoder must parse back out). */
   def assetsFromText(df: DataFrame, idCol: String, textCol: String): Dataset[Asset] = {
     import df.sparkSession.implicits._
-    df.select(
-      col(idCol).cast("long").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
-      element_at(array(lit("image/jpeg"), lit("audio/wav"), lit("video/mp4")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("mime"),
-      length(col(textCol)).cast("long").as("n_bytes"),
-      encode(col(textCol), "UTF-8").as("bytes")).as[Asset]
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (((id % 3) + 3) % 3) match {
+          case 0 =>
+            val w = 16 + (id % 500).toInt
+            val h = 16 + (id % 300).toInt
+            val colorType = if (id % 2 == 0) 2 else 6 // RGB | RGBA
+            Asset(id, "image", "image/png", payload.length.toLong,
+              MediaCodec.buildPng(w, h, colorType, payload))
+          case 1 =>
+            val ch = 1 + (id % 2).toInt
+            val rate = 8000 * (1 + (id % 5).toInt)
+            Asset(id, "audio", "audio/wav", payload.length.toLong,
+              MediaCodec.buildWav(ch, rate, 16, payload))
+          case _ =>
+            val w = 320 + (id % 4).toInt * 160
+            val h = 240 + (id % 4).toInt * 120
+            Asset(id, "video", "video/mp4", payload.length.toLong,
+              MediaCodec.buildMp4(w, h, payload))
+        }
+      }
   }
 
-  /** ======== STUB ========
-    * Deterministic fake "decode + feature extract": a 16-bin byte histogram
-    * normalized to [0,1]. A real deployment swaps ONLY this kernel for a
-    * codec call (JNI/native or `mapInPandas` + PIL/torchaudio on PySpark);
-    * the batching, schema, and partitioning stay as-is. */
+  /** The real header decode: container walk + CRC validation per asset.
+    * Frame count for video is payload-chunk-based (a real deployment reads
+    * the stts sample table instead — same shape, one box deeper). */
   private def decodeKernel(assets: Iterator[Asset]): Iterator[AssetFeatures] =
     assets.map { a =>
-      val hist = new Array[Float](16)
-      var i = 0
-      while (i < a.bytes.length) { hist((a.bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-      val total = math.max(1f, a.bytes.length.toFloat)
-      var b = 0
-      while (b < 16) { hist(b) /= total; b += 1 }
-      // "frame sample": one frame per 64-byte chunk for video, else 1
-      val frames = if (a.kind == "video") math.max(1, a.bytes.length / 64) else 1
-      AssetFeatures(a.asset_id, a.kind, a.n_bytes, hist, frames)
+      val d = MediaCodec.decode(a.bytes)
+      val frames = if (d.format == "mp4") math.max(1, d.payloadLen / 64) else 1
+      AssetFeatures(a.asset_id, a.kind, d.ok, d.payloadLen.toLong,
+        d.width, d.height, d.channels, d.sampleRate, d.bitsPerSample, frames)
     }
 
   /** Batched decode over partitions — the production shape: the kernel sees
@@ -71,48 +89,52 @@ object Multimodal {
     assets.mapPartitions(decodeKernel)
   }
 
-  /** One sampled frame: index, byte offset, content hash. */
+  /** One sampled frame: index, payload-relative byte offset, content hash. */
   final case class FrameSample(
       asset_id: Long, frame_idx: Int, offset: Long, frame_md5: String)
 
-  /** Frame sampling over video assets: frames are fixed-size byte chunks
-    * (`frameBytes`; assets shorter than one chunk yield a single partial
-    * frame), of which every `stride`-th is emitted with its md5. The
-    * chunking here is the STUB for a codec's keyframe index — a real
-    * deployment swaps the slicing for container parsing; the batched
-    * per-partition shape (digest instance initialized once per partition,
-    * like a codec would be) and the output schema stay.
-    *
-    * Emitted hashes are plain md5 of the frame bytes, so the oracle
-    * reconstructs them with substr+md5 (asset payloads are ASCII text
-    * standins). */
+  /** Frame sampling over video assets: the parser locates the mdat payload
+    * inside the MP4 box tree, frames are fixed-size chunks of that payload
+    * (`frameBytes`; shorter assets yield one partial frame), and every
+    * `stride`-th frame is emitted with its md5. Chunk indexing stands in
+    * for a codec's keyframe index; the batched per-partition shape (digest
+    * initialized once per partition, like a codec would be) and the output
+    * schema are the production design. Offsets are payload-relative, so
+    * the oracle reconstructs every hash with substr+md5 over the text. */
   def sampleFrames(assets: Dataset[Asset], frameBytes: Int = 64,
                    stride: Int = 4): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.filter(_.kind == "video").flatMap { a =>
-        val nFrames = math.max(1, a.bytes.length / frameBytes)
-        (0 until nFrames by stride).iterator.map { i =>
-          val start = i * frameBytes
-          val end = math.min(start + frameBytes, a.bytes.length)
-          md.reset()
-          val hex = md.digest(java.util.Arrays.copyOfRange(a.bytes, start, end))
-            .map("%02x".format(_)).mkString
-          FrameSample(a.asset_id, i, start.toLong, hex)
+      it.flatMap { a =>
+        val d = MediaCodec.decode(a.bytes)
+        if (!d.ok || d.format != "mp4") Iterator.empty
+        else {
+          val nFrames = math.max(1, d.payloadLen / frameBytes)
+          (0 until nFrames by stride).iterator.map { i =>
+            val start = d.payloadOffset + i * frameBytes
+            val end = math.min(start + frameBytes, d.payloadOffset + d.payloadLen)
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(a.bytes, start, end))
+              .map("%02x".format(_)).mkString
+            FrameSample(a.asset_id, i, (i * frameBytes).toLong, hex)
+          }
         }
       }
     }
   }
 
-  /** Per-kind rollup over extracted features (exact integer/decimal
-    * arithmetic for deterministic output). */
+  /** Per-kind rollup over decoded features — every aggregate derives from
+    * values the parser read back out of container headers. */
   def featureStats(features: Dataset[AssetFeatures]): DataFrame =
     features.toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        sum(col("n_frames").cast("long")).as("total_frames"))
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum((col("width") * col("height")).cast("long")).as("total_pixels"),
+        sum(col("channels").cast("long")).as("total_channels"),
+        max(col("sample_rate")).as("max_sample_rate"))
       .orderBy(col("kind"))
 }

@@ -138,13 +138,26 @@ object GeneratorQueries {
       (scoredCte + "SELECT o_orderpriority AS slot, rk, o_orderkey, score_e6 " +
         "FROM ranked WHERE rk <= 2 ORDER BY slot, rk"),
     "q47_outfit_assembly" -> outfitAssemblyOracle,
+    // The decoder must parse back out of the container headers exactly what
+    // the id-derived builder put in — the oracle re-derives those values
+    // from doc_id, so a parser that misreads any header field hash-fails.
     "q48_multimodal_stats" ->
       ("SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
-        "CAST(SUM(n_frames) AS BIGINT) AS total_frames FROM " +
+        "CAST(SUM(n_frames) AS BIGINT) AS total_frames, " +
+        "CAST(SUM(pixels) AS BIGINT) AS total_pixels, " +
+        "CAST(SUM(channels) AS BIGINT) AS total_channels, " +
+        "CAST(MAX(sample_rate) AS INT) AS max_sample_rate FROM " +
         "(SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, CAST(LENGTH(text) AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 3 = 2 THEN GREATEST(1, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT)) " +
-        "ELSE 1 END AS n_frames FROM documents) GROUP BY kind ORDER BY kind"),
+        "ELSE 1 END AS n_frames, " +
+        "CASE WHEN doc_id % 3 = 0 THEN (16 + doc_id % 500) * (16 + doc_id % 300) " +
+        "WHEN doc_id % 3 = 2 THEN (320 + (doc_id % 4) * 160) * (240 + (doc_id % 4) * 120) " +
+        "ELSE 0 END AS pixels, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 2 " +
+        "WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 0 END AS channels, " +
+        "CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) ELSE 0 END AS sample_rate " +
+        "FROM documents) GROUP BY kind ORDER BY kind"),
     "q65_frame_sampling" ->
       ("WITH v AS (SELECT doc_id AS asset_id, text, " +
         "GREATEST(1, CAST(FLOOR(LENGTH(text) / 64) AS BIGINT)) AS n_frames " +
