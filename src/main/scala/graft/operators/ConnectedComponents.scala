@@ -9,28 +9,30 @@ import org.apache.spark.sql.functions._
   * a dedup pass over a 100 TB corpus actually keeps: one doc per
   * component, not one doc per pair.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with its
-  * own id; each round every node takes the minimum label in its 1-hop
-  * neighborhood; at the fixpoint every component is labeled by its
-  * minimum id. A
-  * round is one shuffle join (neighbor labels) + one aggregation, so k
-  * rounds cost k·2 shuffles of |V|+|E| rows — no per-component data
-  * concentration, so a giant component cannot hot-spot a partition the
-  * way a groupBy-component would. Rounds needed = graph diameter, which
-  * for near-dup clusters (cliques-with-bridges around a base document)
-  * is small; for adversarial long-chain graphs switch to the
-  * small-star/large-star alternation of Kiveris et al., "Connected
-  * Components in MapReduce and Beyond" (SoCC'14), which converges in
-  * O(log²) rounds with the same per-round shape.
+  * Two algorithms, one contract (component = min node id):
+  *
+  * - `minLabel`: label propagation. Rounds needed = graph diameter — the
+  *   right default for near-dup graphs (cliques-with-bridges, tiny
+  *   diameter), one shuffle join + one aggregation of |V|+|E| rows per
+  *   round, no per-component data concentration.
+  * - `alternatingStar`: the large-star/small-star alternation of Kiveris
+  *   et al., "Connected Components in MapReduce and Beyond" (SoCC'14) —
+  *   converges in O(log² n) rounds INDEPENDENT of diameter, same
+  *   per-round shuffle shape, for adversarial long-chain graphs.
+  * - `auto`: minLabel within a diameter budget, falling back to
+  *   alternatingStar (with a warning) if the budget is exhausted — no
+  *   silently-wrong labels either way.
   *
   * Iteration mechanics (the standard Spark pattern, same as GraphFrames
-  * CC): each round `localCheckpoint`s the label table to truncate the
-  * exponentially-growing lineage, and the convergence test (`changed ==
-  * 0`) is a driver-side count — a sanctioned mid-query action because the
+  * CC): each round `localCheckpoint`s its state to truncate the
+  * exponentially-growing lineage, and the convergence test is a
+  * driver-side emptiness check — a sanctioned mid-query action because the
   * iteration count is data-dependent; everything inside a round is a
   * declarative plan Catalyst optimizes normally.
   */
 object ConnectedComponents {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** @param edges undirected edges as columns `src`, `dst` (any long ids)
     * @param nodes node universe as column `id` (isolated nodes become
@@ -38,6 +40,28 @@ object ConnectedComponents {
     * @return one row per node: (id, component) with component = min node
     *         id reachable from `id` */
   def minLabel(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
+    val (labels, converged, rounds) = minLabelImpl(edges, nodes, maxIter)
+    if (!converged)
+      log.warn(s"minLabel did NOT converge in $rounds rounds — labels may " +
+        "span split components; use auto() or alternatingStar() for " +
+        "high-diameter graphs")
+    labels
+  }
+
+  /** minLabel, falling back to the diameter-independent alternation when
+    * the diameter budget is exhausted (e.g. an adversarial chain graph). */
+  def auto(edges: DataFrame, nodes: DataFrame, diameterBudget: Int = 15): DataFrame = {
+    val (labels, converged, rounds) = minLabelImpl(edges, nodes, diameterBudget)
+    if (converged) labels
+    else {
+      log.warn(s"minLabel unconverged after $rounds rounds; switching to " +
+        "large-star/small-star alternation")
+      alternatingStar(edges, nodes)
+    }
+  }
+
+  private def minLabelImpl(edges: DataFrame, nodes: DataFrame,
+                           maxIter: Int): (DataFrame, Boolean, Int) = {
     // materialized once: the edge list is re-joined every round, and an
     // expensive upstream (e.g. the LSH candidate pipeline) must not be
     // re-executed per iteration
@@ -63,6 +87,60 @@ object ConnectedComponents {
       labels = next.select("id", "component")
       round += 1
     }
-    labels
+    (labels, converged, round)
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al. SoCC'14 Alg. 5):
+    * maintains a smaller-endpoint-oriented edge set; each round hangs
+    * every node off the minimum of its (half-)neighborhood. Converges in
+    * O(log² n) rounds to min-rooted stars regardless of graph diameter —
+    * the fallback for adversarial chains where diameter-bound propagation
+    * would need one round per hop. Per round: two groupBy-min shuffles of
+    * |E| rows, same non-concentrating shape as minLabel. */
+  def alternatingStar(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame =
+    alternatingStarWithRounds(edges, nodes, maxIter)._1
+
+  def alternatingStarWithRounds(edges: DataFrame, nodes: DataFrame,
+                                maxIter: Int = 50): (DataFrame, Int) = {
+    // orient larger → smaller, drop self-loops
+    var e = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxIter) {
+      // large-star: every node u; m = min over full neighborhood ∪ {u};
+      // strictly-larger neighbors of u hang off m
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min(col("dst")).as("mnd"))
+        .select(col("src").as("u"), least(col("mnd"), col("src")).as("m"))
+      val ls = sym.join(lsMin, sym("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: group by the larger endpoint u over its smaller
+      // neighbors N; everything in N ∪ {u} hangs off min(N)
+      val ssMin = ls.groupBy("src").agg(min(col("dst")).as("m"))
+      val ss = ls.join(ssMin.select(col("src").as("u"), col("m")), ls("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      stable = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      e = ss
+      round += 1
+    }
+    if (!stable)
+      log.warn(s"alternatingStar did not stabilize in $maxIter rounds")
+    // at the fixpoint e is a set of min-rooted star edges (child, root)
+    val roots = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("component"))
+    val labels = nodes.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (labels, round)
   }
 }

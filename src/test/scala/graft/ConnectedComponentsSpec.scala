@@ -20,6 +20,40 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("alternating star: same answers as minLabel on mixed shapes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val nodes = (Seq(20L) ++ (1L to 5L) ++ (10L to 12L)).toDF("id")
+    val got = ConnectedComponents.alternatingStar(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("alternating star: 10k-node chain converges in O(log^2) rounds") {
+    // diameter 9999 — minLabel would need 9999 rounds; the alternation
+    // must finish in a polylog handful
+    val n = 10000L
+    val edges = spark.range(n - 1)
+      .selectExpr("id AS src", "id + 1 AS dst")
+    val nodes = spark.range(n).toDF("id")
+    val (labels, rounds) =
+      ConnectedComponents.alternatingStarWithRounds(edges, nodes)
+    assert(rounds <= 20, s"took $rounds rounds")
+    val comps = labels.selectExpr("count(distinct component)", "min(component)", "count(*)")
+      .as[(Long, Long, Long)].head()
+    assert(comps == ((1L, 0L, n)))
+  }
+
+  test("auto falls back past the diameter budget and still answers right") {
+    val n = 64L // chain of diameter 63 > budget 5
+    val edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    val nodes = spark.range(n).toDF("id")
+    val got = ConnectedComponents.auto(edges, nodes, diameterBudget = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("agrees with union-find on random graphs") {
     val rnd = new scala.util.Random(11)
     val n = 60
