@@ -1,9 +1,8 @@
 package graft.policy
 
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import graft.model.{AiTagOutput, TagWithConfidence}
 import graft.vocab.{Vocabularies => V}
-import org.json4s._
-import org.json4s.jackson.JsonMethods
 
 /** P2 — parse + validate a raw LLM tagging response
   * (refitd_tagger.py:1144-1281 `parse_ai_response`): JSON block extraction,
@@ -12,8 +11,22 @@ import org.json4s.jackson.JsonMethods
   * pairing 3 — truncation happens BEFORE vocab filtering, as in the
   * reference), confidence clamping with 0.5 parse-failure default, optional
   * reasoning passthrough. Pure; None when nothing validates.
+  *
+  * Internals run on the Jackson tree directly (one materialization — this
+  * is the hot kernel of the P2∘P1 map stage; the earlier json4s AST +
+  * `.values` round-trip double-materialized every response and dominated
+  * q44's runtime). Semantics are pinned by the 800-case reference-Python
+  * golden fixture.
   */
 object AiResponseParser {
+
+  /** Thread-safe for reads; FAIL_ON_TRAILING_TOKENS keeps the strictness
+    * of the previous parser (trailing garbage after the object → None). */
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
 
   /** X14 (refitd_tagger.py:1124-1130). */
   def clampConfidence(v: Any): Double = v match {
@@ -30,53 +43,78 @@ object AiResponseParser {
     case _ => 0.5
   }
 
+  private def clampNode(n: JsonNode): Double =
+    if (n == null || n.isNull) 0.5
+    else if (n.isBoolean) { if (n.asBoolean) 1.0 else 0.0 }
+    else if (n.isNumber) math.max(0.0, math.min(1.0, n.asDouble))
+    else if (n.isTextual)
+      try math.max(0.0, math.min(1.0, n.asText.trim.toDouble))
+      catch { case _: NumberFormatException => 0.5 }
+    else 0.5
+
+  /** The scala-value string rendering the previous AST-based parser used
+    * (JString→raw text, numbers/booleans→literal form). */
+  private def nodeText(n: JsonNode): String =
+    if (n.isTextual) n.asText else n.toString
+
   /** refitd_tagger.py:1133-1141 `_tag_entry`. */
-  private def tagEntry(item: Map[String, Any]): TagWithConfidence = {
+  private def tagEntry(item: JsonNode): TagWithConfidence = {
     val reasoning = item.get("reasoning") match {
-      case Some(r) if r != null && r.toString.trim.nonEmpty => Some(r.toString.trim)
+      case r if r != null && !r.isNull && nodeText(r).trim.nonEmpty =>
+        Some(nodeText(r).trim)
       case _ => None
     }
     TagWithConfidence(
-      tag = item("tag").toString,
-      confidence = clampConfidence(item.getOrElse("confidence", 0.5).asInstanceOf[Any]),
+      tag = nodeText(item.get("tag")),
+      confidence = clampNode(item.get("confidence")),
       reasoning = reasoning)
   }
 
-  private def asMap(v: Any): Option[Map[String, Any]] = v match {
-    case m: Map[_, _] => Some(m.asInstanceOf[Map[String, Any]])
-    case _ => None
-  }
-
-  private def asList(v: Any): Seq[Any] = v match {
-    case l: Seq[_] => l
-    case _ => Nil
-  }
-
   /** Scalar field: keep iff dict-shaped and tag in vocab. */
-  private def scalarField(data: Map[String, Any], key: String,
-                          vocab: Set[String]): Option[TagWithConfidence] =
-    data.get(key).flatMap(asMap).filter(m =>
-      m.get("tag").exists(t => t != null && vocab(t.toString))).map(tagEntry)
+  private def scalarField(data: JsonNode, key: String,
+                          vocab: Set[String]): Option[TagWithConfidence] = {
+    val n = data.get(key)
+    if (n != null && n.isObject) {
+      val t = n.get("tag")
+      if (t != null && !t.isNull && vocab(nodeText(t))) Some(tagEntry(n)) else None
+    } else None
+  }
 
   /** List field: truncate to `max` FIRST, then vocab-filter (reference
     * order, refitd_tagger.py:1216-1218 etc.). */
-  private def listField(data: Map[String, Any], key: String,
-                        vocab: Set[String], max: Int): Seq[TagWithConfidence] =
-    data.get(key).map(asList).getOrElse(Nil).take(max)
-      .flatMap(asMap)
-      .filter(m => m.get("tag").exists(t => t != null && vocab(t.toString)))
-      .map(tagEntry)
+  private def listField(data: JsonNode, key: String,
+                        vocab: Set[String], max: Int): Seq[TagWithConfidence] = {
+    val n = data.get(key)
+    if (n == null || !n.isArray) Nil
+    else {
+      val out = Seq.newBuilder[TagWithConfidence]
+      var i = 0
+      val limit = math.min(max, n.size)
+      while (i < limit) {
+        val item = n.get(i)
+        if (item.isObject) {
+          val t = item.get("tag")
+          if (t != null && !t.isNull && vocab(nodeText(t))) out += tagEntry(item)
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
 
   /** Parse a raw response. `category` steers field sets exactly as the
     * reference does ("footwear" vs "bottom" vs everything-else=upper). */
   def parse(response: String, category: String): Option[AiTagOutput] = {
-    // X15: first {...} block (greedy, refitd_tagger.py:1155)
-    val m = "\\{[\\s\\S]*\\}".r.findFirstIn(response)
-    if (m.isEmpty) return None
-    val data: Map[String, Any] =
-      try JsonMethods.parse(m.get).values match {
-        case mp: Map[_, _] => mp.asInstanceOf[Map[String, Any]]
-        case _ => return None
+    // X15: first {...} block — greedy first-'{' to last-'}', exactly what
+    // the reference's regex matches (refitd_tagger.py:1155)
+    val start = response.indexOf('{')
+    val end = response.lastIndexOf('}')
+    if (start < 0 || end < start) return None
+    val data: JsonNode =
+      try {
+        val root = mapper.readTree(response.substring(start, end + 1))
+        if (root == null || !root.isObject) return None
+        root
       } catch { case _: Exception => return None }
 
     val style = listField(data, "style_identity", V.StyleIdentity, 2)

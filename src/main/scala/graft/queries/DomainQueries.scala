@@ -15,44 +15,45 @@ object DomainQueries {
 
   /** Deterministic synthetic raw LLM response per part row: category,
     * style/fit/silhouette/formality candidates and confidences all derived
-    * from p_partkey so every run (and every engine) sees identical input. */
-  private def syntheticResponses(s: SparkSession, d: String): DataFrame =
+    * from p_partkey so every run (and every engine) sees identical input.
+    * Built as a concat chain, not format_string — java.util.Formatter
+    * re-parses the template per row and was a measurable slice of q44;
+    * every confidence numerator is 40-99, so "0.%02d" ≡ '0.' || n. */
+  private def syntheticResponses(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    def pick(m: Int, xs: String*) =
+      element_at(array(xs.map(lit): _*), (pmod(k, lit(m)) + 1).cast("int"))
+    def conf(mult: Int, mod: Int, off: Int) =
+      (pmod(k * mult, lit(mod)) + off).cast("string")
     part(s, d).select(
-      col("p_partkey").cast("string").as("product_id"),
-      element_at(array(lit("bottom"), lit("top"), lit("footwear")),
-        (pmod(col("p_partkey"), lit(3)) + 1).cast("int")).as("category"),
+      k.cast("string").as("product_id"),
+      pick(3, "bottom", "top", "footwear").as("category"),
       col("p_name").as("product_name"),
       lit("").as("subcategory"),
-      format_string(
-        """{"style_identity": [{"tag": "%s", "confidence": 0.%02d},
-          | {"tag": "%s", "confidence": 0.%02d}],
-          | "fit": {"tag": "%s", "confidence": 0.%02d},
-          | "silhouette": {"tag": "%s", "confidence": 0.%02d},
-          | "formality": {"tag": "%s", "confidence": 0.%02d},
-          | "shoe_type": {"tag": "%s", "confidence": 0.%02d},
-          | "profile": {"tag": "standard", "confidence": 0.85},
-          | "pattern": {"tag": "%s", "confidence": 0.%02d}}""".stripMargin,
-        element_at(array(lit("workwear"), lit("classic"), lit("minimal"),
-          lit("streetwear"), lit("spacewear")), (pmod(col("p_partkey"), lit(5)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 7, lit(50)) + 50).cast("int"),
-        element_at(array(lit("rugged"), lit("vintage"), lit("sporty")),
-          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 13, lit(60)) + 40).cast("int"),
-        element_at(array(lit("slim"), lit("oversized"), lit("baggy")),
-          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 11, lit(50)) + 50).cast("int"),
-        element_at(array(lit("straight"), lit("boxy"), lit("wide")),
-          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 17, lit(40)) + 60).cast("int"),
-        element_at(array(lit("casual"), lit("formal"), lit("athletic"),
-          lit("dressy")), (pmod(col("p_partkey"), lit(4)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 19, lit(50)) + 50).cast("int"),
-        element_at(array(lit("sneakers"), lit("boots"), lit("moon-boots")),
-          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 23, lit(40)) + 60).cast("int"),
-        element_at(array(lit("solid"), lit("stripe"), lit("plaid")),
-          (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
-        (pmod(col("p_partkey") * 29, lit(50)) + 50).cast("int")).as("raw_response"))
+      concat(
+        lit("{\"style_identity\": [{\"tag\": \""),
+        pick(5, "workwear", "classic", "minimal", "streetwear", "spacewear"),
+        lit("\", \"confidence\": 0."), conf(7, 50, 50),
+        lit("},\n {\"tag\": \""),
+        pick(3, "rugged", "vintage", "sporty"),
+        lit("\", \"confidence\": 0."), conf(13, 60, 40),
+        lit("}],\n \"fit\": {\"tag\": \""),
+        pick(3, "slim", "oversized", "baggy"),
+        lit("\", \"confidence\": 0."), conf(11, 50, 50),
+        lit("},\n \"silhouette\": {\"tag\": \""),
+        pick(3, "straight", "boxy", "wide"),
+        lit("\", \"confidence\": 0."), conf(17, 40, 60),
+        lit("},\n \"formality\": {\"tag\": \""),
+        pick(4, "casual", "formal", "athletic", "dressy"),
+        lit("\", \"confidence\": 0."), conf(19, 50, 50),
+        lit("},\n \"shoe_type\": {\"tag\": \""),
+        pick(3, "sneakers", "boots", "moon-boots"),
+        lit("\", \"confidence\": 0."), conf(23, 40, 60),
+        lit("},\n \"profile\": {\"tag\": \"standard\", \"confidence\": 0.85},\n \"pattern\": {\"tag\": \""),
+        pick(3, "solid", "stripe", "plaid"),
+        lit("\", \"confidence\": 0."), conf(29, 50, 50),
+        lit("}}")).as("raw_response"))
+  }
 
   // P2∘P1 end-to-end: parse → policy → status rollup. Oracle-checked: the
   // synthetic inputs are pure functions of p_partkey, so the oracle below
