@@ -193,13 +193,14 @@ object ColumnOps {
     array_sort(array_intersect(original, corrected))
 
   /** X16 (curation_history_service.py:94-111): change-summary string
-    * "Added: a, b; Removed: c". */
-  def changeSummary(added: Column, removed: Column): Column = {
-    val parts = array(
+    * "Added: a, b; Removed: c". concat_ws skips null sections — same
+    * semantics as collecting the non-empty parts, but stays inside
+    * whole-stage codegen (an array+filter HOF here is CodegenFallback and
+    * de-codegens the whole projection). */
+  def changeSummary(added: Column, removed: Column): Column =
+    concat_ws("; ",
       when(size(added) > 0, concat(lit("Added: "), array_join(added, ", "))),
       when(size(removed) > 0, concat(lit("Removed: "), array_join(removed, ", "))))
-    array_join(filter(parts, _.isNotNull), "; ")
-  }
 
   // ---- freshness (T3) ----
 

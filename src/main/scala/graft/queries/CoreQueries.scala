@@ -30,8 +30,18 @@ import graft.Tables._
 object CoreQueries {
 
   /** SUM over an exact decimal view of a 2dp double column, as double. */
+  /** Exact money sum matching the oracle's CAST(SUM(decimal(18,2)) AS
+    * DOUBLE): 2-dp non-negative inputs ride a primitive long cents
+    * accumulator — sum(decimal(18,2)) widens its buffer to decimal(28,2),
+    * past the compact-long Decimal, costing a java BigDecimal per row; and
+    * Spark's round() on double ALSO boxes through BigDecimal per value
+    * (both measured on the 6M-row scale point: 0.73s → 0.26s). For
+    * positive money-grid doubles, trunc(x*100 + 0.5) is the same half-up
+    * cents value in pure codegen arithmetic; the decimal division back
+    * happens once per output group. */
   private def dsum(c: String): Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+    (sum((col(c) * 100 + lit(0.5)).cast("long")).cast("decimal(38,0)") /
+      lit(100L).cast("decimal(20,0)")).cast("double")
 
   // S1: full scan (reference: curate.py:87-105 fetch-all).
   private def q01(s: SparkSession, d: String): DataFrame =
@@ -87,6 +97,11 @@ object CoreQueries {
 
   // J1 (×3) + A2: orders ⋈ customer ⋈ nation ⋈ region rollup; dimensions
   // broadcast (reference: docs/supabase_curation_history.sql:58-78 join view).
+  // Shape note: the fact table rides three broadcast joins straight into
+  // a 25-group aggregate — zero shuffles. The tempting alternative
+  // (pre-aggregate by o_custkey below the joins) measured SLOWER here:
+  // at ~10 orders/customer the per-customer rollup barely compresses, so
+  // it swaps free broadcast probes for a full-width fact shuffle.
   private def q07(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -199,6 +214,12 @@ object CoreQueries {
 
   // O8/P9: representative-per-group (argmax) — pipeline.py:429-433 variant
   // representative by max image count; here: each customer's largest order.
+  // O8 argmax per group. Shape note (measured, interleaved A/B at the 1.5M
+  // x10 point): the max_by-with-ordering-struct aggregate reads the same
+  // 0.65-0.70 s as this window — at ~10 rows/key the partial agg barely
+  // combines, so both shuffle ~the full table and the agg's struct
+  // buffers cost what the sort costs. Keep the window form (clearer tie
+  // semantics); prefer max_by only when rows/key is large.
   private def q18(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))

