@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param broadcastIntervals hint that the binned interval side fits in
+    *   a broadcast (errors/windows are usually a small fraction of the
+    *   point stream): the join then probes points in place — no shuffle
+    *   of the large side at all. Explode defeats Catalyst's size
+    *   estimation, so AQE cannot discover this on its own; leave false
+    *   when the interval side is large. */
   def intervalJoin(
       intervals: DataFrame,
       points: DataFrame,
@@ -39,19 +45,21 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       timeCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      broadcastIntervals: Boolean = false): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     // Empty/inverted intervals ([s, e) with e <= s) match nothing; without
     // the guard, sequence(hi, lo) would emit a DESCENDING bin list — still
     // filtered out by the exact-bound predicate, but each degenerate
     // interval would fan out spurious candidate rows first.
-    val binned = intervals.withColumn(
+    val binned0 = intervals.withColumn(
       "__bin",
       explode(when(col(endCol) > col(startCol),
         sequence(
           expr(s"$startCol DIV $binWidth"),
           expr(s"($endCol - 1) DIV $binWidth")))
         .otherwise(array())))
+    val binned = if (broadcastIntervals) broadcast(binned0) else binned0
     val pts = points.withColumn("__bin", expr(s"$timeCol DIV $binWidth"))
     binned
       .join(pts, keys :+ "__bin")
