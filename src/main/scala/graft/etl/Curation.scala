@@ -175,27 +175,37 @@ object Curation {
   /** P7 distributed: join patches to products on the key and apply. One
     * patch per product per call (the reference is one HTTP call per patch);
     * returns (patched rows to merge, feedback rows to append). */
+  /** One patched row + its optional feedback event — the single-pass
+    * output both downstream sinks derive from. */
+  final case class PatchOutcome(result: PatchResult, feedback: Option[FeedbackRow])
+
+  /** The single-pass form: each (patch ⋈ product) row is patched ONCE and
+    * carries both the result and the feedback event. Multi-sink consumers
+    * should materialize this once (localCheckpoint) before fanning out —
+    * deriving two Datasets from the un-materialized map re-executes the
+    * patch per sink. */
+  def patchTagsCombined(products: DataFrame,
+                        patches: Dataset[TagPatch]): Dataset[PatchOutcome] = {
+    import patches.sparkSession.implicits._
+    patches.toDF()
+      .join(products.select(col("product_id").cast("string"),
+        col("tags_final").cast("string")), Seq("product_id"), "inner")
+      .as[(String, String, String, Option[String], String,
+        Option[String], Option[String], String)]
+      .map { case (pid, field, action, value, curator, reason, cat, tagsJson) =>
+        val r = applyTagPatch(tagsJson,
+          TagPatch(pid, field, action, value, curator, reason, cat))
+        val fb = r.removed_value.filter(_ => reason.isDefined || cat.isDefined)
+          .map(rv => FeedbackRow(pid, field, rv, reason, cat, curator))
+        PatchOutcome(r, fb)
+      }
+  }
+
   def patchTags(products: DataFrame, patches: Dataset[TagPatch])
   : (Dataset[PatchResult], Dataset[FeedbackRow]) = {
     import patches.sparkSession.implicits._
-    val joined = patches.toDF()
-      .join(products.select(col("product_id").cast("string"),
-        col("tags_final").cast("string")), Seq("product_id"), "inner")
-    val results = joined.as[(String, String, String, Option[String], String,
-      Option[String], Option[String], String)]
-      .map { case (pid, field, action, value, curator, reason, cat, tagsJson) =>
-        applyTagPatch(tagsJson,
-          TagPatch(pid, field, action, value, curator, reason, cat))
-      }
-    val feedback = joined.as[(String, String, String, Option[String], String,
-      Option[String], Option[String], String)]
-      .flatMap { case (pid, field, action, value, curator, reason, cat, tagsJson) =>
-        val r = applyTagPatch(tagsJson,
-          TagPatch(pid, field, action, value, curator, reason, cat))
-        r.removed_value.filter(_ => reason.isDefined || cat.isDefined)
-          .map(rv => FeedbackRow(pid, field, rv, reason, cat, curator))
-      }
-    (results, feedback)
+    val combined = patchTagsCombined(products, patches)
+    (combined.map(_.result), combined.flatMap(_.feedback))
   }
 
   // ---- P8: mark-curated multi-sink (curate.py:7239-7352) ----

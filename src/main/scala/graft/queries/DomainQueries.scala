@@ -106,9 +106,16 @@ object DomainQueries {
       lit("synthetic removal").as("feedback_reason"),
       lit("incorrect_value").as("feedback_category"))
       .as[Curation.TagPatch]
-    val (results, feedback) = Curation.patchTags(products, patches)
+    // one patch pass, materialized once, fanned out to both sinks — the
+    // separate results/feedback branches would each re-execute the patch
+    val combined = Curation.patchTagsCombined(products, patches)
+      .localCheckpoint(true)
+    val results = combined.select(col("result.*"))
+    val feedback = combined
+      .filter(col("feedback").isNotNull)
+      .select(col("feedback.*"))
     val marked = Curation.markCurated(
-      results.toDF().withColumn("original_ai_tags", lit("{}")),
+      results.withColumn("original_ai_tags", lit("{}")),
       "bench-curator", "2026-02-27 00:00:00")
     marked.historyAppend
       .join(feedback.toDF()
