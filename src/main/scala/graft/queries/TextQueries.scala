@@ -133,7 +133,54 @@ object TextQueries {
         min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
       .orderBy(col("doc_id"))
 
+  // PII scrub — the redaction pass every released training corpus needs.
+  // Deterministic synthetic PII is appended per doc (the corpus tables
+  // carry none), then emails/phones are counted (regexp_extract_all) and
+  // redacted (global regexp_replace); the md5 of the redacted text pins
+  // the exact replacement output across engines, not just the counts.
+  // Patterns stay in the RE2 ∩ java.util.regex common subset.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val text2 = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    documents(s, d)
+      .withColumn("t2", text2)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+  }
+
+  // Within-document repetition (Gopher-style quality signal): the
+  // duplicate-3-gram fraction, 1 − distinct/total shingles — high values
+  // mark boilerplate/spam that exact and near dedup both miss. Total
+  // shingle count is tokens−2 (one code-point pass); distinct count is
+  // the row-local graft_shingle_count kernel; no shuffle at all.
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val total = greatest(lit(0L),
+      (element_at(col("__m"), 1).cast("long") - 2))
+    documents(s, d)
+      .withColumn("__m", call_function("graft_text_metrics", col("text")))
+      .withColumn("total_shingles", total)
+      .select(
+        col("doc_id"),
+        col("total_shingles"),
+        call_function("graft_shingle_count", col("text"), lit(3)).as("distinct_shingles"),
+        when(col("total_shingles") > 0,
+          floor((lit(1.0) -
+            call_function("graft_shingle_count", col("text"), lit(3)).cast("double") /
+              col("total_shingles").cast("double")) * 1e6).cast("long"))
+          .otherwise(0L).as("rep_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_pii_redaction" -> q74 _,
+    "q75_repetition_ratio" -> q75 _,
     "q30_doc_stats" -> q30 _,
     "q31_token_metrics" -> q31 _,
     "q32_quality_scores" -> q32 _,
@@ -148,6 +195,24 @@ object TextQueries {
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "q74_pii_redaction" ->
+      ("WITH t AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2 " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INT) AS n_phones, " +
+        s"md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g')) AS redacted_md5 FROM t"),
+    "q75_repetition_ratio" ->
+      ("WITH s AS (SELECT doc_id, GREATEST(0, len(l) - 2) AS total_shingles, " +
+        "CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 2), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS BIGINT) AS distinct_shingles " +
+        "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents)) " +
+        "SELECT doc_id, CAST(total_shingles AS BIGINT) AS total_shingles, distinct_shingles, " +
+        "CASE WHEN total_shingles > 0 THEN CAST(FLOOR((1.0 - " +
+        "CAST(distinct_shingles AS DOUBLE) / CAST(total_shingles AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "ELSE 0 END AS rep_e6 FROM s"),
     "q64_winnowing_fingerprints" ->
       ("WITH nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), " +
         "g AS (SELECT doc_id, i AS pos, substr(md5(substr(t, i, 8)), 1, 8) AS g " +
