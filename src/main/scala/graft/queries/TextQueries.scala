@@ -178,9 +178,57 @@ object TextQueries {
           .otherwise(0L).as("rep_e6"))
   }
 
+  // Training-window chunking: split each document's token stream into
+  // fixed-size windows with overlap (stride < size) — the op that turns a
+  // long-document corpus into model-sized training pieces. Row-local:
+  // sequence+explode fans out chunk starts, slice+array_join rebuilds
+  // each window; no shuffle. Chunk text is md5-pinned cross-engine.
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val size = 40
+    val stride = 30 // 10-token overlap
+    val toks = TextAnalysis.tokens(col("text"))
+    documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")))
+      // chunk starts 0, stride, 2*stride… while start < n (last partial kept)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((col("n_tokens") - 1) / stride)).cast("int"))))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        least(lit(size), col("n_tokens") - col("chunk_idx") * stride).as("chunk_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)), " ")).as("chunk_md5"))
+  }
+
+  // Source-mixture weights (temperature-scaled sampling, the data-mixing
+  // step of corpus assembly): per source s, w_s ∝ n_s^alpha with alpha<1
+  // up-weighting small sources. alpha = 0.5 keeps the power IEEE-exact
+  // cross-engine (sqrt is correctly rounded; arbitrary pow is not), and
+  // weights are emitted RELATIVE TO THE LARGEST SOURCE — a cross-row
+  // float SUM normalizer would be addition-order-dependent across
+  // engines, while max over counts is exact (oracle-parity rules).
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val perSource = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val top = perSource.agg(max(col("n_docs")).as("n_max"))
+    perSource.crossJoin(broadcast(top))
+      .select(
+        col("source"),
+        col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) /
+          sqrt(col("n_max").cast("double")) * 1e6)
+          .cast("long").as("weight_e6"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_pii_redaction" -> q74 _,
     "q75_repetition_ratio" -> q75 _,
+    "q76_document_chunking" -> q76 _,
+    "q77_source_mixture" -> q77 _,
     "q30_doc_stats" -> q30 _,
     "q31_token_metrics" -> q31 _,
     "q32_quality_scores" -> q32 _,
@@ -204,6 +252,21 @@ object TextQueries {
         s"CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INT) AS n_phones, " +
         s"md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'), " +
         s"'$PhoneRe', '<PHONE>', 'g')) AS redacted_md5 FROM t"),
+    "q76_document_chunking" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, len(toks) AS n, i AS chunk_idx " +
+        "FROM t, UNNEST(range(0, CAST(FLOOR((len(toks) - 1) / 30.0) AS BIGINT) + 1)) u(i)) " +
+        "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, " +
+        "CAST(chunk_idx * 30 AS INT) AS start_token, " +
+        "CAST(LEAST(40, n - chunk_idx * 30) AS INT) AS chunk_tokens, " +
+        "md5(array_to_string(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ')) AS chunk_md5 " +
+        "FROM c"),
+    "q77_source_mixture" ->
+      ("WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), " +
+        "m AS (SELECT MAX(n_docs) AS n_max FROM ps) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / sqrt(CAST(n_max AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_e6 " +
+        "FROM ps, m ORDER BY source"),
     "q75_repetition_ratio" ->
       ("WITH s AS (SELECT doc_id, GREATEST(0, len(l) - 2) AS total_shingles, " +
         "CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 2), " +
