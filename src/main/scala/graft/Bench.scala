@@ -191,7 +191,9 @@ object Bench {
       "q21_json_extract_agg", "q25_pricing_rollup", "q29_change_summary",
       "q31_token_metrics", "q33_langid_rollup", "q34_fingerprint_shingles",
       "q40_cosine_scores", "q56_event_windows", "q57_sessionization",
-      "q66_asof_attribution", "q67_range_join_activity")
+      "q66_asof_attribution", "q67_range_join_activity",
+      "q74_pii_redaction", "q75_repetition_ratio", "q76_document_chunking",
+      "q77_source_mixture")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

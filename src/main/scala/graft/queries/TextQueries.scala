@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextAnalysis
@@ -146,14 +146,21 @@ object TextQueries {
     val text2 = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    // redact ONCE (two regex passes), then derive the redaction counts
+    // from marker occurrences with literal-substring math — counting via
+    // regexp_extract_all would double the regex work per row
+    def markers(red: Column, marker: String): Column =
+      ((length(red) - length(replace(red, lit(marker), lit("")))) /
+        marker.length).cast("int")
     documents(s, d)
-      .withColumn("t2", text2)
+      .withColumn("red",
+        regexp_replace(regexp_replace(text2, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>")).as("redacted_md5"))
+        markers(col("red"), "<EMAIL>").as("n_emails"),
+        markers(col("red"), "<PHONE>").as("n_phones"),
+        md5(col("red")).as("redacted_md5"))
   }
 
   // Within-document repetition (Gopher-style quality signal): the
@@ -246,12 +253,13 @@ object TextQueries {
     "q74_pii_redaction" ->
       ("WITH t AS (SELECT doc_id, text || ' contact user' || doc_id || " +
         "'@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2 " +
-        "FROM documents) " +
+        "FROM documents), " +
+        s"r AS (SELECT doc_id, regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g') AS red FROM t) " +
         "SELECT doc_id, " +
-        s"CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INT) AS n_phones, " +
-        s"md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'), " +
-        s"'$PhoneRe', '<PHONE>', 'g')) AS redacted_md5 FROM t"),
+        "CAST((LENGTH(red) - LENGTH(replace(red, '<EMAIL>', ''))) / 7 AS INT) AS n_emails, " +
+        "CAST((LENGTH(red) - LENGTH(replace(red, '<PHONE>', ''))) / 7 AS INT) AS n_phones, " +
+        "md5(red) AS redacted_md5 FROM r"),
     "q76_document_chunking" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents), " +
         "c AS (SELECT doc_id, toks, len(toks) AS n, i AS chunk_idx " +
