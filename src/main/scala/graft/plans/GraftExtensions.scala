@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleCountEntry)
     ext.injectFunction(GraftExtensions.textMetricsEntry)
     ext.injectFunction(GraftExtensions.shinglesEntry)
+    ext.injectFunction(GraftExtensions.jsonLongEntry)
   }
 }
 
@@ -92,13 +93,21 @@ object GraftExtensions {
       GraftShingles(children(0), children(1)): Expression
     })
 
+  private[graft] val jsonLongEntry = (
+    new FunctionIdentifier("graft_json_long"),
+    new ExpressionInfo(classOf[GraftJsonLong].getName, "graft_json_long"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_json_long(json, field) takes two arguments")
+      GraftJsonLong(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry, shinglesEntry).foreach { e =>
+      shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

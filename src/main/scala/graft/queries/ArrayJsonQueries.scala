@@ -27,13 +27,14 @@ object ArrayJsonQueries {
   // nulls, so WHERE k IS NOT NULL ≡ HAVING count(k) > 0 — measured ~1.5×
   // at the x10 scale point. CollapseProject keeps the single parse (it
   // refuses to inline a non-cheap expression referenced 4×).
+  // E2 via the on-demand streaming extractor (graft_json_long): same
+  // null/truncation semantics as the from_json twin (JsonKernelSpec pins
+  // every case class), but no per-row InternalRow materialization — the
+  // per-QUERY answer to vectorized-engine JSON scans; the per-WAREHOUSE
+  // answer (parse once at ingest) is the x_json_* bench path.
   private def q21(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k",
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType)))).getField("k"))
+      .withColumn("k", call_function("graft_json_long", col("props"), lit("k")))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
