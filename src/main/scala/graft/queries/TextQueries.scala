@@ -185,30 +185,13 @@ object TextQueries {
           .otherwise(0L).as("rep_e6"))
   }
 
-  // Training-window chunking: split each document's token stream into
-  // fixed-size windows with overlap (stride < size) — the op that turns a
-  // long-document corpus into model-sized training pieces. Row-local:
-  // sequence+explode fans out chunk starts, slice+array_join rebuilds
-  // each window; no shuffle. Chunk text is md5-pinned cross-engine.
-  private def q76(s: SparkSession, d: String): DataFrame = {
-    val size = 40
-    val stride = 30 // 10-token overlap
-    val toks = TextAnalysis.tokens(col("text"))
-    documents(s, d)
-      .withColumn("toks", toks)
-      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")))
-      // chunk starts 0, stride, 2*stride… while start < n (last partial kept)
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0),
-          greatest(lit(0), floor((col("n_tokens") - 1) / stride)).cast("int"))))
-      .select(
-        col("doc_id"),
-        col("chunk_idx"),
-        (col("chunk_idx") * stride).as("start_token"),
-        least(lit(size), col("n_tokens") - col("chunk_idx") * stride).as("chunk_tokens"),
-        md5(array_join(
-          slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)), " ")).as("chunk_md5"))
-  }
+  // Training-window chunking (operators/Chunking): overlapping fixed-size
+  // token windows per document, row-local fan-out, chunk text md5-pinned
+  // cross-engine.
+  private def q76(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunking.chunk(documents(s, d), "text", winSize = 40, stride = 30)
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        col("chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
 
   // Source-mixture weights (temperature-scaled sampling, the data-mixing
   // step of corpus assembly): per source s, w_s ∝ n_s^alpha with alpha<1

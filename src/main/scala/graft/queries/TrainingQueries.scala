@@ -31,6 +31,41 @@ object TrainingQueries {
         col("n_windows"))
       .orderBy(col("doc_id"))
 
+  // Chunk-production capstone: the end-to-end path from a raw corpus to
+  // deduplicated training chunks, as ONE query — exact doc dedup →
+  // quality gate → repetition gate (duplicate-3-gram fraction < 0.5,
+  // kernel-computed) → overlapping 40/30 chunking → per-language rollup
+  // with CHUNK-level dedup (distinct chunk hashes catch cross-document
+  // duplicated passages that doc-level dedup cannot). Every stage is the
+  // oracle-verified operator; the whole plan has one shuffle (the dedup
+  // window) before the final aggregate.
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Chunking, Dedup}
+    import graft.functions.TextAnalysis
+    val deduped = Dedup.exactDedup(documents(s, d), "text", "doc_id")
+    val gated = deduped
+      .filter(TextAnalysis.qualityScore(col("text"), Nil) >= 0.5)
+      .withColumn("__total_sh",
+        greatest(lit(0L),
+          element_at(call_function("graft_text_metrics", col("text")), 1)
+            .cast("long") - 2))
+      .withColumn("__rep_e6",
+        when(col("__total_sh") > 0,
+          floor((lit(1.0) -
+            call_function("graft_shingle_count", col("text"), lit(3)).cast("double") /
+              col("__total_sh").cast("double")) * 1e6).cast("long"))
+          .otherwise(0L))
+      .filter(col("__rep_e6") < 500000)
+    Chunking.chunk(gated, "text", winSize = 40, stride = 30)
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(md5(col("chunk_text"))).as("n_distinct_chunks"),
+        sum(col("chunk_tokens").cast("long")).as("total_chunk_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // The full corpus-curation pipeline as ONE query: exact dedup
   // (keep-first) → quality filter → stratified sample (≤50/lang by md5
   // order) → per-language stats. The composition every pretraining corpus
@@ -81,10 +116,36 @@ object TrainingQueries {
     "q61_stratified_sample" -> q61 _,
     "q62_sequence_packing" -> q62 _,
     "q63_corpus_curation" -> q63 _,
-    "q71_contamination" -> q71 _
+    "q71_contamination" -> q71 _,
+    "q78_chunk_pipeline" -> q78 _
   )
 
   val oracle: Map[String, String] = Map(
+    "q78_chunk_pipeline" ->
+      ("WITH dd AS (SELECT doc_id, lang, text FROM " +
+        "(SELECT doc_id, lang, text, ROW_NUMBER() OVER " +
+        "(PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS l FROM dd), " +
+        "q AS (SELECT doc_id, lang, l, len(l) AS n, " +
+        "len(list_distinct(l)) AS dtok, " +
+        "GREATEST(0, len(l) - 2) AS total_sh, " +
+        "len(list_distinct(list_transform(generate_series(1, len(l) - 2), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS dist_sh FROM t), " +
+        "g AS (SELECT doc_id, lang, l, n FROM q WHERE " +
+        "(LEAST(CAST(n AS DOUBLE) / 20.0, 1.0) + CAST(dtok AS DOUBLE) / n) / 2.0 >= 0.5 " +
+        "AND (CASE WHEN total_sh > 0 THEN CAST(FLOOR((1.0 - " +
+        "CAST(dist_sh AS DOUBLE) / CAST(total_sh AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "ELSE 0 END) < 500000), " +
+        "c AS (SELECT doc_id, lang, " +
+        "LEAST(40, n - i * 30) AS chunk_tokens, " +
+        "array_to_string(list_slice(l, i * 30 + 1, i * 30 + 40), ' ') AS chunk_text " +
+        "FROM g, UNNEST(range(0, CAST(FLOOR((n - 1) / 30.0) AS BIGINT) + 1)) u(i)) " +
+        "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "COUNT(*) AS n_chunks, " +
+        "CAST(COUNT(DISTINCT md5(chunk_text)) AS BIGINT) AS n_distinct_chunks, " +
+        "CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens " +
+        "FROM c GROUP BY lang ORDER BY lang"),
     "q63_corpus_curation" ->
       ("WITH dd AS (SELECT doc_id, lang, text FROM " +
         "(SELECT doc_id, lang, text, ROW_NUMBER() OVER " +
