@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.textMetricsEntry)
     ext.injectFunction(GraftExtensions.shinglesEntry)
     ext.injectFunction(GraftExtensions.jsonLongEntry)
+    ext.injectFunction(GraftExtensions.keywordCountsEntry)
   }
 }
 
@@ -101,13 +102,23 @@ object GraftExtensions {
       GraftJsonLong(children(0), children(1)): Expression
     })
 
+  private[graft] val keywordCountsEntry = (
+    new FunctionIdentifier("graft_keyword_counts"),
+    new ExpressionInfo(classOf[GraftKeywordCounts].getName, "graft_keyword_counts"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_keyword_counts(text, vocabularies) takes two arguments")
+      GraftKeywordCounts(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry).foreach { e =>
+      shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
+      keywordCountsEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }
