@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.GeneratorQueries.queries ++
       graft.queries.MiscQueries.queries ++
       graft.queries.TrainingQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.GeneratorQueries.oracle ++
       graft.queries.MiscQueries.oracle ++
       graft.queries.TrainingQueries.oracle ++
-      graft.queries.EventQueries.oracle
+      graft.queries.EventQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

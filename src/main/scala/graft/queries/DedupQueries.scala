@@ -78,13 +78,73 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Dedup corpus reassembly: after near-dup clustering (q69's operator
+  // chain), KEEP one representative per component (the minimum doc_id —
+  // exactly the component label) and roll up the surviving corpus per
+  // source. This is the deliverable of a dedup pass — the retained
+  // document set — not just the cluster stats. One left join against the
+  // (small) component table plus one rollup shuffle.
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
+      numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = documents(s, d).select(col("doc_id").as("id"))
+    val kept = graft.operators.ConnectedComponents.minLabel(pairs, nodes)
+      .filter(col("id") === col("component"))
+      .select(col("id").as("doc_id"), lit(1L).as("keep"))
+    documents(s, d)
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("keep"), lit(0L))).as("n_kept"),
+        sum(when(col("keep").isNotNull, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  // Incremental ingest dedup: a new batch (doc_id % 7 = 0 simulates the
+  // day's crawl) is checked against the warehouse (the rest) — exact dups
+  // by normalized content hash (broadcast-able distinct hash set) and
+  // near-dups from the LSH candidate pairs that CROSS the batch/warehouse
+  // split. Per batch doc: the dedup decision an ingest pipeline acts on.
+  // At 100 TB the batch side is small — both probes broadcast.
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(7)) === 0
+    val whHashes = docs.filter(!isBatch(col("doc_id")))
+      .select(md5(Dedup.normalized(col("text"))).as("h")).distinct()
+      .withColumn("x", lit(1))
+    val exact = docs.filter(isBatch(col("doc_id")))
+      .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("h"))
+      .join(whHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("x").isNotNull.as("is_exact_dup"))
+    val near = Dedup.minHashLshPortable(docs, "doc_id", "text",
+      numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .filter(isBatch(col("id_a")) =!= isBatch(col("id_b")))
+      .select(when(isBatch(col("id_a")), col("id_a")).otherwise(col("id_b"))
+        .as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    exact
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near_dups"),
+        when(col("is_exact_dup"), "drop_exact")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "review")
+          .otherwise("ingest").as("decision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_exact_dedup_stats" -> q35 _,
     "q36_dedup_keep_first" -> q36 _,
     "q37_jaccard_pairs" -> q37 _,
     "q38_minhash_lsh" -> q38 _,
     "q39_simhash" -> q39 _,
-    "q69_near_dup_components" -> q69 _
+    "q69_near_dup_components" -> q69 _,
+    "q80_near_dup_survivors" -> q80 _,
+    "q84_incremental_dedup" -> q84 _
   )
 
   /** Normalized-text expression shared by the generated oracles. */
@@ -172,10 +232,46 @@ object DedupQueries {
        |SELECT doc_id, $hex AS simhash_hex FROM vs ORDER BY doc_id""".stripMargin
   }
 
+  /** q80 oracle: the q69 recursive closure, then keep component == doc_id
+    * and roll up per source. */
+  private def nearDupSurvivorsOracle: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN c.component = d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q84 oracle: exact dups by normalized md5 against the warehouse split,
+    * near-dups from the q38 pair CTEs crossing the split. */
+  private def incrementalDedupOracle: String =
+    s"""WITH $minHashPairCtes,
+       |np AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |cross_near AS (SELECT CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS doc_id,
+       |                      COUNT(*) AS n_near
+       |               FROM np WHERE (id_a % 7 = 0) <> (id_b % 7 = 0) GROUP BY 1),
+       |wh AS (SELECT DISTINCT md5($normSql) AS h FROM documents WHERE doc_id % 7 <> 0),
+       |ex AS (SELECT doc_id, md5($normSql) AS h FROM documents WHERE doc_id % 7 = 0)
+       |SELECT ex.doc_id, wh.h IS NOT NULL AS is_exact_dup,
+       |  CAST(COALESCE(cn.n_near, 0) AS BIGINT) AS n_near_dups,
+       |  CASE WHEN wh.h IS NOT NULL THEN 'drop_exact'
+       |       WHEN COALESCE(cn.n_near, 0) > 0 THEN 'review'
+       |       ELSE 'ingest' END AS decision
+       |FROM ex LEFT JOIN wh ON wh.h = ex.h
+       |LEFT JOIN cross_near cn ON cn.doc_id = ex.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q38_minhash_lsh" -> minHashLshOracle,
     "q39_simhash" -> simHashOracle,
     "q69_near_dup_components" -> nearDupComponentsOracle,
+    "q80_near_dup_survivors" -> nearDupSurvivorsOracle,
+    "q84_incremental_dedup" -> incrementalDedupOracle,
     "q35_exact_dedup_stats" ->
       ("SELECT COUNT(*) AS n_docs, " +
         "COUNT(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct, " +

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRank must match row_number() over a global ORDER BY exactly —
+  * the operator exists to produce the identical ranks without the
+  * single-partition window exchange. */
+class GlobalRankSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("ranks equal the single-partition window row_number") {
+    val sorted = docs.select(col("doc_id"), col("n_chars"))
+    val viaWindow = sorted.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+        .cast("long"))
+    val viaOp = GlobalRank.withGlobalRank(sorted, "rk",
+      col("n_chars").desc, col("doc_id"))
+    assert(viaOp.count() === sorted.count())
+    assert(viaWindow.exceptAll(viaOp).isEmpty && viaOp.exceptAll(viaWindow).isEmpty)
+  }
+
+  test("ranks are a 1..N permutation and stable across evaluations") {
+    val ranked = GlobalRank.withGlobalRank(
+      docs.select(col("doc_id")), "rk", col("doc_id"))
+    val n = docs.count()
+    val stats = ranked.agg(
+      min(col("rk")).as("lo"), max(col("rk")).as("hi"),
+      countDistinct(col("rk")).as("d")).head()
+    assert(stats.getLong(0) === 1L)
+    assert(stats.getLong(1) === n)
+    assert(stats.getLong(2) === n)
+    // identity sort: rank is doc_id's position in ascending order
+    val mismatch = ranked
+      .withColumn("expected",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+      .filter(col("rk") =!= col("expected")).count()
+    assert(mismatch === 0L)
+  }
+
+  test("plan has no single-partition exchange") {
+    val ranked = GlobalRank.withGlobalRank(
+      docs.select(col("doc_id")), "rk", col("doc_id"))
+    // the scan side of the rank is range-partitioned, never coalesced to 1
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+  }
+}
