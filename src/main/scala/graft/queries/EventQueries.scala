@@ -138,12 +138,59 @@ object EventQueries {
         expr("percentile(n_chars, 0.75D)").as("p75"))
       .orderBy(col("lang"))
 
+  // Ordered conversion funnel: per user, the first view, the first click
+  // STRICTLY AFTER that view, and the first purchase strictly after that
+  // click — the sequenced version (a user who clicked before ever viewing
+  // does not count as converted). Three stages = three aggregates keyed on
+  // user_id; after the first shuffle the joins and re-aggregations are
+  // partitioning-reuse (no second exchange on the same key). Times are
+  // µs-truncated for cross-engine exactness (q57 note).
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).cast("long").as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("view_t"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("view_t"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("click_t"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") > col("click_t"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("purchase_t"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_t"), col("click_t"), col("purchase_t"),
+        when(col("purchase_t").isNotNull, "purchase")
+          .when(col("click_t").isNotNull, "click")
+          .otherwise("view").as("stage"))
+  }
+
+  // Retention cohorts: users grouped by first-active day (the cohort),
+  // counted on each later day offset — the engagement matrix behind every
+  // "day-N retention" dashboard. Day arithmetic is exact integer division
+  // on epoch-nanos; two shuffles on user_id (first-day aggregate reuses
+  // the event partitioning for the join) plus the small cohort rollup.
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val e = events(s, d)
+      .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
     "q67_range_join_activity" -> q67 _,
-    "q68_quantile_sketch" -> q68 _
+    "q68_quantile_sketch" -> q68 _,
+    "q86_event_funnel" -> q86 _,
+    "q87_retention_cohorts" -> q87 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +231,29 @@ object EventQueries {
         "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
         "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
         "GROUP BY 1, 2"),
+    "q86_event_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "epoch_ns(ts) - epoch_ns(ts) % 1000 AS t FROM events), " +
+        "v AS (SELECT user_id, MIN(t) AS view_t FROM e " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(e.t) AS click_t FROM e JOIN v " +
+        "ON v.user_id = e.user_id AND e.t > v.view_t " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(e.t) AS purchase_t FROM e JOIN c " +
+        "ON c.user_id = e.user_id AND e.t > c.click_t " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT v.user_id, v.view_t, c.click_t, p.purchase_t, " +
+        "CASE WHEN p.purchase_t IS NOT NULL THEN 'purchase' " +
+        "WHEN c.click_t IS NOT NULL THEN 'click' ELSE 'view' END AS stage " +
+        "FROM v LEFT JOIN c ON c.user_id = v.user_id " +
+        "LEFT JOIN p ON p.user_id = v.user_id"),
+    "q87_retention_cohorts" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id) " +
+        "SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, " +
+        "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM e JOIN f ON f.user_id = e.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_day, day_offset"),
     "q68_quantile_sketch" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +
