@@ -194,7 +194,8 @@ object Bench {
       "q66_asof_attribution", "q67_range_join_activity",
       "q74_pii_redaction", "q75_repetition_ratio", "q76_document_chunking",
       "q77_source_mixture", "q79_ngram_novelty", "q81_source_zscore",
-      "q83_quality_quartiles", "q85_tfidf_terms")
+      "q83_quality_quartiles", "q85_tfidf_terms", "q86_event_funnel",
+      "q87_retention_cohorts")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -136,7 +136,24 @@ object DedupQueries {
           .otherwise("ingest").as("decision"))
   }
 
+  // Authority rank over the near-dup similarity graph: 5 fixed-point
+  // PageRank iterations (integer arithmetic — see LinkAnalysis scaladoc
+  // for why float PageRank can never hash-match across engines). High
+  // scores mark documents sitting in dense near-dup neighborhoods — the
+  // canonical-copy candidates a curation pass should prefer keeping.
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
+      numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = documents(s, d).select(col("doc_id").as("id"))
+    graft.operators.LinkAnalysis.pageRankFixedPoint(edges, nodes)
+      .select(col("id").as("doc_id"), col("degree"), col("rank").as("rank_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_authority_rank" -> q88 _,
     "q35_exact_dedup_stats" -> q35 _,
     "q36_dedup_keep_first" -> q36 _,
     "q37_jaccard_pairs" -> q37 _,
@@ -266,7 +283,33 @@ object DedupQueries {
        |FROM ex LEFT JOIN wh ON wh.h = ex.h
        |LEFT JOIN cross_near cn ON cn.doc_id = ex.doc_id""".stripMargin
 
+  /** q88 oracle: the pair CTEs + 5 UNROLLED fixed-point PageRank
+    * iterations (recursive CTEs cannot aggregate in the recursive term, so
+    * the fixed iteration count is generated as chained CTEs). Integer ops
+    * mirror [[graft.operators.LinkAnalysis.pageRankFixedPoint]] exactly:
+    * `rank // degree` contributions, `(sum * 85) // 100` damping. */
+  private def authorityRankOracle: String = {
+    val iterCtes = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS (SELECT nd.id, nd.degree, 150000 + COALESCE(s.c, 0) * 85 // 100 AS rank
+         |  FROM nd LEFT JOIN (SELECT ed.dst AS id, SUM($p.rank // $p.degree) AS c
+         |    FROM $p JOIN ed ON ed.src = $p.id WHERE $p.degree > 0
+         |    GROUP BY ed.dst) s ON s.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minHashPairCtes,
+       |np AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM np UNION ALL SELECT id_b, id_a FROM np),
+       |dg AS (SELECT src AS id, COUNT(*) AS degree FROM ed GROUP BY src),
+       |nd AS (SELECT doc_id AS id, COALESCE(dg.degree, 0) AS degree
+       |       FROM documents LEFT JOIN dg ON dg.id = documents.doc_id),
+       |r0 AS (SELECT id, degree, CAST(1000000 AS BIGINT) AS rank FROM nd),
+       |$iterCtes
+       |SELECT id AS doc_id, CAST(degree AS BIGINT) AS degree,
+       |  CAST(rank AS BIGINT) AS rank_e6 FROM r5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q88_authority_rank" -> authorityRankOracle,
     "q38_minhash_lsh" -> minHashLshOracle,
     "q39_simhash" -> simHashOracle,
     "q69_near_dup_components" -> nearDupComponentsOracle,
