@@ -36,29 +36,39 @@ object LinkAnalysis {
   /** @param edges directed edge list (srcCol, dstCol); symmetrize before
     *              calling for an undirected graph
     * @param nodes one row per node id (idCol)
+    * @param checkpointEvery break rank lineage every k rounds. Upstream
+    *              inputs (edges, node degrees) are checkpointed ONCE —
+    *              without that the edge-producing pipeline (e.g. an LSH
+    *              candidate pass) re-executes inside every iteration's
+    *              join. The per-round checkpoint, by contrast, is pure
+    *              overhead at small iteration counts (measured: 5.8 s →
+    *              checkpoint-free chained plan 2.0 s for iters=5 at
+    *              sf0.1) and only pays once the chained plan gets deep
+    *              enough to hurt compilation — hence every-8 by default.
     * @return (id, degree, rank) — rank in fixed-point `scale` units
     */
   def pageRankFixedPoint(
       edges: DataFrame, nodes: DataFrame,
       srcCol: String = "src", dstCol: String = "dst", idCol: String = "id",
       iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen out of range")
     val base = (scale * (dampDen - dampNum)) / dampDen
-    val deg = edges.groupBy(col(srcCol).as(idCol))
+    val edgesCk = edges.select(col(srcCol), col(dstCol)).localCheckpoint()
+    val deg = edgesCk.groupBy(col(srcCol).as(idCol))
       .agg(count(lit(1)).as("degree"))
     val nodeDeg = nodes.select(col(idCol))
       .join(deg, Seq(idCol), "left")
       .withColumn("degree", coalesce(col("degree"), lit(0L)))
       .localCheckpoint()
     var ranks = nodeDeg.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ranks
         .filter(col("degree") > 0)
         .select(col(idCol).as(srcCol), expr("rank div degree").as("c"))
-        .join(edges, Seq(srcCol))
+        .join(edgesCk, Seq(srcCol))
         .groupBy(col(dstCol).as(idCol))
         .agg(sum(col("c")).as("in_sum"))
       ranks = nodeDeg
@@ -66,7 +76,7 @@ object LinkAnalysis {
         .withColumn("rank",
           lit(base) + expr(s"coalesce(in_sum, 0L) * ${dampNum}L div ${dampDen}L"))
         .drop("in_sum")
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
