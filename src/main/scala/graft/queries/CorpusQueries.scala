@@ -17,19 +17,19 @@ object CorpusQueries {
   // Cross-document n-gram novelty: the fraction of a doc's distinct
   // 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id) is
   // this doc — the "how much new text does this doc add" signal used to
-  // prioritize crawl ingestion. Row-local shingle generation
-  // (graft_shingles kernel), one shuffle to the distinct (doc, shingle)
-  // set, one to the per-shingle min, one to the final rollup; the join is
-  // key-colocated with the min aggregate so AQE plans it shuffle-free on
-  // the already-partitioned side.
+  // prioritize crawl ingestion. Per-doc distinctness is ROW-LOCAL
+  // (array_distinct before the explode — a corpus-wide distinct on the
+  // (doc, shingle) pair would shuffle every pair once for nothing), so
+  // the whole query is two shuffles: the per-shingle window min and the
+  // per-doc rollup, which reuses the window's output unchanged. Measured
+  // vs the distinct+groupBy+join shape at the x10 point: 1.36 → 0.99 s.
   private def q79(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"),
-        explode(call_function("graft_shingles", col("text"), lit(3))).as("shingle"))
-      .distinct()
-    val firstSeen = sh.groupBy(col("shingle"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, Seq("shingle"))
+        explode(array_distinct(
+          call_function("graft_shingles", col("text"), lit(3)))).as("shingle"))
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
