@@ -109,14 +109,37 @@ object CorpusQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // Hierarchical subtotals (ROLLUP): per (lang, source), per lang, and
+  // grand total in one pass — Spark plans the three grouping sets as ONE
+  // expand + aggregate (no re-scan per level). The corpus has no NULL
+  // group keys, so subtotal rows are safely labeled via coalesce.
+  private def q89(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"), col("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_ngram_novelty" -> q79 _,
     "q81_source_zscore" -> q81 _,
     "q83_quality_quartiles" -> q83 _,
-    "q85_tfidf_terms" -> q85 _
+    "q85_tfidf_terms" -> q85 _,
+    "q89_rollup_subtotals" -> q89 _
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_rollup_subtotals" ->
+      ("SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "MAX(n_chars) AS max_chars FROM documents " +
+        "GROUP BY ROLLUP(lang, source) ORDER BY lang, source"),
     "q79_ngram_novelty" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), " +

@@ -189,6 +189,18 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  // Pivot (wide activity profile): one row per user, one column per
+  // event type. The value list is EXPLICIT — with it Spark skips the
+  // extra distinct-values job and the output schema is deterministic
+  // (pivot-with-discovery would also order columns by the collation of
+  // whatever values exist). Single shuffle, same as any groupBy.
+  private def q90(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
@@ -196,7 +208,8 @@ object EventQueries {
     "q67_range_join_activity" -> q67 _,
     "q68_quantile_sketch" -> q68 _,
     "q86_event_funnel" -> q86 _,
-    "q87_retention_cohorts" -> q87 _
+    "q87_retention_cohorts" -> q87 _,
+    "q90_event_pivot" -> q90 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,6 +250,14 @@ object EventQueries {
         "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
         "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
         "GROUP BY 1, 2"),
+    "q90_event_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS \"view\" " +
+        "FROM events GROUP BY user_id"),
     "q86_event_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, " +
         "epoch_ns(ts) - epoch_ns(ts) % 1000 AS t FROM events), " +
