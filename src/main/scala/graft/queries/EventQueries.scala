@@ -201,6 +201,28 @@ object EventQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  // Trailing 7-day moving activity per (user, day): RANGE-framed window
+  // over the integer day index — the "rows between" family the tumbling
+  // (q56) and gap (q57) windows don't cover. Money stays in exact
+  // long-cents (a double SUM over a sliding frame would be
+  // addition-order-dependent); one shuffle on user_id, frames evaluated
+  // per partition.
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val perDay = events(s, d)
+      .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"),
+        (col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    perDay
+      .select(col("user_id"), col("day"),
+        col("n_events"),
+        sum(col("n_events")).over(w).as("n_7d"),
+        sum(col("day_cents")).over(w).as("cents_7d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
@@ -209,7 +231,8 @@ object EventQueries {
     "q68_quantile_sketch" -> q68 _,
     "q86_event_funnel" -> q86 _,
     "q87_retention_cohorts" -> q87 _,
-    "q90_event_pivot" -> q90 _
+    "q90_event_pivot" -> q90 _,
+    "q91_moving_window" -> q91 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +273,16 @@ object EventQueries {
         "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
         "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
         "GROUP BY 1, 2"),
+    "q91_moving_window" ->
+      ("WITH pd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(SUM(n_events) OVER w AS BIGINT) AS n_7d, " +
+        "CAST(SUM(day_cents) OVER w AS BIGINT) AS cents_7d " +
+        "FROM pd WINDOW w AS (PARTITION BY user_id ORDER BY day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"),
     "q90_event_pivot" ->
       ("SELECT user_id, " +
         "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
