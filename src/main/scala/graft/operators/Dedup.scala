@@ -163,28 +163,26 @@ object Dedup {
       minHashSignaturesPortable(df, idCol, textCol, numPerms, shingleN),
       sig => bandHashesPortable(sig, numBands, numPerms / numBands))
 
-  /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
-    * verification on candidate pairs. */
-  private def lshVerify(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, maxBucket: Int,
-                        sigs: DataFrame, bandHash: Column => Column): DataFrame = {
-    val tokens = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"))
+  /** Banded signatures with degenerate buckets removed (shared by the
+    * self-join and cross-split candidate generators). */
+  private def boundedBands(sigs: DataFrame, bandHash: Column => Column,
+                           maxBucket: Int): DataFrame = {
     val banded = sigs
       .select(col("id"), posexplode(bandHash(col("sig"))))
       .toDF("id", "band", "bhash")
-    val bounded = banded
+    banded
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val pairs = bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
+  private def verifyPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, pairs: DataFrame): DataFrame = {
+    val tokens = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(normalized(col(textCol)))).as("toks"))
     pairs
       .join(tokens.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(tokens.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -193,6 +191,51 @@ object Dedup {
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"), col("jaccard"))
+  }
+
+  /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
+    * verification on candidate pairs. */
+  private def lshVerify(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, maxBucket: Int,
+                        sigs: DataFrame, bandHash: Column => Column): DataFrame = {
+    val bounded = boundedBands(sigs, bandHash, maxBucket)
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(df, idCol, textCol, threshold, pairs)
+  }
+
+  /** Cross-split LSH: ONLY the candidate pairs that straddle `isLeft` —
+    * the incremental-ingest shape, where a small batch probes the
+    * warehouse and nobody asked about warehouse-internal duplicates.
+    * The full-corpus [[minHashLshPortable]] followed by a crossing filter
+    * generates and Jaccard-verifies every within-side pair first
+    * (~(6/7)²+(1/7)² ≈ 76% wasted work at a 1/7 batch fraction); here the
+    * band join itself is left-vs-right, so within-side candidates never
+    * exist. The bucket bound counts over the UNION (identical exclusion
+    * set to the self-join form), so the output is exactly the crossing
+    * subset of the full pair list. Pairs are normalized id_a < id_b. */
+  def minHashLshPortableCross(df: DataFrame, idCol: String, textCol: String,
+                              isLeft: Column,
+                              numPerms: Int = 32, numBands: Int = 8,
+                              shingleN: Int = 3, threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, numPerms, shingleN)
+    val split = df.select(col(idCol).as("id"), isLeft.as("__left"))
+    val bounded = boundedBands(sigs,
+      sig => bandHashesPortable(sig, numBands, numPerms / numBands), maxBucket)
+      .join(split, Seq("id"))
+    val pairs = bounded.filter(col("__left")).as("a")
+      .join(bounded.filter(!col("__left")).as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    verifyPairs(df, idCol, textCol, threshold, pairs)
   }
 
   /** 64-bit SimHash per doc: bit b of the hash is set iff the sum of ±1

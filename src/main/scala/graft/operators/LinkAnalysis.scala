@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration one join of ranks onto the edge list (both
   * sides hash-partitioned on the source — colocated after the first
   * round) and one groupBy(dst) sum — |E| rows shuffled per round, never
-  * concentrated per component. Lineage is truncated per round with
-  * localCheckpoint like [[ConnectedComponents.minLabel]]; iterations are
-  * a fixed count, so no driver-side convergence polling at all.
+  * concentrated per component. The expensive inputs (edge pipeline, node
+  * degrees) are localCheckpoint'ed once; rank lineage is truncated only
+  * every `checkpointEvery` rounds — i.e. not at all at small iteration
+  * counts, where the chained plan is measured faster (see the param doc).
+  * Iterations are a fixed count, so no driver-side convergence polling.
   *
   * Reference shape: similarity-graph authority scoring for curation
   * ranking (/root/reference/src/analysis/product_stats.py popularity

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -19,17 +19,21 @@ object CorpusQueries {
   // this doc — the "how much new text does this doc add" signal used to
   // prioritize crawl ingestion. Per-doc distinctness is ROW-LOCAL
   // (array_distinct before the explode — a corpus-wide distinct on the
-  // (doc, shingle) pair would shuffle every pair once for nothing), so
-  // the whole query is two shuffles: the per-shingle window min and the
-  // per-doc rollup, which reuses the window's output unchanged. Measured
-  // vs the distinct+groupBy+join shape at the x10 point: 1.36 → 0.99 s.
+  // (doc, shingle) pair would shuffle every pair once for nothing). The
+  // per-shingle min is a partial-aggregating groupBy, NOT a window over
+  // the shingle: a stop-word trigram appears in a constant fraction of a
+  // web corpus, and a window partition has no map-side combine — the hot
+  // key's every occurrence would funnel through one task. The aggregate
+  // combines map-side; the join back is skew-safe under AQE skew-split
+  // (SkewSpec), and the probe side reuses the exploded exchange.
   private def q79(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(
           call_function("graft_shingles", col("text"), lit(3)))).as("shingle"))
-    val w = Window.partitionBy(col("shingle"))
-    sh.withColumn("first_doc", min(col("doc_id")).over(w))
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -45,13 +49,20 @@ object CorpusQueries {
   // exact integers. The per-source stats row is a broadcast (sources are
   // few); no window, no second shuffle.
   private def q81(s: SparkSession, d: String): DataFrame = {
+    // var_num in DECIMAL(38,0): s1² would overflow Long once a source
+    // holds ~3 GB of text (s1 > 3.04e9), and Spark wraps silently.
+    // decimal(38,0) covers the full Long input range (s1² ≤ 8.5e37) with
+    // the same exact integer value, so the tested-scale hashes are
+    // unchanged; the oracle side keeps DuckDB's native HUGEINT sums.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val stats = documents(s, d)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_chars")).as("s1"),
         sum(col("n_chars") * col("n_chars")).as("s2"))
-      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("var_num",
+        dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1")))
     val mean = col("s1").cast("double") / col("n")
     val sd = sqrt(col("var_num").cast("double")) / col("n")
     val z = (col("n_chars") - mean) / sd
@@ -90,8 +101,14 @@ object CorpusQueries {
   // TF-IDF-style salient terms per language: tf = term count within the
   // language, df = number of languages containing the term, score = tf/df
   // (one IEEE division — parity-safe; a log-idf would hang the hash on
-  // transcendental rounding). Top-5 per language, token tie-break. Two
-  // shuffles (token rollup, language window) — both on bounded keys.
+  // transcendental rounding). Top-5 per language, token tie-break.
+  // Two-phase top-k: a language's whole vocabulary in ONE window
+  // partition would serialize the ranking through a handful of straggler
+  // tasks (few languages = giant partitions), so phase 1 takes the top-5
+  // per (lang, token-hash salt) — 64 bounded partitions per language,
+  // fully parallel — and phase 2 ranks only the ≤ 5·64 survivors per
+  // language. The per-lang top-5 is always contained in the union of the
+  // per-salt top-5s, so the output is identical to the one-window form.
   private def q85(s: SparkSession, d: String): DataFrame = {
     val tf = documents(s, d)
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -99,10 +116,15 @@ object CorpusQueries {
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("tf").cast("double").divide(col("df")).desc, col("token"))
+    val score = col("tf").cast("double").divide(col("df"))
+    val w1 = Window.partitionBy(col("lang"), pmod(xxhash64(col("token")), lit(64)))
+      .orderBy(score.desc, col("token"))
+    val w2 = Window.partitionBy(col("lang"))
+      .orderBy(score.desc, col("token"))
     tf.join(df_, Seq("token"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 5)
+      .withColumn("rk", row_number().over(w2).cast("long"))
       .filter(col("rk") <= 5)
       .select(col("lang"), col("rk"), col("token"), col("tf"), col("df"),
         floor(col("tf").cast("double") / col("df") * 1e6).cast("long").as("score_e6"))
@@ -150,9 +172,11 @@ object CorpusQueries {
         "CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
         "AS novelty FROM sh JOIN f ON f.s = sh.s GROUP BY sh.doc_id"),
     "q81_source_zscore" ->
+      // s1/s2 stay HUGEINT (DuckDB's native SUM type) so var_num is exact
+      // for the full Long input range, mirroring the decimal(38,0) Spark side
       ("WITH st AS (SELECT source, COUNT(*) AS n, " +
-        "CAST(SUM(n_chars) AS BIGINT) AS s1, " +
-        "CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2 FROM documents GROUP BY source), " +
+        "SUM(n_chars) AS s1, " +
+        "SUM(n_chars * n_chars) AS s2 FROM documents GROUP BY source), " +
         "sv AS (SELECT source, n, s1, s2, n * s2 - s1 * s1 AS var_num FROM st) " +
         "SELECT d.doc_id, d.source, d.n_chars, " +
         "CASE WHEN sv.var_num > 0 THEN CAST(FLOOR(" +

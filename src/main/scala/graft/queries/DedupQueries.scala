@@ -106,9 +106,13 @@ object DedupQueries {
   // Incremental ingest dedup: a new batch (doc_id % 7 = 0 simulates the
   // day's crawl) is checked against the warehouse (the rest) — exact dups
   // by normalized content hash (broadcast-able distinct hash set) and
-  // near-dups from the LSH candidate pairs that CROSS the batch/warehouse
-  // split. Per batch doc: the dedup decision an ingest pipeline acts on.
-  // At 100 TB the batch side is small — both probes broadcast.
+  // near-dups from the CROSS-SPLIT LSH band join (batch bands probe
+  // warehouse bands only — within-side candidate pairs are never
+  // generated, let alone Jaccard-verified; the full-corpus pair list
+  // would spend ~76% of its verification work on warehouse-internal
+  // pairs nobody asked about). Per batch doc: the dedup decision an
+  // ingest pipeline acts on. At 100 TB the batch side is small — both
+  // probes broadcast.
   private def q84(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val isBatch = (c: org.apache.spark.sql.Column) => pmod(c, lit(7)) === 0
@@ -119,9 +123,9 @@ object DedupQueries {
       .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("h"))
       .join(whHashes, Seq("h"), "left")
       .select(col("doc_id"), col("x").isNotNull.as("is_exact_dup"))
-    val near = Dedup.minHashLshPortable(docs, "doc_id", "text",
+    val near = Dedup.minHashLshPortableCross(docs, "doc_id", "text",
+      isLeft = isBatch(col("doc_id")),
       numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
-      .filter(isBatch(col("id_a")) =!= isBatch(col("id_b")))
       .select(when(isBatch(col("id_a")), col("id_a")).otherwise(col("id_b"))
         .as("doc_id"))
       .groupBy(col("doc_id"))

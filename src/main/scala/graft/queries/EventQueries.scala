@@ -18,6 +18,7 @@ object EventQueries {
 
   private val HourNs = 3600L * 1000 * 1000 * 1000
   private val GapNs = 1800L * 1000 * 1000 * 1000 // 30-minute session gap
+  private val DayNs = 86400L * 1000 * 1000 * 1000
 
   // Tumbling 1-hour windows: per (hour, event_type) counts + exact sums.
   private def q56(s: SparkSession, d: String): DataFrame =
@@ -173,7 +174,6 @@ object EventQueries {
   // on epoch-nanos; two shuffles on user_id (first-day aggregate reuses
   // the event partitioning for the join) plus the small cohort rollup.
   private def q87(s: SparkSession, d: String): DataFrame = {
-    val DayNs = 86400L * 1000 * 1000 * 1000
     // distinct (user, day) FIRST: the raw stream collapses to at most
     // users×days rows before anything joins, and the final count is a
     // plain count (a countDistinct on the joined stream would re-expand
@@ -208,10 +208,13 @@ object EventQueries {
   // addition-order-dependent); one shuffle on user_id, frames evaluated
   // per partition.
   private def q91(s: SparkSession, d: String): DataFrame = {
-    val DayNs = 86400L * 1000 * 1000 * 1000
+    // floor(), not a bare long cast: cast truncates toward zero, so a
+    // negative value (refund) would round differently from the oracle's
+    // FLOOR — latent with today's non-negative generator, divergent the
+    // day real adjustment rows appear
     val perDay = events(s, d)
       .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"),
-        (col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
