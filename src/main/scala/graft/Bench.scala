@@ -195,7 +195,8 @@ object Bench {
       "q74_pii_redaction", "q75_repetition_ratio", "q76_document_chunking",
       "q77_source_mixture", "q79_ngram_novelty", "q81_source_zscore",
       "q83_quality_quartiles", "q85_tfidf_terms", "q86_event_funnel",
-      "q87_retention_cohorts")
+      "q87_retention_cohorts", "q89_rollup_subtotals", "q90_event_pivot",
+      "q91_moving_window")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

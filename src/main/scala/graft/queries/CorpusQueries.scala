@@ -17,27 +17,34 @@ object CorpusQueries {
   // Cross-document n-gram novelty: the fraction of a doc's distinct
   // 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id) is
   // this doc — the "how much new text does this doc add" signal used to
-  // prioritize crawl ingestion. Per-doc distinctness is ROW-LOCAL
-  // (array_distinct before the explode — a corpus-wide distinct on the
-  // (doc, shingle) pair would shuffle every pair once for nothing). The
-  // per-shingle min is a partial-aggregating groupBy, NOT a window over
-  // the shingle: a stop-word trigram appears in a constant fraction of a
-  // web corpus, and a window partition has no map-side combine — the hot
-  // key's every occurrence would funnel through one task. The aggregate
-  // combines map-side; the join back is skew-safe under AQE skew-split
-  // (SkewSpec), and the probe side reuses the exploded exchange.
+  // prioritize crawl ingestion. The decomposition avoids ever joining on
+  // the shingle: n_shingles is the ROW-LOCAL distinct-array size, and
+  // n_novel is a per-doc COUNT over the first-seen table itself (each
+  // shingle's min doc credits exactly one doc) — so the only shuffles
+  // are the partial-aggregating per-shingle min (map-side combine makes
+  // stop-word trigram skew a non-event, unlike a shingle-partitioned
+  // window) and a tiny doc-keyed rollup + left join. Measured at x10:
+  // shingle-join shape 2.79 s, shingle-window shape 0.99 s (fastest but
+  // combiner-less — one straggler task per hot shingle on a real web
+  // corpus), this shape 1.70 s — the skew-safe formulation wins at scale
+  // even though the window wins the unskewed micro-bench.
   private def q79(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
+    val docsSh = documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(
-          call_function("graft_shingles", col("text"), lit(3)))).as("shingle"))
-    val firstSeen = sh.groupBy(col("shingle"))
+        array_distinct(call_function("graft_shingles", col("text"), lit(3)))
+          .as("arr"))
+    val base = docsSh
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val novel = docsSh
+      .select(col("doc_id"), explode(col("arr")).as("shingle"))
+      .groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles"))
   }
