@@ -90,4 +90,76 @@ object StreamingSessions {
         col(pUser) === col(cUser) &&
           col(cTs) >= col(pTs) - expr(s"interval $lookback") &&
           col(cTs) <= col(pTs))
+
+  /** Per-user funnel progress: epoch-ms of the first view, the first
+    * click strictly after it, the first purchase strictly after that;
+    * −1 = stage not reached. */
+  final case class FunnelProgress(viewT: Long, clickT: Long, purchaseT: Long)
+
+  /** One emitted funnel advance (Append mode — a user appears once per
+    * micro-batch in which a stage advanced). */
+  final case class FunnelUpdate(user_id: Long, view_t: Long, click_t: Long,
+                                purchase_t: Long, stage: String)
+
+  /** Streaming ordered funnel — q86's streaming twin, as the keyed state
+    * machine `flatMapGroupsWithState` exists for: per user the state is
+    * three epoch-ms slots, advanced in event order, emitted only when a
+    * stage advances. State is evicted by an event-time timeout `idleMs`
+    * past the watermark, so memory holds only users active within the
+    * idle horizon — a forever-running stream never accumulates the full
+    * user base. Out-of-order events inside a micro-batch are sorted
+    * before applying; ordering across batches is the watermark's
+    * contract (same as every streaming aggregate here).
+    */
+  def streamingFunnel(events: DataFrame, tsCol: String, userCol: String,
+                      typeCol: String, idleMs: Long = 3600000L,
+                      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        col(tsCol).cast("timestamp").as("t"),
+        col(typeCol).cast("string").as("e"))
+      // watermark AFTER the cast projection — a watermark tagged before a
+      // select that rewrites the column does not survive the new attribute
+      .withWatermark("t", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
+            val before = st
+            val ordered = rows.toSeq.sortBy(_._2.getTime)
+            ordered.foreach { case (_, ts, e) =>
+              val t = ts.getTime
+              e match {
+                case "view" if st.viewT < 0 =>
+                  st = st.copy(viewT = t)
+                case "click" if st.viewT >= 0 && st.clickT < 0 && t > st.viewT =>
+                  st = st.copy(clickT = t)
+                case "purchase" if st.clickT >= 0 && st.purchaseT < 0 && t > st.clickT =>
+                  st = st.copy(purchaseT = t)
+                case _ => // stage already reached, or out of sequence
+              }
+            }
+            state.update(st)
+            // idle horizon counts from the user's OWN latest event, not the
+            // global watermark: in the first micro-batch the watermark is
+            // still 0, and watermark+idle would be an epoch-1970 timeout
+            // that expires the state before the next batch arrives
+            state.setTimeoutTimestamp(
+              math.max(ordered.last._2.getTime + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            if (st != before)
+              Iterator(FunnelUpdate(user, st.viewT, st.clickT, st.purchaseT,
+                if (st.purchaseT >= 0) "purchase"
+                else if (st.clickT >= 0) "click" else "view"))
+            else Iterator.empty
+          }
+      }
+  }
 }

@@ -116,4 +116,38 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(wins.count(_.getLong(1) == 1L) >= 2,
       s"event must appear in both overlapping windows: ${wins.toSeq}")
   }
+
+  test("streamingFunnel: stages advance in order across micro-batches; " +
+    "out-of-sequence events never advance (q86 streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingSessions.streamingFunnel(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 clicks BEFORE any view (must not advance), then views;
+    //          user 2 views
+    input.addData((ts(0), 1L, "click"), (ts(1), 1L, "view"), (ts(1), 2L, "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks after the view, user 2 purchases with no click
+    // (must not advance past view)
+    input.addData((ts(2), 1L, "click"), (ts(2), 2L, "purchase"))
+    q.processAllAvailable()
+    // batch 3: user 1 completes; the purchase strictly after the click
+    input.addData((ts(3), 1L, "purchase"))
+    q.processAllAvailable()
+    val out = spark.table("funnel")
+      .select($"user_id", $"stage", $"view_t", $"click_t", $"purchase_t")
+      .as[(Long, String, Long, Long, Long)].collect()
+    q.stop()
+    val u1 = out.filter(_._1 == 1L).map(_._2).toSeq
+    assert(u1 == Seq("view", "click", "purchase"),
+      s"user 1 advances one stage per batch: $out")
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSeq == Seq("view"),
+      s"user 2 must not reach purchase without a click: $out")
+    val done = out.find(r => r._1 == 1L && r._2 == "purchase").get
+    assert(done._3 < done._4 && done._4 < done._5, "strict time ordering")
+  }
 }
