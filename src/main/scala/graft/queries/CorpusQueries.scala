@@ -56,20 +56,23 @@ object CorpusQueries {
   // exact integers. The per-source stats row is a broadcast (sources are
   // few); no window, no second shuffle.
   private def q81(s: SparkSession, d: String): DataFrame = {
-    // var_num in DECIMAL(38,0): s1² would overflow Long once a source
-    // holds ~3 GB of text (s1 > 3.04e9), and Spark wraps silently.
-    // decimal(38,0) covers the full Long input range (s1² ≤ 8.5e37) with
-    // the same exact integer value, so the tested-scale hashes are
-    // unchanged; the oracle side keeps DuckDB's native HUGEINT sums.
+    // All squared terms in DECIMAL(38,0), starting at the PER-ROW square:
+    // n_chars² wraps Long for a single ~3e9-char doc, and Σ n_chars²
+    // wraps for ~9 TB of text in one source — both silent in non-ANSI
+    // Spark. decimal(38,0) covers the full Long input range (s1² ≤
+    // 8.5e37) with the same exact integer values, so tested-scale hashes
+    // are unchanged; the oracle side keeps DuckDB's native HUGEINT sums
+    // (which are exact per-row too). s1 itself stays Long — it cannot
+    // overflow below 9 exabytes of text per source.
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val stats = documents(s, d)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
+        sum(dec(col("n_chars")) * dec(col("n_chars"))).as("s2"))
       .withColumn("var_num",
-        dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1")))
+        dec(col("n")) * col("s2") - dec(col("s1")) * dec(col("s1")))
     val mean = col("s1").cast("double") / col("n")
     val sd = sqrt(col("var_num").cast("double")) / col("n")
     val z = (col("n_chars") - mean) / sd

@@ -214,7 +214,7 @@ object EventQueries {
     // day real adjustment rows appear
     val perDay = events(s, d)
       .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        floor(col("value") * 100 + lit(0.5)).as("cents"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -226,7 +226,25 @@ object EventQueries {
         sum(col("day_cents")).over(w).as("cents_7d"))
   }
 
+  // Event transition matrix (first-order Markov counts): how often each
+  // event type follows each other type within a user's timeline — the
+  // path-analysis primitive behind "what happens after an error".
+  // One user-keyed window (lag over the µs grid with event_id tie-break,
+  // same total order as q57's sessionization) + a 25-row rollup.
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(1000L))).cast("long").as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_event_transitions" -> q92 _,
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
@@ -276,6 +294,15 @@ object EventQueries {
         "FROM err LEFT JOIN e f ON f.user_id = err.user_id " +
         "AND f.t > err.t AND f.t <= err.t + 1800000000000 " +
         "GROUP BY 1, 2"),
+    "q92_event_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_ns(ts) - epoch_ns(ts) % 1000 AS t FROM events), " +
+        "lagged AS (SELECT event_type AS next_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_type " +
+        "FROM e) " +
+        "SELECT prev_type, next_type, COUNT(*) AS n FROM lagged " +
+        "WHERE prev_type IS NOT NULL " +
+        "GROUP BY prev_type, next_type ORDER BY prev_type, next_type"),
     "q91_moving_window" ->
       ("WITH pd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, " +
         "COUNT(*) AS n_events, " +

@@ -93,8 +93,12 @@ object StreamingSessions {
 
   /** Per-user funnel progress: epoch-ms of the first view, the first
     * click strictly after it, the first purchase strictly after that;
-    * −1 = stage not reached. */
-  final case class FunnelProgress(viewT: Long, clickT: Long, purchaseT: Long)
+    * −1 = stage not reached. `maxT` tracks the user's latest event seen
+    * across ALL batches — the idle timeout anchors to it, so a late
+    * (but within-watermark) straggler cannot pull an already-set timeout
+    * earlier and evict mid-funnel state. */
+  final case class FunnelProgress(viewT: Long, clickT: Long,
+                                  purchaseT: Long, maxT: Long)
 
   /** One emitted funnel advance (Append mode — a user appears once per
     * micro-batch in which a stage advanced). */
@@ -131,8 +135,9 @@ object StreamingSessions {
         case (user, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
-            val before = st
+            val before = state.getOption
+              .getOrElse(FunnelProgress(-1L, -1L, -1L, -1L))
+            var st = before
             val ordered = rows.toSeq.sortBy(_._2.getTime)
             ordered.foreach { case (_, ts, e) =>
               val t = ts.getTime
@@ -146,15 +151,18 @@ object StreamingSessions {
                 case _ => // stage already reached, or out of sequence
               }
             }
+            // idle horizon counts from the user's latest event EVER (a late
+            // straggler in this batch must not pull the timeout earlier),
+            // not the global watermark: in the first micro-batch the
+            // watermark is still 0, and watermark+idle would be an
+            // epoch-1970 timeout expiring the state before the next batch
+            st = st.copy(maxT = math.max(before.maxT, ordered.last._2.getTime))
             state.update(st)
-            // idle horizon counts from the user's OWN latest event, not the
-            // global watermark: in the first micro-batch the watermark is
-            // still 0, and watermark+idle would be an epoch-1970 timeout
-            // that expires the state before the next batch arrives
             state.setTimeoutTimestamp(
-              math.max(ordered.last._2.getTime + idleMs,
-                state.getCurrentWatermarkMs() + 1))
-            if (st != before)
+              math.max(st.maxT + idleMs, state.getCurrentWatermarkMs() + 1))
+            val advanced = (st.viewT, st.clickT, st.purchaseT) !=
+              ((before.viewT, before.clickT, before.purchaseT))
+            if (advanced)
               Iterator(FunnelUpdate(user, st.viewT, st.clickT, st.purchaseT,
                 if (st.purchaseT >= 0) "purchase"
                 else if (st.clickT >= 0) "click" else "view"))

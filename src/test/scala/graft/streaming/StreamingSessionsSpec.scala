@@ -137,9 +137,13 @@ class StreamingSessionsSpec extends SparkSpec {
     // batch 3: user 1 completes; the purchase strictly after the click
     input.addData((ts(3), 1L, "purchase"))
     q.processAllAvailable()
+    // memory-sink row order across batches is not contractual — order by
+    // the stage times (later stages have more slots filled, and -1 sorts
+    // before any real timestamp)
     val out = spark.table("funnel")
       .select($"user_id", $"stage", $"view_t", $"click_t", $"purchase_t")
       .as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3, r._4, r._5))
     q.stop()
     val u1 = out.filter(_._1 == 1L).map(_._2).toSeq
     assert(u1 == Seq("view", "click", "purchase"),
