@@ -196,7 +196,7 @@ object Bench {
       "q77_source_mixture", "q79_ngram_novelty", "q81_source_zscore",
       "q83_quality_quartiles", "q85_tfidf_terms", "q86_event_funnel",
       "q87_retention_cohorts", "q89_rollup_subtotals", "q90_event_pivot",
-      "q91_moving_window")
+      "q91_moving_window", "q92_event_transitions")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
