@@ -41,6 +41,29 @@ class GlobalRankSpec extends SparkSpec {
     assert(mismatch === 0L)
   }
 
+  test("randomized datasets with ties, negatives and nulls match the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 137
+      // heavy ties (values mod 7), negatives, and ~10% nulls in the sort key
+      val rows = (1 to n).map { i =>
+        val v: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(7).toLong - 3)
+        (i.toLong, v)
+      }
+      val df = rows.toDF("id", "k")
+      val viaOp = GlobalRank.withGlobalRank(df, "rk", col("k").desc, col("id"))
+      val viaWindow = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+      assert(viaOp.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaOp).isEmpty,
+        s"trial $trial: rank mismatch vs window row_number")
+    }
+  }
+
   test("plan has no single-partition exchange") {
     val ranked = GlobalRank.withGlobalRank(
       docs.select(col("doc_id")), "rk", col("doc_id"))
