@@ -57,6 +57,9 @@ object LinkAnalysis {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen out of range")
+    // 0 would throw ArithmeticException at `i % checkpointEvery`; negative
+    // would silently disable checkpointing
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val base = (scale * (dampDen - dampNum)) / dampDen
     val edgesCk = edges.select(col(srcCol), col(dstCol)).localCheckpoint()
     val deg = edgesCk.groupBy(col(srcCol).as(idCol))

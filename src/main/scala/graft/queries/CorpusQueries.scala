@@ -29,10 +29,16 @@ object CorpusQueries {
   // corpus), this shape 1.70 s — the skew-safe formulation wins at scale
   // even though the window wins the unskewed micro-bench.
   private def q79(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the two consumers below (row-local n_shingles and
+    // the exploded first-seen branch) are separate plan branches — without
+    // materialization the tokenize + graft_shingles + array_distinct pass
+    // over the whole corpus runs TWICE (same pattern as LinkAnalysis's
+    // checkpointed edge list)
     val docsSh = documents(s, d)
       .select(col("doc_id"),
         array_distinct(call_function("graft_shingles", col("text"), lit(3)))
           .as("arr"))
+      .localCheckpoint(true)
     val base = docsSh
       .select(col("doc_id"), size(col("arr")).cast("long").as("n_shingles"))
       .filter(col("n_shingles") > 0)

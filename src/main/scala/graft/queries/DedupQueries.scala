@@ -71,7 +71,11 @@ object DedupQueries {
       numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = documents(s, d).select(col("doc_id").as("id"))
-    val comps = graft.operators.ConnectedComponents.minLabel(pairs, nodes)
+    // `auto`, not `minLabel`: a long chain of paraphrases (graph diameter
+    // past the round budget) would make plain min-label silently return
+    // split clusters with only a log warning; auto falls back to the
+    // diameter-independent star alternation (VERDICT r3 item 2).
+    val comps = graft.operators.ConnectedComponents.auto(pairs, nodes)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
     comps.select(col("id").as("doc_id"), col("component"))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -89,7 +93,8 @@ object DedupQueries {
       numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = documents(s, d).select(col("doc_id").as("id"))
-    val kept = graft.operators.ConnectedComponents.minLabel(pairs, nodes)
+    // auto (not minLabel) for the same high-diameter safety as q69.
+    val kept = graft.operators.ConnectedComponents.auto(pairs, nodes)
       .filter(col("id") === col("component"))
       .select(col("id").as("doc_id"), lit(1L).as("keep"))
     documents(s, d)

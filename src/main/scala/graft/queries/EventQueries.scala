@@ -199,7 +199,10 @@ object EventQueries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivot output columns: an unqualified fill(0L) would
+      // also rewrite a null user_id to user 0 (colliding with a real user)
+      // while the oracle keeps the NULL group row
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   // Trailing 7-day moving activity per (user, day): RANGE-framed window
   // over the integer day index — the "rows between" family the tumbling
