@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.MiscQueries.queries ++
       graft.queries.TrainingQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.ScalarOpsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.MiscQueries.oracle ++
       graft.queries.TrainingQueries.oracle ++
       graft.queries.EventQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.ScalarOpsQueries.oracle
 }

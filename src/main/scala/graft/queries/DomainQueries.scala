@@ -153,11 +153,76 @@ object DomainQueries {
     graft.export.TrainingExport.exportStatsByCategory(records, ExportSystemPrompt)
   }
 
+  // P5 — the JSONL WRITER itself, oracle-checked per line (VERDICT r3
+  // item 4): md5 + byte length of every emitted line, keyed by part. The
+  // DuckDB oracle rebuilds each three-message line character-exactly (same
+  // reconstruction q73 uses for lengths, here hashed), so any drift in
+  // json4s escaping, the indent-2 user template, or Jackson's pretty
+  // rendering of the assistant JSON hash-fails the row.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cat = element_at(array(lit("bottom"), lit("top"), lit("footwear")),
+      (pmod(col("p_partkey"), lit(3)) + 1).cast("int"))
+    part(s, d).select(
+      col("p_partkey"),
+      format_string("""{"category": "%s", "fit": "slim"}""", cat).as("corrected_tags"),
+      col("p_name").as("product_name"),
+      cat.as("category"),
+      col("p_type").as("description"),
+      col("p_brand").as("brand_name"))
+      .as[(Long, String, String, String, String, String)]
+      .map { case (k, tags, name, c, desc, brand) =>
+        (k, graft.export.TrainingExport.buildExampleJson(
+          ExportSystemPrompt, tags, Option(name), Option(c), Option(desc),
+          Option(brand)))
+      }
+      .toDF("product_id", "line")
+      .select(col("product_id"), md5(col("line")).as("line_md5"),
+        length(col("line")).cast("long").as("line_len"))
+      .orderBy(col("product_id"))
+  }
+
+  // P6 — validate_training_data.py:40-126 over a deterministic mix of
+  // valid and broken examples (missing required tags, empty
+  // style_identity list, blank formality, a footwear-path line). The
+  // oracle re-derives every error string — including the "Line N:"
+  // prefixes — from the p_partkey%5 construction rule.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = pmod(col("p_partkey"), lit(5))
+    val tags = when(m === 0, lit(
+      """{"style_identity": ["classic"], "fit": "slim", "formality": "casual", "length": "regular", "context": "daily", "pairing_tags": ["jeans"]}"""))
+      .when(m === 1, lit("""{"style_identity": ["classic"], "formality": "casual"}"""))
+      .when(m === 2, lit("""{"style_identity": [], "fit": "slim", "formality": "casual", "length": "regular"}"""))
+      .when(m === 3, lit("""{"style_identity": ["classic"], "fit": "slim", "formality": " ", "length": "regular"}"""))
+      .otherwise(lit("""{"shoe_type": "boots", "profile": "low", "formality": "casual"}"""))
+    val cat = when(m === 4, lit("shoes")).otherwise(lit("top"))
+    val lines = part(s, d).select(
+      col("p_partkey"), tags.as("corrected_tags"),
+      col("p_name").as("product_name"), cat.as("category"),
+      col("p_type").as("description"), col("p_brand").as("brand_name"))
+      .as[(Long, String, String, String, String, String)]
+      .map { case (k, t, name, c, desc, brand) =>
+        (k, graft.export.TrainingExport.buildExampleJson(
+          ExportSystemPrompt, t, Option(name), Option(c), Option(desc),
+          Option(brand)))
+      }
+    graft.export.TrainingValidate.validateNumbered(lines)
+      .select(
+        col("line_num"),
+        size(col("errors")).cast("long").as("n_errors"),
+        size(col("warnings")).cast("long").as("n_warnings"),
+        array_join(col("errors"), " | ").as("errors_joined"))
+      .orderBy(col("line_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_pipeline" -> q44 _,
     "q45_variant_representatives" -> q45 _,
     "q49_curation_patch" -> q49 _,
-    "q73_export_cost_stats" -> q73 _
+    "q73_export_cost_stats" -> q73 _,
+    "q93_export_jsonl_lines" -> q93 _,
+    "q94_export_validation" -> q94 _
   )
 
   /** Generated oracle for q44: the synthetic response per part is fully
@@ -258,9 +323,58 @@ object DomainQueries {
        |GROUP BY category
        |ORDER BY category""".stripMargin
 
+  /** q93 oracle: the q73 line reconstruction, keyed per part and hashed —
+    * md5 over the character-exact rebuild pins the writer's bytes. */
+  private def exportLinesOracle: String =
+    s"""WITH rec AS (
+       |  SELECT p_partkey,
+       |         CASE p_partkey%3 WHEN 0 THEN 'bottom' WHEN 1 THEN 'top'
+       |              ELSE 'footwear' END AS category,
+       |         p_name, p_type, p_brand
+       |  FROM part),
+       |lines AS (
+       |  SELECT p_partkey,
+       |    '{"messages":[{"role":"system","content":' ||
+       |    CAST(to_json('$ExportSystemPrompt') AS VARCHAR) ||
+       |    '},{"role":"user","content":' ||
+       |    CAST(to_json('{' || chr(10) ||
+       |      '  "title": ' || CAST(to_json(p_name) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "category": ' || CAST(to_json(category) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "description": ' || CAST(to_json(p_type) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "brand": ' || CAST(to_json(p_brand) AS VARCHAR) || chr(10) ||
+       |      '}') AS VARCHAR) ||
+       |    '},{"role":"assistant","content":' ||
+       |    CAST(to_json('{' || chr(10) ||
+       |      '  "category" : ' || CAST(to_json(category) AS VARCHAR) || ',' || chr(10) ||
+       |      '  "fit" : "slim"' || chr(10) ||
+       |      '}') AS VARCHAR) ||
+       |    '}]}' AS line
+       |  FROM rec)
+       |SELECT p_partkey AS product_id, md5(line) AS line_md5,
+       |       CAST(length(line) AS BIGINT) AS line_len
+       |FROM lines ORDER BY product_id""".stripMargin
+
+  /** q94 oracle: every validation outcome — counts AND the exact error
+    * strings with their "Line N:" prefixes — re-derived from the
+    * p_partkey%5 construction rule. */
+  private def exportValidationOracle: String =
+    """SELECT p_partkey AS line_num,
+      |  CAST(CASE p_partkey%5 WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 1
+      |       ELSE 0 END AS BIGINT) AS n_errors,
+      |  CAST(CASE WHEN p_partkey%5 = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_warnings,
+      |  CASE p_partkey%5
+      |    WHEN 1 THEN 'Line ' || p_partkey || ': Missing required tag ''fit'' | Line '
+      |                 || p_partkey || ': Missing required tag ''length'''
+      |    WHEN 2 THEN 'Line ' || p_partkey || ': ''style_identity'' must be non-empty list'
+      |    WHEN 3 THEN 'Line ' || p_partkey || ': ''formality'' must be non-empty string'
+      |    ELSE '' END AS errors_joined
+      |FROM part ORDER BY line_num""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q44_tag_pipeline" -> tagPipelineOracle,
     "q73_export_cost_stats" -> exportCostOracle,
+    "q93_export_jsonl_lines" -> exportLinesOracle,
+    "q94_export_validation" -> exportValidationOracle,
     "q49_curation_patch" ->
       ("SELECT CAST(p_partkey AS VARCHAR) AS product_id, " +
         "'extra' AS remaining_tag, t AS deleted_value, 'slim' AS fit, " +
