@@ -26,8 +26,10 @@ object CorpusQueries {
   // window) and a tiny doc-keyed rollup + left join. Measured at x10:
   // shingle-join shape 2.79 s, shingle-window shape 0.99 s (fastest but
   // combiner-less — one straggler task per hot shingle on a real web
-  // corpus), this shape 1.70 s — the skew-safe formulation wins at scale
-  // even though the window wins the unskewed micro-bench.
+  // corpus), this shape 1.70 s in r3 — of which the shingling pass ran
+  // TWICE (two plan branches); with the r4 localCheckpoint it reads
+  // 0.82-1.06 s, at parity with the window shape while keeping the
+  // map-side combine that survives hot-shingle skew.
   private def q79(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: the two consumers below (row-local n_shingles and
     // the exploded first-seen branch) are separate plan branches — without
