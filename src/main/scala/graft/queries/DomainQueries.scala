@@ -216,13 +216,84 @@ object DomainQueries {
       .orderBy(col("line_num"))
   }
 
+  // D3 — infer_error_types (tag_comparison.py:160-224) + the X16 change
+  // summary, driven through the real computeTagChanges diff on typed maps.
+  // Seven residue classes cover every error rule: no-change, overtagging
+  // (2 list removals), undertagging (2 list additions), construction
+  // removal, fit modification, the 4-change low_confidence trigger, and
+  // an UNKNOWN category diffed by shape inference.
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.policy.TagDiff
+    part(s, d).select(col("p_partkey")).as[Long].map { k =>
+      val v = s"s${k % 7}"
+      val (orig, corr): (Map[String, Any], Map[String, Any]) = (k % 7) match {
+        case 0 => (Map("fit" -> "slim", "style_identity" -> Seq("keep")),
+          Map("fit" -> "slim", "style_identity" -> Seq("keep")))
+        case 1 => (Map("style_identity" -> Seq(s"a$v", s"b$v", "keep")),
+          Map("style_identity" -> Seq("keep")))
+        case 2 => (Map("style_identity" -> Seq("keep")),
+          Map("style_identity" -> Seq("keep", s"x$v", s"y$v")))
+        case 3 => (Map("construction_details" -> Seq(s"c$v")),
+          Map.empty[String, Any])
+        case 4 => (Map("fit" -> "slim"), Map("fit" -> "baggy"))
+        case 5 => (Map("fit" -> "slim", "formality" -> "casual",
+          "pairing_tags" -> Seq("p1")),
+          Map("fit" -> "baggy", "formality" -> "formal",
+            "context" -> Seq("c9")))
+        case _ => (Map("material" -> Seq("wool")),
+          Map("material" -> Seq("wool", "silk")))
+      }
+      val ch = TagDiff.computeTagChanges(orig, corr)
+      (k, ch.added.mkString(","), ch.removed.mkString(","),
+        ch.unchanged.mkString(","),
+        TagDiff.inferErrorTypes(ch).mkString(","),
+        TagDiff.changeSummary(ch))
+    }.toDF("part_id", "added", "removed", "unchanged", "error_types",
+      "change_summary")
+      .orderBy(col("part_id"))
+  }
+
+  // X18 — _format_curator_feedback (export_training_data.py:40-96): the
+  // CURATOR FEEDBACK block as it lands in the system message, one
+  // feedback shape per residue (deleted with reason, added without,
+  // modified with reason, none). Extracted from the REAL emitted line via
+  // get_json_object so the whole P5 path runs.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = pmod(col("p_partkey"), lit(4))
+    val tags = when(m === 0, lit("""{"fit": "slim"}"""))
+      .when(m === 1, lit(
+        """{"fit": "slim", "deleted_tags": {"style_identity": [{"value": "vintage", "reason": "too generic"}]}}"""))
+      .when(m === 2, lit(
+        """{"fit": "slim", "added_tags": {"fit": [{"tag": "slim"}]}}"""))
+      .otherwise(lit(
+        """{"fit": "slim", "modified_tags": {"formality": {"from": "casual", "to": "formal", "reason": "dressier"}}}"""))
+    val lines = part(s, d).select(
+      col("p_partkey"), tags.as("corrected_tags"),
+      col("p_name").as("product_name"), lit("top").as("category"),
+      col("p_type").as("description"), col("p_brand").as("brand_name"))
+      .as[(Long, String, String, String, String, String)]
+      .map { case (k, t, name, c, desc, brand) =>
+        (k, graft.export.TrainingExport.buildExampleJson(
+          ExportSystemPrompt, t, Option(name), Option(c), Option(desc),
+          Option(brand)))
+      }
+      .toDF("part_id", "line")
+    lines.select(col("part_id"),
+      get_json_object(col("line"), "$.messages[0].content").as("system_content"))
+      .orderBy(col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_pipeline" -> q44 _,
     "q45_variant_representatives" -> q45 _,
     "q49_curation_patch" -> q49 _,
     "q73_export_cost_stats" -> q73 _,
     "q93_export_jsonl_lines" -> q93 _,
-    "q94_export_validation" -> q94 _
+    "q94_export_validation" -> q94 _,
+    "q100_error_classify" -> q100 _,
+    "q102_curator_feedback" -> q102 _
   )
 
   /** Generated oracle for q44: the synthetic response per part is fully
@@ -370,11 +441,59 @@ object DomainQueries {
       |    ELSE '' END AS errors_joined
       |FROM part ORDER BY line_num""".stripMargin
 
+  /** q100 oracle: every diff list, error set, and summary string restated
+    * per residue class (the diff inputs are pure functions of
+    * p_partkey%7, and TagChanges sorts its lists). */
+  private def errorClassifyOracle: String =
+    """SELECT p_partkey AS part_id,
+      |  CASE p_partkey%7 WHEN 2 THEN 'style_identity:xs2,style_identity:ys2'
+      |    WHEN 5 THEN 'context:c9' WHEN 6 THEN 'material:silk'
+      |    ELSE '' END AS added,
+      |  CASE p_partkey%7 WHEN 1 THEN 'style_identity:as1,style_identity:bs1'
+      |    WHEN 3 THEN 'construction_details:cs3' WHEN 5 THEN 'pairing_tags:p1'
+      |    ELSE '' END AS removed,
+      |  CASE p_partkey%7 WHEN 0 THEN 'fit:slim,style_identity:keep'
+      |    WHEN 1 THEN 'style_identity:keep' WHEN 2 THEN 'style_identity:keep'
+      |    WHEN 6 THEN 'material:wool' ELSE '' END AS unchanged,
+      |  CASE p_partkey%7 WHEN 1 THEN 'overtagging,wrong_style_identity'
+      |    WHEN 2 THEN 'undertagging,wrong_style_identity'
+      |    WHEN 3 THEN 'wrong_construction' WHEN 4 THEN 'wrong_fit'
+      |    WHEN 5 THEN 'low_confidence,wrong_fit,wrong_formality'
+      |    ELSE '' END AS error_types,
+      |  CASE p_partkey%7
+      |    WHEN 1 THEN 'Removed: style_identity:as1, style_identity:bs1'
+      |    WHEN 2 THEN 'Added: style_identity:xs2, style_identity:ys2'
+      |    WHEN 3 THEN 'Removed: construction_details:cs3'
+      |    WHEN 4 THEN 'Modified: fit: slim → baggy'
+      |    WHEN 5 THEN 'Added: context:c9; Removed: pairing_tags:p1; Modified: fit: slim → baggy, formality: casual → formal'
+      |    WHEN 6 THEN 'Added: material:silk'
+      |    ELSE '' END AS change_summary
+      |FROM part ORDER BY part_id""".stripMargin
+
+  /** q102 oracle: the system-message content — prompt plus the CURATOR
+    * FEEDBACK block — rebuilt line by line per feedback shape. */
+  private def curatorFeedbackOracle: String =
+    s"""SELECT p_partkey AS part_id,
+       |  CASE p_partkey%4
+       |    WHEN 0 THEN '$ExportSystemPrompt'
+       |    WHEN 1 THEN '$ExportSystemPrompt' || chr(10) || chr(10) ||
+       |      'CURATOR FEEDBACK' || chr(10) ||
+       |      '- Removed ''vintage'' from style_identity: too generic'
+       |    WHEN 2 THEN '$ExportSystemPrompt' || chr(10) || chr(10) ||
+       |      'CURATOR FEEDBACK' || chr(10) || '- Added ''slim'' to fit'
+       |    ELSE '$ExportSystemPrompt' || chr(10) || chr(10) ||
+       |      'CURATOR FEEDBACK' || chr(10) ||
+       |      '- Changed formality from ''casual'' to ''formal'': dressier'
+       |  END AS system_content
+       |FROM part ORDER BY part_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q44_tag_pipeline" -> tagPipelineOracle,
     "q73_export_cost_stats" -> exportCostOracle,
     "q93_export_jsonl_lines" -> exportLinesOracle,
     "q94_export_validation" -> exportValidationOracle,
+    "q100_error_classify" -> errorClassifyOracle,
+    "q102_curator_feedback" -> curatorFeedbackOracle,
     "q49_curation_patch" ->
       ("SELECT CAST(p_partkey AS VARCHAR) AS product_id, " +
         "'extra' AS remaining_tag, t AS deleted_value, 'slim' AS fit, " +

@@ -110,11 +110,48 @@ object ScalarOpsQueries {
       .orderBy(col("part_id"))
   }
 
+  // F10 row-validation filter (zara_extractor.py:478-487,538-543) through
+  // the REAL Pipeline.validProducts operator: drop rows lacking a name, or
+  // lacking both images and a price. Residues synthesize every drop
+  // reason: null name (%5=0), whitespace-only name (%5=1), and the
+  // images-AND-price-both-missing conjunction (%3=0 ∧ %4=0).
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = part(s, d).select(
+      k.as("part_id"),
+      when(pmod(k, lit(5)) === 0, lit(null).cast("string"))
+        .when(pmod(k, lit(5)) === 1, lit("   "))
+        .otherwise(col("p_name")).as("name"),
+      when(pmod(k, lit(3)) === 0, array().cast("array<string>"))
+        .otherwise(array(lit("img1"))).as("image_urls"),
+      when(pmod(k, lit(4)) === 0, lit(null).cast("double"))
+        .otherwise(lit(9.99)).as("price_current"))
+    graft.etl.Pipeline.validProducts(raw)
+      .select(col("part_id"), col("name"))
+      .orderBy(col("part_id"))
+  }
+
+  // E3 sizes→struct-array migration (docs/supabase_schema.sql:94-98),
+  // emitted through to_json so the oracle can hash the exact shape.
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val sizes = when(pmod(k, lit(6)) === 0, array().cast("array<string>"))
+      .otherwise(array(
+        concat(lit("S"), pmod(k, lit(3)).cast("string")), lit("M"),
+        concat(lit("L"), pmod(k, lit(2)).cast("string"))))
+    part(s, d).select(
+      k.as("part_id"),
+      to_json(ColumnOps.sizesToStructArray(sizes)).as("sizes_json"))
+      .orderBy(col("part_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_clean_discount" -> q95 _,
     "q96_array_pick_ops" -> q96 _,
     "q97_category_mapping" -> q97 _,
-    "q98_embedding_text" -> q98 _
+    "q98_embedding_text" -> q98 _,
+    "q99_product_validation" -> q99 _,
+    "q101_sizes_struct_json" -> q101 _
   )
 
   /** q95: cleaning re-derived with DuckDB regexes (the 'g' flag matters —
@@ -211,10 +248,31 @@ object ScalarOpsQueries {
       |    || p_partkey || '.jpg' AS storage_url
       |FROM part ORDER BY part_id""".stripMargin
 
+  /** q99: the keep-condition restated in SQL over the residue rules. */
+  private def productValidationOracle: String =
+    """SELECT p_partkey AS part_id, p_name AS name
+      |FROM part
+      |WHERE p_partkey%5 NOT IN (0, 1)
+      |  AND NOT (p_partkey%3 = 0 AND p_partkey%4 = 0)
+      |ORDER BY part_id""".stripMargin
+
+  /** q101: Spark to_json on array<struct<size,available>> renders
+    * `[{"size":"S0","available":true},...]` — rebuilt literally. */
+  private def sizesStructOracle: String =
+    """SELECT p_partkey AS part_id,
+      |  CASE WHEN p_partkey%6 = 0 THEN '[]'
+      |       ELSE '[{"size":"S' || (p_partkey%3) || '","available":true},'
+      |         || '{"size":"M","available":true},'
+      |         || '{"size":"L' || (p_partkey%2) || '","available":true}]'
+      |  END AS sizes_json
+      |FROM part ORDER BY part_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q95_clean_discount" -> cleanDiscountOracle,
     "q96_array_pick_ops" -> arrayPickOracle,
     "q97_category_mapping" -> categoryMappingOracle,
-    "q98_embedding_text" -> embeddingTextOracle
+    "q98_embedding_text" -> embeddingTextOracle,
+    "q99_product_validation" -> productValidationOracle,
+    "q101_sizes_struct_json" -> sizesStructOracle
   )
 }
