@@ -179,7 +179,6 @@ object DomainQueries {
       .toDF("product_id", "line")
       .select(col("product_id"), md5(col("line")).as("line_md5"),
         length(col("line")).cast("long").as("line_len"))
-      .orderBy(col("product_id"))
   }
 
   // P6 — validate_training_data.py:40-126 over a deterministic mix of
@@ -213,7 +212,6 @@ object DomainQueries {
         size(col("errors")).cast("long").as("n_errors"),
         size(col("warnings")).cast("long").as("n_warnings"),
         array_join(col("errors"), " | ").as("errors_joined"))
-      .orderBy(col("line_num"))
   }
 
   // D3 — infer_error_types (tag_comparison.py:160-224) + the X16 change
@@ -251,7 +249,6 @@ object DomainQueries {
         TagDiff.changeSummary(ch))
     }.toDF("part_id", "added", "removed", "unchanged", "error_types",
       "change_summary")
-      .orderBy(col("part_id"))
   }
 
   // X18 — _format_curator_feedback (export_training_data.py:40-96): the
@@ -282,7 +279,6 @@ object DomainQueries {
       .toDF("part_id", "line")
     lines.select(col("part_id"),
       get_json_object(col("line"), "$.messages[0].content").as("system_content"))
-      .orderBy(col("part_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,7 +41,6 @@ object ScalarOpsQueries {
       ColumnOps.cleanName(messyName).as("name_clean"),
       ColumnOps.cleanDescription(messyDesc).as("desc_clean"),
       (ColumnOps.discountPct(cur, orig) * 10).cast("long").as("discount_x10"))
-      .orderBy(col("part_id"))
   }
 
   // E5 layFlatPick (all four positional rules incl. the short-list
@@ -68,7 +67,6 @@ object ScalarOpsQueries {
       array_join(ColumnOps.dedupCaseInsensitive(array(
         upper(col("p_brand")), col("p_brand"), lit("ANODIZED"),
         lit("anodized"), lower(col("p_brand")))), ",").as("e7_joined"))
-      .orderBy(col("part_id"))
   }
 
   // X21/X22/X23: retailer→refitd category + top-layer role, display
@@ -87,7 +85,6 @@ object ScalarOpsQueries {
       CategoryMapping.displayCategory(rc).as("display_cat"),
       CategoryMapping.displaySubcategory(rc).as("display_subcat"),
       ColumnOps.footwearNormalize(rc).as("footwear_norm"))
-      .orderBy(col("part_id"))
   }
 
   // X12 embeddingText (null category/description dropped, empty
@@ -107,7 +104,6 @@ object ScalarOpsQueries {
         .as("embed_text"),
       ColumnOps.storageUrl(lit("https://cdn.example.com"), lit("products"),
         concat(k.cast("string"), lit(".jpg"))).as("storage_url"))
-      .orderBy(col("part_id"))
   }
 
   // F10 row-validation filter (zara_extractor.py:478-487,538-543) through
@@ -128,7 +124,6 @@ object ScalarOpsQueries {
         .otherwise(lit(9.99)).as("price_current"))
     graft.etl.Pipeline.validProducts(raw)
       .select(col("part_id"), col("name"))
-      .orderBy(col("part_id"))
   }
 
   // E3 sizes→struct-array migration (docs/supabase_schema.sql:94-98),
@@ -142,7 +137,6 @@ object ScalarOpsQueries {
     part(s, d).select(
       k.as("part_id"),
       to_json(ColumnOps.sizesToStructArray(sizes)).as("sizes_json"))
-      .orderBy(col("part_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
