@@ -118,18 +118,26 @@ object CoreQueries {
 
   // J3+A4: left-join coverage with percent-complete
   // (reference: docs/supabase_schema.sql:269-291 curation progress views).
-  private def q08(s: SparkSession, d: String): DataFrame =
+  // Shape (r4): pre-aggregate orders per customer FIRST, then plain
+  // counts per segment. The direct left-join + two countDistincts planned
+  // an Expand (3× the joined rows through the shuffle) — at 100 TB that
+  // triples shuffle volume for counts that are derivable without distinct
+  // at all once the join key is unique. Measured at sf0.1: 0.63 → ~0.4 s;
+  // PlanSpec asserts no Expand remains.
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cust_orders"))
     customer(s, d)
-      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
-        col("c_custkey") === col("o_custkey"), "left")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_mktsegment"))
       .agg(
-        countDistinct(col("c_custkey")).as("n_customers"),
-        countDistinct(when(col("o_orderkey").isNotNull, col("c_custkey"))).as("n_with_orders"),
-        count(col("o_orderkey")).as("n_orders"))
+        count(lit(1)).as("n_customers"),
+        count(col("cust_orders")).as("n_with_orders"),
+        coalesce(sum(col("cust_orders")), lit(0L)).as("n_orders"))
       .withColumn("pct_with_orders",
         col("n_with_orders").cast("double") * lit(100.0) / col("n_customers"))
       .orderBy(col("c_mktsegment"))
+  }
 
   // J8/D1: anti-join — customers with no 'P'-status order (reference:
   // pipeline.py:152-193 skip-already-scraped).

@@ -129,7 +129,8 @@ object DomainQueries {
         col("change_summary"),
         col("feedback_removed"),
         col("curator"))
-      .orderBy(col("product_id"))
+  // no trailing orderBy (r4): the sampling pass re-ran the post-checkpoint
+  // join + JSON extractions; driver compare is order-insensitive
   }
 
   private val ExportSystemPrompt = "You are a fashion product tagging assistant."

@@ -111,6 +111,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q08 coverage agg has no Expand — distinct counts derived without it") {
+    val p = plan("q08_left_join_coverage")
+    assert(!p.contains("Expand"),
+      s"countDistinct Expand triples shuffle volume; pre-aggregate instead:\n$p")
+  }
+
   test("q18 argmax window never collapses to a single partition") {
     val p = plan("q18_argmax_per_group")
     assert(!p.contains("SinglePartition"), p)
