@@ -3,8 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines, each self-contained and
+  * carrying the same {"metric":"total","value":N,...,"queries":{...}}
+  * totals/medians: first the full-telemetry line (samples/gc/at maps,
+  * medians last), then a compact medians-only line. The compact line is
+  * LAST because the driver's artifact keeps a bounded output tail and the
+  * telemetry line outgrew it in round 3 — a parser reading either the
+  * first "metric":"total" line or the last line gets identical
+  * medians/totals; nothing should SUM across lines.
   *
   * Protocol (BASELINE.md): per query 1 warm-up + 3 timed runs, median
   * reported. Execution is forced through the noop sink so projections are

@@ -43,12 +43,14 @@ object DedupScaleSmoke {
       .select(posexplode(Dedup.bandHashesPortable(col("sig"), 8, 4)))
       .toDF("band", "bhash")
       .groupBy(col("band"), col("bhash")).agg(count(lit(1)).as("n"))
+    // coalesce: on an empty documents table the sums/max aggregate to null
     val (bucketStats, tSig) = time {
       buckets.agg(
-        sum(when(col("n") <= 1000, expr("n * (n - 1) div 2"))
-          .otherwise(0L)).as("candidate_pairs"),
-        sum(when(col("n") > 1000, 1L).otherwise(0L)).as("oversize_buckets"),
-        max(col("n")).as("max_bucket")).head()
+        coalesce(sum(when(col("n") <= 1000, expr("n * (n - 1) div 2"))
+          .otherwise(0L)), lit(0L)).as("candidate_pairs"),
+        coalesce(sum(when(col("n") > 1000, 1L).otherwise(0L)), lit(0L))
+          .as("oversize_buckets"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket")).head()
     }
 
     // 2. verified near-dup edges + component structure and round counts
@@ -61,7 +63,8 @@ object DedupScaleSmoke {
     val ((labels, ccRounds), tCc) =
       time(ConnectedComponents.alternatingStarWithRounds(pairs, nodes))
     val comp = labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
-      .agg(count(lit(1)).as("n_components"), max(col("sz")).as("max_cluster"))
+      .agg(count(lit(1)).as("n_components"),
+        coalesce(max(col("sz")), lit(0L)).as("max_cluster"))
       .head()
 
     // 3. the three oracle queries end-to-end at this scale

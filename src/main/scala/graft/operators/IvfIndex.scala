@@ -44,7 +44,7 @@ object IvfIndex {
     * linearly in k and would fall out of codegen near the k≈1024 a 100 TB
     * corpus needs (round-3 VERDICT item 3). The kernel's loop is
     * fixed-size codegen at any k, with bit-identical scores and the same
-    * first-max tie rule (IvfArgmaxParitySpec asserts both). */
+    * first-max tie rule (ArgmaxCosineSpec asserts both). */
   def assignCells(df: DataFrame, vecCol: String,
                   cents: Array[(Int, Seq[Float])]): DataFrame = {
     require(cents.nonEmpty, "assignCells requires at least one centroid")

@@ -20,8 +20,14 @@ import org.apache.spark.sql.types._
   * computed with [[CosineSimilarity]]'s formula and accumulation order
   * (length mismatch → 0.0, zero magnitude → 0.0), the probe's norm is
   * hoisted out of the loop (same fold order over the probe → bit-identical
-  * sqrt input), and ties keep the FIRST maximal index (the fold's strict
-  * `>` update). Empty centroid list → null.
+  * sqrt input), ties keep the FIRST maximal index (the fold's strict
+  * `>` update), and comparisons follow Spark SQL's NaN ordering (NaN
+  * greater than every finite value — `when(score > best)` in the fold is
+  * Catalyst's nan-safe compare, NOT Java's always-false `>`). Empty
+  * centroid list → null. Null ENTRIES inside the centroid array are
+  * skipped (never best; all-null → null) — the fold never accepted null
+  * centroids, so this is new surface, defined sanely rather than
+  * emulating the fold's null-propagation accidents.
   */
 case class GraftArgmaxCosine(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -66,32 +72,43 @@ case class GraftArgmaxCosine(left: Expression, right: Expression)
       i += 1
     }
     val sqna = java.lang.Math.sqrt(na)
-    var best = 0
-    var bestScore = Double.NaN
+    var best = -1
+    var bestScore = 0.0
     var j = 0
     while (j < k) {
-      val c = cents.getArray(j)
-      var score = 0.0
-      if (c.numElements() == n) {
-        var dot = 0.0
-        var nb = 0.0
-        var t = 0
-        while (t < n) {
-          val x = if (vf) vec.getFloat(t).toDouble else vec.getDouble(t)
-          val y = if (cf) c.getFloat(t).toDouble else c.getDouble(t)
-          dot += x * y
-          nb += y * y
-          t += 1
+      val c = if (cents.isNullAt(j)) null else cents.getArray(j)
+      if (c != null) {
+        var score = 0.0
+        if (c.numElements() == n) {
+          var dot = 0.0
+          var nb = 0.0
+          var t = 0
+          while (t < n) {
+            val x = if (vf) vec.getFloat(t).toDouble else vec.getDouble(t)
+            val y = if (cf) c.getFloat(t).toDouble else c.getDouble(t)
+            dot += x * y
+            nb += y * y
+            t += 1
+          }
+          val den = sqna * java.lang.Math.sqrt(nb)
+          score = if (den == 0.0) 0.0 else dot / den
         }
-        val den = sqna * java.lang.Math.sqrt(nb)
-        score = if (den == 0.0) 0.0 else dot / den
+        // Spark SQL comparison semantics: NaN > every finite value (the
+        // fold's `when(score > best)` is Catalyst's nan-safe compare, not
+        // Java's always-false NaN `>`)
+        if (best < 0 || nanSafeGt(score, bestScore)) {
+          best = j
+          bestScore = score
+        }
       }
-      if (j == 0) bestScore = score
-      else if (score > bestScore) { best = j; bestScore = score }
       j += 1
     }
-    best
+    if (best < 0) null else best
   }
+
+  /** Catalyst's total-order `>` on doubles: NaN beats every non-NaN. */
+  @inline private def nanSafeGt(a: Double, b: Double): Boolean =
+    a > b || (java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vGet = if (vecIsFloat) "getFloat" else "getDouble"
@@ -125,9 +142,10 @@ case class GraftArgmaxCosine(left: Expression, right: Expression)
         |    $na += $x * $x;
         |  }
         |  final double $sqna = java.lang.Math.sqrt($na);
-        |  int $best = 0;
-        |  double $bestScore = Double.NaN;
+        |  int $best = -1;
+        |  double $bestScore = 0.0;
         |  for (int $j = 0; $j < $k; $j++) {
+        |    if ($cents.isNullAt($j)) continue;
         |    final org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($j);
         |    double $score = 0.0;
         |    if ($c.numElements() == $n) {
@@ -140,10 +158,13 @@ case class GraftArgmaxCosine(left: Expression, right: Expression)
         |      final double $den = $sqna * java.lang.Math.sqrt($nb);
         |      $score = ($den == 0.0) ? 0.0 : $dot / $den;
         |    }
-        |    if ($j == 0) { $bestScore = $score; }
-        |    else if ($score > $bestScore) { $best = $j; $bestScore = $score; }
+        |    // Spark SQL NaN ordering: NaN > every non-NaN (nan-safe compare)
+        |    if ($best < 0 || $score > $bestScore ||
+        |        (Double.isNaN($score) && !Double.isNaN($bestScore))) {
+        |      $best = $j; $bestScore = $score;
+        |    }
         |  }
-        |  ${ev.value} = $best;
+        |  if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
         |}
       """.stripMargin
     })

@@ -109,7 +109,11 @@ object EventQueries {
     // rate the broadcast build costs about what the point-side shuffle
     // saved). The switch pays off unconditionally when intervals are a
     // small fraction of the stream, and backs off to the shuffle join
-    // past the threshold instead of OOMing the driver.
+    // past the threshold instead of OOMing the driver. Also measured
+    // (r4): replacing the countDistinct below with a two-level
+    // (err_id, f_type) pre-aggregate reads 0.97 vs 0.90 s — the Expand
+    // is NOT the cost here (candidates are already near-unique per
+    // (err, type)); rejected.
     val matched = graft.operators.RangeJoin
       .intervalJoin(errs, pts, Seq("user_id"), "win_start", "win_end", "t", GapNs)
     val counts = matched
@@ -201,7 +205,11 @@ object EventQueries {
     // window-cohort variant (min-over-user window instead of the
     // agg+join) 0.58 s — equal within noise, window REJECTED (no win,
     // and the join's build side is the tiny per-user table, broadcast by
-    // the planner). Remaining gap to DuckDB (0.035 s) is the multi-stage
+    // the planner). A collect_set-per-user single-exchange variant also
+    // measured parity (0.63/0.56 vs 0.65/0.57 interleaved medians) —
+    // REJECTED: no win, and its per-user day-set grows unboundedly on a
+    // long horizon while this shape's state is the bounded (user, day)
+    // distinct. Remaining gap to DuckDB (0.035 s) is the multi-stage
     // job floor on 10 MB of de-duplicated pairs — engine floor, plan
     // asserted in PlanSpec.
     val e = events(s, d)

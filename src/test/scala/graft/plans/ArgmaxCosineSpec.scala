@@ -74,6 +74,33 @@ class ArgmaxCosineSpec extends SparkSpec {
     }
   }
 
+  test("NaN scores follow Spark SQL ordering — NaN beats finite, parity with the fold") {
+    // a NaN-poisoned centroid must WIN (Catalyst nan-safe compare treats
+    // NaN as greater than everything), exactly like the when-fold it
+    // replaced — Java's always-false NaN '>' would pick index 0 instead
+    val cents: Seq[Seq[Float]] =
+      Seq(Seq(1f, 0f), Seq(Float.NaN, 1f), Seq(0f, 1f))
+    val df = Seq(Seq(1f, 1f), Seq(0.2f, 0.9f)).toDF("vec")
+    val got = df.select(
+      call_function("graft_argmax_cosine", col("vec"), typedlit(cents)).as("kernel"),
+      whenFoldArgmax(col("vec"), cents).as("fold"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (k, f) => assert(k === f, s"kernel $k vs fold $f") }
+    assert(got.forall(_._1 === 1), "NaN centroid must win under SQL ordering")
+  }
+
+  test("null centroid entries are skipped; all-null yields null") {
+    val df = Seq(Seq(1f, 2f)).toDF("vec")
+    val mixed = array(lit(null).cast("array<float>"), typedlit(Seq(1f, 2f)),
+      typedlit(Seq(-1f, -2f)))
+    assert(df.select(call_function("graft_argmax_cosine", col("vec"), mixed))
+      .head().getInt(0) === 1)
+    val allNull = array(lit(null).cast("array<float>"),
+      lit(null).cast("array<float>"))
+    assert(df.select(call_function("graft_argmax_cosine", col("vec"), allNull))
+      .head().isNullAt(0))
+  }
+
   test("empty centroid list yields null; null vector yields null") {
     val df = Seq(Seq(1f, 2f)).toDF("vec")
     val r1 = df.select(call_function("graft_argmax_cosine", col("vec"),
