@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.TrainingQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.ScalarOpsQueries.queries
+      graft.queries.ScalarOpsQueries.queries ++
+      graft.queries.SinkQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.TrainingQueries.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.ScalarOpsQueries.oracle
+      graft.queries.ScalarOpsQueries.oracle ++
+      graft.queries.SinkQueries.oracle
 }

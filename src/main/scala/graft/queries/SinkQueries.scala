@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Tables._
+import graft.etl.Pipeline
+import graft.functions.VocabularyOps
+import graft.sources.ProductSources
+import graft.streaming.IncrementalIngest
+
+/** Driver-oracle rows for the operator families that were still spec-only
+  * after round 3 (VERDICT "softer gap"): the sink family S7/S10/S11 —
+  * pinned by reading the WRITTEN artifact back and hashing it, same
+  * technique as q93's JSONL lines — plus S8 delete-by-predicate, the T4
+  * refresh queue, and the E8 vocabulary merge.
+  *
+  * The sink queries intentionally round-trip through the filesystem: a
+  * drift in Spark's JSON rendering, the envelope shape, or append
+  * semantics hash-fails the row, which a DataFrame-level assertion could
+  * never catch.
+  */
+object SinkQueries {
+
+  // S8 + T4 — delete-by-predicate feeding the selective-refresh queue
+  // (tracker.py:107-126 deletes; Inventory Ingestion & Freshness Pipeline
+  // §178-208 priority). deleteWhere keeps NULL-predicate rows (SQL
+  // `IS DISTINCT FROM` semantics); the queue caps both priority terms and
+  // cuts at `limit` with an explicit tie-break so the boundary is
+  // deterministic. Emitted e6-floored per the no-float-hash rule.
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val remaining =
+      Pipeline.deleteWhere(orders(s, d), col("o_orderstatus") === "F")
+    IncrementalIngest.refreshQueue(remaining, "o_orderdate", "1995-02-15",
+        col("o_totalprice") / 500000.0, limit = 500,
+        tieBreak = Seq(col("o_orderkey")))
+      .select(col("o_orderkey").as("order_key"),
+        col("age_days").cast("long").as("age_days"),
+        floor(col("priority") * 1000000.0).cast("long").as("priority_e6"))
+  }
+
+  // E8 — vocabulary merge (style_tagger.py:186-222): built-ins first,
+  // customs appended in sorted order, first-occurrence dedup. The custom
+  // side is a tiny curated dimension, collected deliberately
+  // (VocabularyOps scaladoc); the nation-derived construction plants a
+  // cross-source dup ('color','red'), within-custom dups, and a
+  // custom-only category so every merge branch is exercised.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val builtIn = Map(
+      "color" -> Seq("red", "blue", "green"),
+      "fit" -> Seq("slim", "regular"),
+      "material" -> Seq("cotton"))
+    val k = col("n_nationkey")
+    val customTable = nation(s, d).select(
+      when(pmod(k, lit(5)) === 0, lit("color"))
+        .when(pmod(k, lit(7)) === 3, lit("occasion"))
+        .when(pmod(k, lit(3)) === 0, lit("color"))
+        .when(pmod(k, lit(3)) === 1, lit("fit"))
+        .otherwise(lit("material")).as("category"),
+      when(pmod(k, lit(5)) === 0, lit("red"))
+        .otherwise(lower(col("n_name"))).as("tag"))
+    val custom = VocabularyOps.customVocabFromTable(
+      customTable.orderBy("category", "tag"))
+    val merged = VocabularyOps.mergeVocabularies(builtIn, custom)
+    merged.toSeq.flatMap { case (cat, tags) =>
+      tags.zipWithIndex.map { case (t, i) => (cat, (i + 1).toLong, t) }
+    }.toDF("category", "pos", "tag")
+  }
+
+  // S10 — the envelope dump's written bytes. writeJsonDump with a
+  // deterministic product order, read back from disk and hashed; the
+  // DuckDB twin rebuilds the envelope string character-exactly.
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q105_dump").getAbsolutePath
+    ProductSources.writeJsonDump(region(s, d).select("r_regionkey", "r_name"),
+      dir, "2026-01-01T00:00:00Z", orderCols = Seq("r_regionkey"))
+    s.read.text(dir).select(
+      md5(col("value")).as("env_md5"),
+      length(col("value")).cast("long").as("env_len"),
+      get_json_object(col("value"), "$.total").cast("long").as("total"),
+      get_json_object(col("value"), "$.exported_at").as("exported_at"))
+  }
+
+  // S11 + S7 — summary sink then append: the first write overwrites, the
+  // second appends (file_loader.py:232-281 report + history-append
+  // semantics). Reading the directory back must show exactly two copies
+  // of every summary row — an overwrite-where-append-belonged, or a
+  // partial second write, breaks n_copies.
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q106_summary").getAbsolutePath
+    val summary = orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    ProductSources.writeSummary(summary, dir)
+    summary.coalesce(1).write.mode("append").json(dir)
+    val schema = StructType(Seq(
+      StructField("status", StringType), StructField("n", LongType)))
+    s.read.schema(schema).json(dir)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_copies"), max(col("n")).as("n_orders"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_refresh_queue" -> q103 _,
+    "q104_vocab_merge" -> q104 _,
+    "q105_json_dump_envelope" -> q105 _,
+    "q106_summary_append" -> q106 _
+  )
+
+  /** q103: IS DISTINCT FROM restates deleteWhere's keep-nulls filter; the
+    * priority arithmetic is the same IEEE expression tree (cast → divide →
+    * least → multiply → add) so the e6 floor is bit-safe. */
+  private def refreshQueueOracle: String =
+    """WITH kept AS (
+      |  SELECT * FROM orders WHERE o_orderstatus IS DISTINCT FROM 'F'),
+      |scored AS (
+      |  SELECT o_orderkey,
+      |    date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-02-15') AS age_days,
+      |    LEAST(CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-02-15') AS DOUBLE)/30.0, 1.0)*0.6
+      |      + LEAST(o_totalprice/500000.0, 1.0)*0.4 AS priority
+      |  FROM kept)
+      |SELECT o_orderkey AS order_key, CAST(age_days AS BIGINT) AS age_days,
+      |       CAST(FLOOR(priority*1000000.0) AS BIGINT) AS priority_e6
+      |FROM scored ORDER BY priority DESC, o_orderkey LIMIT 500""".stripMargin
+
+  /** q104: builtins get ords 1..k, customs 1e6+rank(category, tag) —
+    * min(ord) per (category, tag) is first-occurrence dedup, and the
+    * per-category row_number over ord reproduces the merged positions. */
+  private def vocabMergeOracle: String =
+    """WITH builtin(category, tag, ord) AS (VALUES
+      |  ('color','red',1),('color','blue',2),('color','green',3),
+      |  ('fit','slim',1),('fit','regular',2),('material','cotton',1)),
+      |cust0 AS (SELECT DISTINCT
+      |  CASE WHEN n_nationkey%5=0 THEN 'color'
+      |       WHEN n_nationkey%7=3 THEN 'occasion'
+      |       WHEN n_nationkey%3=0 THEN 'color'
+      |       WHEN n_nationkey%3=1 THEN 'fit'
+      |       ELSE 'material' END AS category,
+      |  CASE WHEN n_nationkey%5=0 THEN 'red' ELSE lower(n_name) END AS tag
+      |  FROM nation),
+      |cust AS (SELECT category, tag,
+      |  1000000 + row_number() OVER (ORDER BY category, tag) AS ord FROM cust0),
+      |u AS (SELECT * FROM builtin UNION ALL SELECT * FROM cust),
+      |d AS (SELECT category, tag, MIN(ord) AS ord FROM u GROUP BY category, tag)
+      |SELECT category,
+      |       CAST(row_number() OVER (PARTITION BY category ORDER BY ord) AS BIGINT) AS pos,
+      |       tag
+      |FROM d ORDER BY category, pos""".stripMargin
+
+  /** q105: the envelope rebuilt character-exactly — Spark to_json renders
+    * structs with no spaces, fields in struct order, ints unquoted. */
+  private def jsonDumpOracle: String =
+    """WITH env AS (
+      |  SELECT '{"exported_at":"2026-01-01T00:00:00Z","total":' || COUNT(*) ||
+      |    ',"products":[' ||
+      |    string_agg('{"r_regionkey":' || r_regionkey || ',"r_name":"' || r_name || '"}',
+      |               ',' ORDER BY r_regionkey) ||
+      |    ']}' AS e, COUNT(*) AS n
+      |  FROM region)
+      |SELECT md5(e) AS env_md5, CAST(length(e) AS BIGINT) AS env_len,
+      |       CAST(n AS BIGINT) AS total,
+      |       '2026-01-01T00:00:00Z' AS exported_at
+      |FROM env""".stripMargin
+
+  private def summaryAppendOracle: String =
+    """SELECT o_orderstatus AS status,
+      |       CAST(2 AS BIGINT) AS n_copies,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q103_refresh_queue" -> refreshQueueOracle,
+    "q104_vocab_merge" -> vocabMergeOracle,
+    "q105_json_dump_envelope" -> jsonDumpOracle,
+    "q106_summary_append" -> summaryAppendOracle
+  )
+}

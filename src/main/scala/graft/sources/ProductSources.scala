@@ -68,16 +68,23 @@ object ProductSources {
 
   /** S10 — single-file JSON dump with envelope
     * (export_supabase_to_json.py:96-110): {exported_at, total, products[]}.
-    * The envelope aggregation happens distributed (collect_list in one
-    * reduce); only the final single-row write is coalesced. */
-  def writeJsonDump(df: DataFrame, path: String, exportedAt: String): Unit =
-    df.agg(collect_list(struct(df.columns.map(col): _*)).as("products"))
+    * With `orderCols` set the product array order is deterministic (the
+    * reference dumps in primary-key order); the sort happens on the single
+    * coalesced partition, which is fine for a sink that is single-file by
+    * contract. Without it, collect_list order follows partial-aggregate
+    * merge order. */
+  def writeJsonDump(df: DataFrame, path: String, exportedAt: String,
+                    orderCols: Seq[String] = Nil): Unit = {
+    val src = if (orderCols.isEmpty) df
+      else df.coalesce(1).sortWithinPartitions(orderCols.map(col): _*)
+    src.agg(collect_list(struct(df.columns.map(col): _*)).as("products"))
       .select(to_json(struct(
         lit(exportedAt).as("exported_at"),
         size(col("products")).as("total"),
         col("products"))).as("value"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).text(path)
+  }
 
   /** S11 — summary JSON sink (file_loader.py:232-281): aggregate report. */
   def writeSummary(summary: DataFrame, path: String): Unit =

@@ -81,13 +81,16 @@ object IncrementalIngest {
     * candidates (docs/Inventory Ingestion & Freshness Pipeline §178-208). */
   def refreshQueue(products: DataFrame, lastCheckedCol: String, asOf: String,
                    clickWeight: org.apache.spark.sql.Column,
-                   limit: Int): DataFrame =
+                   limit: Int,
+                   tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     products
       .withColumn("age_days",
         datediff(lit(asOf).cast("date"), col(lastCheckedCol)))
       .withColumn("priority",
         least(col("age_days").cast("double") / 30.0, lit(1.0)) * 0.6 +
           least(clickWeight, lit(1.0)) * 0.4)
-      .orderBy(col("priority").desc)
+      // tieBreak makes the cut at `limit` deterministic when priorities
+      // collide (equal ages + equal weights are common in practice)
+      .orderBy(col("priority").desc +: tieBreak: _*)
       .limit(limit)
 }
