@@ -104,11 +104,51 @@ object SinkQueries {
       .agg(count(lit(1)).as("n_copies"), max(col("n")).as("n_orders"))
   }
 
+  // S3/S4 — the landing-zone tree read end-to-end through the V2
+  // connector: a deterministic 200-document tree derived from `part` is
+  // materialized (driver-side — it IS the extractor's output shape, tiny
+  // by construction), then read back via format("product-tree") with an
+  // IN-list category filter that prunes the third directory at planning
+  // time. The DuckDB twin recomputes straight from `part`, so a drift in
+  // path-derived categories, JSON field conversion, directory pruning, or
+  // doc-per-file row semantics hash-fails.
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q107_tree")
+    if (Files.exists(root)) { // fresh tree per run
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val docs = part(s, d)
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        concat(lit("cat"), pmod(col("p_partkey"), lit(3))).as("category"),
+        // p_name is plain "word word" text — direct quoting is JSON-safe
+        format_string(
+          """{"product_id": "P%d", "name": "%s", "price_current": %d.0}""",
+          col("p_partkey"), col("p_name"),
+          (pmod(col("p_partkey"), lit(90)) + 10).cast("long")).as(("doc")))
+      .collect()
+    docs.foreach { r =>
+      val dir = root.resolve(r.getString(1)).resolve(s"p${r.getLong(0)}")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("metadata.json"), r.getString(2))
+    }
+    s.read.format("product-tree").option("path", root.toString).load()
+      .filter(col("category").isin("cat0", "cat1")) // prunes cat2 at planning
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("price_current")).cast("long").as("price_sum"),
+        min(col("name")).as("first_name"),
+        max(col("product_id")).as("max_pid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_refresh_queue" -> q103 _,
     "q104_vocab_merge" -> q104 _,
     "q105_json_dump_envelope" -> q105 _,
-    "q106_summary_append" -> q106 _
+    "q106_summary_append" -> q106 _,
+    "q107_v2_tree_scan" -> q107 _
   )
 
   /** q103: IS DISTINCT FROM restates deleteWhere's keep-nulls filter; the
@@ -172,10 +212,22 @@ object SinkQueries {
       |       CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** q107: recomputed straight from part — prices are exact integers (so
+    * the double sum casts to a long losslessly at 100 docs/category). */
+  private def v2TreeOracle: String =
+    """SELECT 'cat' || (p_partkey%3) AS category,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(p_partkey%90 + 10) AS BIGINT) AS price_sum,
+      |       MIN(p_name) AS first_name,
+      |       MAX('P' || p_partkey) AS max_pid
+      |FROM part WHERE p_partkey < 200 AND p_partkey%3 IN (0, 1)
+      |GROUP BY category ORDER BY category""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q103_refresh_queue" -> refreshQueueOracle,
     "q104_vocab_merge" -> vocabMergeOracle,
     "q105_json_dump_envelope" -> jsonDumpOracle,
-    "q106_summary_append" -> summaryAppendOracle
+    "q106_summary_append" -> summaryAppendOracle,
+    "q107_v2_tree_scan" -> v2TreeOracle
   )
 }
