@@ -113,13 +113,24 @@ object MiscQueries {
           .as("longest_token"))
       .orderBy(col("p_partkey"))
 
+  // Column profiling (the load-summary health check generalized): exact
+  // distinct counts here so DuckDB can reproduce them; the operator's
+  // default is the single-pass HLL shape (Profile scaladoc). Doubles and
+  // timestamps are profiled too in the spec — excluded here only because
+  // their min/max STRING RENDERING is engine-specific.
+  private def q108(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+      exact = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_url_functions" -> q50 _,
     "q51_composition_flatten" -> q51 _,
     "q52_summary_roundtrip" -> q52 _,
     "q53_vocab_validate" -> q53 _,
     "q54_multi_source_agg" -> q54 _,
-    "q55_longest_token" -> q55 _
+    "q55_longest_token" -> q55 _,
+    "q108_column_profile" -> q108 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +192,16 @@ object MiscQueries {
       ("SELECT p_partkey, t AS longest_token FROM " +
         "(SELECT p_partkey, unnest(string_split(p_name, ' ')) AS t FROM part) x " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey " +
-        "ORDER BY LENGTH(t) DESC, t DESC) = 1 ORDER BY p_partkey")
+        "ORDER BY LENGTH(t) DESC, t DESC) = 1 ORDER BY p_partkey"),
+    "q108_column_profile" -> Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }
