@@ -279,8 +279,28 @@ object EventQueries {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  // Skewed fact⋈dim through the salted join: 70% of events funnel onto
+  // key 0 by construction — the exact shape where a plain shuffle join
+  // runs at the hot partition's pace. The salt spreads key 0 over 8
+  // buckets; output must equal the plain join bit-for-bit (the oracle IS
+  // the plain join). Checksum is an integer sum — no cross-row float
+  // accumulation in oracle outputs.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"),
+      when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(25))).as("k"))
+    val dim = graft.Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("label"))
+    graft.operators.SkewJoin.salted(e, dim, "k",
+        distributeBy = col("event_id"), buckets = 8)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_events"),
+        sum(pmod(col("event_id"), lit(1000L))).as("checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_event_transitions" -> q92 _,
+    "q109_salted_skew_join" -> q109 _,
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
@@ -293,6 +313,13 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q109_salted_skew_join" ->
+      ("SELECT n_name AS label, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(event_id % 1000) AS BIGINT) AS checksum FROM " +
+        "(SELECT event_id, CASE WHEN user_id % 10 < 7 THEN 0 " +
+        "ELSE user_id % 25 END AS k FROM events) e " +
+        "JOIN nation ON n_nationkey = e.k " +
+        "GROUP BY n_name ORDER BY label"),
     "q56_event_windows" ->
       ("SELECT hour_start_ns, event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM " +
