@@ -37,12 +37,16 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("approx profile plans without an Expand; exact plans with one") {
+  test("neither mode plans an Expand; exact is a per-column union") {
+    // a single wide agg with N count_distincts would Expand (replicate
+    // every row N×) — both shapes avoid it: approx via HLL in one pass,
+    // exact via one column-pruned aggregate per column
     val approxPlan = Profile.profile(fixture).queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan)
     val exactPlan =
       Profile.profile(fixture, exact = true).queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), exactPlan)
+    assert(!exactPlan.contains("Expand"), exactPlan)
+    assert(exactPlan.contains("Union"), exactPlan)
   }
 
   test("column subset and empty-table behavior") {
