@@ -167,10 +167,30 @@ case class ProductTreeScan(root: String, brand: String, required: StructType,
     val fs = rootPath.getFileSystem(conf)
     val cats = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
       .filter(p => categories.forall(_.contains(p.getName)))
-    // one glob per SURVIVING category — pruned directories are never listed
-    cats.flatMap { c =>
-      fs.globStatus(new Path(c, "*/metadata.json"))
-        .filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+    // one glob per SURVIVING category — pruned directories are never
+    // listed — and the globs run in parallel: listing latency (not
+    // parsing) dominates a many-category tree, and each glob is an
+    // independent namenode/object-store round trip
+    // (ConnectorScaleSmoke: 200 sequential globs cost 1.7 s of a 2.0 s
+    // full read at 40k docs)
+    if (cats.length <= 1) {
+      cats.flatMap { c =>
+        fs.globStatus(new Path(c, "*/metadata.json"))
+          .filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, cats.length))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Array[(String, Long)]]] =
+          cats.toSeq.map { c =>
+            (() => fs.globStatus(new Path(c, "*/metadata.json"))
+              .filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+            ): java.util.concurrent.Callable[Array[(String, Long)]]
+          }
+        pool.invokeAll(tasks.asJava).asScala.toArray.flatMap(_.get())
+      } finally pool.shutdown()
     }
   }
 
