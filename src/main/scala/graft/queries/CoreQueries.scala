@@ -259,10 +259,9 @@ object CoreQueries {
       .filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       .withColumn("v", lit(2))
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)
-    base.unionByName(updates)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // drives the real operator (max_by aggregate — map-side combined,
+    // no window sort; see Pipeline.upsert)
+    graft.etl.Pipeline.upsert(base, updates, "o_orderkey", "v")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
       .orderBy(col("o_orderstatus"))
