@@ -42,6 +42,30 @@ object Sampling {
     df.filter(hashSlot(col(idCol), salt) < bound)
   }
 
+  /** Deterministic n-way train/val/test split by cumulative fraction
+    * boundaries over the hash slot: disjoint, exhaustive, reproducible
+    * across engines/runs/repartitioning, and STABLE as the corpus grows —
+    * a row's split never changes when new data arrives, the property
+    * `randomSplit` loses (its splits reshuffle with partitioning) and
+    * the one leakage audits depend on. Row-local when-chain; no shuffle. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                splitCol: String = "split",
+                salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0.0), "fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 65536).toInt)
+    val slot = hashSlot(col(idCol), salt)
+    val label = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, (name, b)) =>
+        Some(acc.map(_.when(slot < b, name)).getOrElse(when(slot < b, name)))
+      }
+      .map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))
+    df.withColumn(splitCol, label)
+  }
+
   /** EXACTLY `n` rows per stratum (fewer when the stratum is smaller),
     * picked by md5 order — a deterministic reservoir. One shuffle on the
     * stratum key; skewed strata can pre-thin with [[stratifiedRate]]

@@ -21,6 +21,19 @@ object TrainingQueries {
           .as("in_quarter_sample"))
       .orderBy(col("doc_id"))
 
+  // Deterministic 80/10/10 train/val/test split: per-split doc counts,
+  // language spread, and char volume. The oracle recomputes every row's
+  // split from the same md5 slot, so a drift in boundary arithmetic
+  // (52429/58982 = round(0.8·65536)/round(0.9·65536)) or in the salt
+  // hash-fails. Disjointness+exhaustiveness is structural (when-chain).
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+
   // Concat-and-chop sequence packing: 256-token windows over 8 shards
   // (portable pmod sharding so the oracle reproduces the layout).
   private def q62(s: SparkSession, d: String): DataFrame =
@@ -114,6 +127,7 @@ object TrainingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_stratified_sample" -> q61 _,
+    "q110_hash_split" -> q110 _,
     "q62_sequence_packing" -> q62 _,
     "q63_corpus_curation" -> q63 _,
     "q71_contamination" -> q71 _,
@@ -161,6 +175,15 @@ object TrainingQueries {
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens, " +
         "CAST(SUM(GREATEST(1, CAST(FLOOR(LENGTH(text) / 4.0) AS BIGINT))) AS BIGINT) AS total_est_tokens " +
         "FROM sampled GROUP BY lang ORDER BY lang"),
+    "q110_hash_split" ->
+      ("SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM (" +
+        "SELECT lang, n_chars, CASE " +
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 4))::INT < 52429 THEN 'train' " +
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 4))::INT < 58982 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "GROUP BY split ORDER BY split"),
     "q61_stratified_sample" ->
       ("SELECT doc_id, lang, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4))::INT < 16384 " +

@@ -96,4 +96,26 @@ class SequencePackingSpec extends SparkSpec {
       Sampling.stratifiedRate(docs, "doc_id", "lang", Map("en" -> 1.0), 0.25)
         .select(sum($"doc_id")).head().getLong(0))
   }
+
+  test("hashSplit: disjoint, exhaustive, growth-stable, fraction-accurate") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s = Sampling.hashSplit(docs, "doc_id", splits)
+    // exhaustive + disjoint: every row gets exactly one label
+    assert(s.count() == docs.count())
+    val byS = s.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    assert(byS("train") > n * 0.6 && byS("train") < n * 0.95, byS.toString)
+    // growth stability: a row's split never changes when the corpus grows
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val fullAssign = s.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    Sampling.hashSplit(half, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+      .foreach { case (id, sp) => assert(fullAssign(id) == sp, s"doc $id moved") }
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
 }
