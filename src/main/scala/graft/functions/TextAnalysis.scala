@@ -111,10 +111,23 @@ object TextAnalysis {
                             textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     // kernel output is already the per-document DISTINCT minima, so no
     // corpus-wide distinct shuffle is needed after the explode
+    winnowingFingerprintArray(df, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+  }
+
+  /** The un-exploded form: one row per document with its distinct
+    * fingerprint array. Per-document statistics (count, extremes) are
+    * row-local on this — `size`/`array_min`/`array_max` — so consumers
+    * that only need per-doc properties skip the fingerprint shuffle the
+    * exploded form implies (q64: 0.63 vs 0.70 s at sf0.1 — local delta
+    * is small because the per-gram md5 dominates there; the removed
+    * shuffle is what scales with corpus size). */
+  def winnowingFingerprintArray(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
     df.select(col(idCol).as("id"), norm.as("t"))
       .select(col("id"),
-        explode(call_function("graft_winnow", col("t"), lit(k), lit(w))).as("fp"))
+        call_function("graft_winnow", col("t"), lit(k), lit(w)).as("fps"))
   }
 
   /** The pure-relational formulation of [[winnowingFingerprints]] — kept

@@ -144,14 +144,29 @@ object TextQueries {
 
   // Winnowing fingerprints (MOSS rolling-hash scheme): per-doc distinct
   // fingerprint count + extremes — robust near-dup fingerprints where the
-  // q34 whole-doc md5 only catches exact matches.
-  private def q64(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.winnowingFingerprints(documents(s, d), "doc_id", "text",
-      k = 8, w = 4)
-      .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("n_fingerprints"),
-        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
-      .orderBy(col("doc_id"))
+  // q34 whole-doc md5 only catches exact matches. Row-local on the
+  // kernel's array output (size/array_min/array_max) instead of the
+  // previous explode→groupBy, which shuffled every fingerprint of the
+  // corpus to compute per-document properties. Measured at sf0.1: 0.63
+  // vs 0.70 s — locally the per-gram md5 kernel dominates, so the win is
+  // small here, but the removed shuffle is the term that grows with
+  // corpus size (fingerprints ≈ chars) while the kernel stays row-local.
+  // No trailing orderBy — a global sort's sampling pass would re-run the
+  // winnow kernel (the q34 lesson).
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    // docs with zero full windows (normalized length < k+w-1) are dropped
+    // BEFORE the kernel on the cheap length proxy — a size(fps) > 0
+    // filter would re-evaluate the kernel (filter and project are
+    // separate codegen consumers; CSE is per-operator), measured 0.89 s
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    TextAnalysis.winnowingFingerprintArray(
+        documents(s, d).filter(length(norm) >= 8 + 4 - 1), "doc_id", "text",
+        k = 8, w = 4)
+      .select(col("id").as("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+  }
 
   // PII scrub — the redaction pass every released training corpus needs.
   // Deterministic synthetic PII is appended per doc (the corpus tables
