@@ -112,4 +112,41 @@ class BatchEquivalenceSpec extends SparkSpec {
       s"streaming-only: ${(streamed -- batch).take(3)}; " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("attributionJoin replay equals the batch time-range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val cIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingSessions.attributionJoin(
+        pIn.toDF().toDF("p_ts", "p_user"), cIn.toDF().toDF("c_ts", "c_user"),
+        "p_user", "c_user", "p_ts", "c_ts",
+        lookback = "30 minutes", watermark = "1 second")
+      .select(col("p_user"), col("p_ts"), col("c_ts"))
+      .writeStream.format("memory").queryName("attr_replay")
+      .outputMode(OutputMode.Append).start()
+    // both streams fed in global event order, chunked together so their
+    // watermarks advance in step like a real ingest
+    chunks(orderedEvents, 10).foreach { c =>
+      pIn.addData(c.filter(_._3 == "purchase").map(e => (e._1, e._2)))
+      cIn.addData(c.filter(_._3 == "click").map(e => (e._1, e._2)))
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("attr_replay")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    q.stop()
+    val purch = orderedEvents.filter(_._3 == "purchase").map(e => (e._1, e._2))
+      .toDF("p_ts", "p_user")
+    val clk = orderedEvents.filter(_._3 == "click").map(e => (e._1, e._2))
+      .toDF("c_ts", "c_user")
+    val batch = purch.join(clk,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_user"), col("p_ts"), col("c_ts"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no attributable pairs")
+    assert(streamed === batch,
+      s"streaming-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
