@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jsonLongEntry)
     ext.injectFunction(GraftExtensions.keywordCountsEntry)
     ext.injectFunction(GraftExtensions.argmaxCosineEntry)
+    ext.injectFunction(GraftExtensions.bloomAggEntry)
+    ext.injectFunction(GraftExtensions.bloomContainsEntry)
   }
 }
 
@@ -121,6 +123,36 @@ object GraftExtensions {
       GraftArgmaxCosine(children(0), children(1)): Expression
     })
 
+  // Spark's own runtime-filter bloom pair, surfaced as functions: the
+  // aggregate builds the sketch DISTRIBUTED (per-partition bitmaps
+  // OR-merged), the probe is a codegen'd bit test. Keys are xxhash64'd
+  // on both sides so build and probe hashing always agree.
+  private[graft] val bloomAggEntry = (
+    new FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_bloom_agg(key, expectedItems, numBits) takes three arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(0))),
+        children(1), children(2)): Expression
+    })
+
+  private[graft] val bloomContainsEntry = (
+    new FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_bloom_contains(bloom, key) takes two arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(1)))): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
@@ -128,7 +160,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
-      keywordCountsEntry, argmaxCosineEntry).foreach { e =>
+      keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
+      bloomContainsEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }
