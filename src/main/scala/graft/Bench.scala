@@ -257,16 +257,25 @@ object Bench {
     val gcs = fmtMap(m => f"${m.gcSec}%.3f")
     val ats = fmtMap(m => f"${m.atSec}%.3f")
     val total = results.map(_.median).filter(_ >= 0).sum
-    // Round-3 post-mortem: the single telemetry line grew past the
-    // driver's tail capture and BENCH_r03.json retained only the trailing
-    // at_sec map — the per-query medians were lost from the artifact.
-    // Fix (VERDICT r3 item 1): the bulky diagnostic maps (samples/gc/at)
-    // go FIRST on the telemetry line with the medians map last, and a
-    // second, compact line — small enough to always survive tail capture —
-    // repeats just the medians + floors. The compact line is printed LAST
-    // so a tail-truncated capture keeps it whole.
+    // Round-3/4 post-mortem: the driver's artifact keeps only a ~2000-char
+    // tail of stdout. Round 3 lost the medians to the telemetry maps;
+    // round 4's compact line still overflowed at 109 base + 30 x10 + 10
+    // extra entries with full query names and 9-decimal doubles (~5 KB).
+    // Fix (VERDICT r4 item 1): the FINAL printed line carries the BASE
+    // suite only, keyed by the short "qNN" prefix, at 3 decimals —
+    // ~109 × 13 chars ≈ 1.4 KB, guaranteed to survive the tail whole.
+    // Everything else (telemetry maps, x10/x_ann/x_json lines with full
+    // names) prints on EARLIER lines; nothing should SUM across lines.
     println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"queries":$qs,"sf":"$sfDir"}""")
+    val shortQs = results
+      .map(m => "\"" + m.name.takeWhile(_ != '_') + "\":" + f"${m.median}%.3f")
+      .mkString("{", ",", "}")
+    val finalLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"queries":$shortQs,"sf":"$sfDir"}"""
+    require(finalLine.length < 1900,
+      s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
+    println(finalLine)
     spark.stop()
   }
 }

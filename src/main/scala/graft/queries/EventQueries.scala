@@ -298,9 +298,38 @@ object EventQueries {
         sum(pmod(col("event_id"), lit(1000L))).as("checksum"))
   }
 
+  // Fact-vs-fact skew through the hot-key split join: the same 70%-on-
+  // key-0 funnel as q109, but the other side is a per-user registration
+  // record DERIVED FROM THE STREAM — a second fact, not a dimension (at
+  // production scale it is billions of rows; only its hot-key slice is
+  // broadcastable, which is exactly what hotSplit broadcasts). Salting
+  // cannot cover this shape: replicating a fact `buckets`× multiplies a
+  // big shuffle by `buckets`. Output must equal the plain join
+  // bit-for-bit — the oracle IS the plain join. The 2000-row threshold
+  // splits genuinely at sf0.1/x10 (hot key ~70%·N, cold keys ~N/80) and
+  // degrades CORRECTLY at other sizes: below it nothing is hot (pure
+  // cold join), far above it everything is (pure broadcast join) — the
+  // split is semantics-preserving at any threshold by construction.
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val stream = e.select(col("event_id"),
+      when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(25))).as("k"))
+    val reg = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("signup_id"))
+      .select(pmod(col("user_id"), lit(25)).as("k"), col("signup_id"))
+    graft.operators.SkewJoin.hotSplit(stream, reg, "k", hotThreshold = 2000L)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(pmod(col("event_id"), lit(1000L)) +
+          pmod(col("signup_id"), lit(1000L))).as("checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_event_transitions" -> q92 _,
     "q109_salted_skew_join" -> q109 _,
+    "q111_hot_split_join" -> q111 _,
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
@@ -313,6 +342,15 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q111_hot_split_join" ->
+      ("WITH l AS (SELECT event_id, CAST(CASE WHEN user_id % 10 < 7 THEN 0 " +
+        "ELSE user_id % 25 END AS BIGINT) AS k FROM events), " +
+        "r AS (SELECT CAST(user_id % 25 AS BIGINT) AS k, " +
+        "MIN(event_id) AS signup_id FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT l.k, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(event_id % 1000 + signup_id % 1000) AS BIGINT) AS checksum " +
+        "FROM l JOIN r ON l.k = r.k GROUP BY l.k"),
     "q109_salted_skew_join" ->
       ("SELECT n_name AS label, CAST(COUNT(*) AS BIGINT) AS n_events, " +
         "CAST(SUM(event_id % 1000) AS BIGINT) AS checksum FROM " +
