@@ -113,7 +113,15 @@ object EventQueries {
     // (r4): replacing the countDistinct below with a two-level
     // (err_id, f_type) pre-aggregate reads 0.97 vs 0.90 s — the Expand
     // is NOT the cost here (candidates are already near-unique per
-    // (err, type)); rejected.
+    // (err, type)); rejected. Third shape (r5, VERDICT r4 item 3):
+    // pre-aggregating points per (user, t, type) before the interval
+    // join — the x10 stream has 1.023 points per (user, 30-min bin)
+    // (1,000,000 points over 977,380 distinct pairs), so the extra
+    // shuffle+aggregate buys a 2.3% probe-side reduction; measured
+    // interleaved medians 1.105/0.929/0.783 (current) vs
+    // 1.037/0.937/0.947 (pre-agg) — parity-to-worse, REJECTED. The
+    // remaining gap to DuckDB is its vectorized inequality join on
+    // L2-resident data — engine floor, not a plan defect.
     val matched = graft.operators.RangeJoin
       .intervalJoin(errs, pts, Seq("user_id"), "win_start", "win_end", "t", GapNs)
     val counts = matched
@@ -203,17 +211,30 @@ object EventQueries {
     // every event into the aggregation). Measured at the x10 point:
     // 0.94 → 0.65 s (r3); re-measured r4: this shape 0.55 s vs a
     // window-cohort variant (min-over-user window instead of the
-    // agg+join) 0.58 s — equal within noise, window REJECTED (no win,
-    // and the join's build side is the tiny per-user table, broadcast by
-    // the planner). A collect_set-per-user single-exchange variant also
-    // measured parity (0.63/0.56 vs 0.65/0.57 interleaved medians) —
-    // REJECTED: no win, and its per-user day-set grows unboundedly on a
-    // long horizon while this shape's state is the bounded (user, day)
+    // agg+join) 0.58 s — equal within noise, window REJECTED (no win).
+    // A collect_set-per-user single-exchange variant also measured
+    // parity (0.63/0.56 vs 0.65/0.57 interleaved medians) — REJECTED:
+    // no win, and its per-user day-set grows unboundedly on a long
+    // horizon while this shape's state is the bounded (user, day)
     // distinct. Remaining gap to DuckDB (0.035 s) is the multi-stage
     // job floor on 10 MB of de-duplicated pairs — engine floor, plan
     // asserted in PlanSpec.
+    //
+    // r5 (EventScaleSmoke finding): the repartition below is the scale
+    // fix. distinct alone partitions by (user_id, day); the first-day
+    // aggregate and the join then need user_id partitioning, and once
+    // the per-user table outgrows the broadcast threshold the join
+    // re-shuffles the whole pair table (x100 smoke: shuffle bytes
+    // 2.8 → 82 MB for 10× data — super-linear). Declaring the exchange
+    // on user_id ONCE lets the distinct (subset-key distribution), the
+    // first-day aggregate, and the join all reuse it — shuffle returns
+    // to stream-linear with NO broadcastability assumption on the user
+    // table (the 100 TB case). Measured: x100 1.22-1.40 → 0.98-1.01 s;
+    // x10 parity (0.47-0.50 both); sf0.1 +0.04 s (job floor, the
+    // broadcast join it replaces was free at that size).
     val e = events(s, d)
       .select(col("user_id"), expr(s"ts div ${DayNs}L").as("day"))
+      .repartition(col("user_id"))
       .distinct()
     val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     e.join(first, Seq("user_id"))

@@ -123,10 +123,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("q87 cohorts: broadcast cohort join, no single-partition stage") {
-    val p = plan("q87_retention_cohorts")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  test("q87 cohorts: join reuses the declared user_id partitioning — no extra exchange") {
+    // the reuse only materializes in the FINAL adaptive plan — execute,
+    // then read the plan (the static plan prints both branches expanded)
+    val df = graft.SparkEntry.queries("q87_retention_cohorts")(spark, sf)
+    df.collect() // a write() would execute a COPY of the plan, not this one
+    // AQE's toString appends the pre-execution plan after the final one —
+    // only the "Final Plan" section reflects what actually ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SinglePartition"), p)
+    // the event stream is shuffled on user_id exactly ONCE: the second
+    // branch must consume a ReusedExchange, not re-shuffle (the x100
+    // super-linear shuffle cliff EventScaleSmoke caught in r5 — once the
+    // per-user table outgrew broadcast, the join re-shuffled every pair)
+    val streamShuffles = p.linesIterator.count(l =>
+      l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(streamShuffles == 1,
+      s"event stream must shuffle exactly once on user_id:\n$p")
   }
 
   test("q31 text metrics: kernel computed once, no regex expressions in plan") {
