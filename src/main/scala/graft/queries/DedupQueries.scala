@@ -161,7 +161,24 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("degree"), col("rank").as("rank_e6"))
   }
 
+  // Image perceptual near-dup: SimHash over byte 4-grams of the payload
+  // MediaCodec locates inside each image container (the pixel-domain
+  // stand-in pHash — see PerceptualHash's scaladoc for why gram-SimHash
+  // and not block hashing), banded bucket join, Hamming ≤ 5 verify. The
+  // oracle recomputes the md5-derived fingerprints and does the N²
+  // scan — the banded join is pigeonhole-exhaustive at this threshold
+  // (5 < 8 bands), so the two formulations match bit-for-bit.
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val assets = graft.operators.Multimodal
+      .assetsFromText(documents(s, d), "doc_id", "text")
+      .filter(col("kind") === "image")
+    val fps = graft.operators.PerceptualHash.fingerprints(assets, portable = true)
+    graft.operators.PerceptualHash
+      .nearDupPairs(fps, "asset_id", "phash", maxHamming = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_phash_near_dup" -> q112 _,
     "q88_authority_rank" -> q88 _,
     "q35_exact_dedup_stats" -> q35 _,
     "q36_dedup_keep_first" -> q36 _,
@@ -258,6 +275,39 @@ object DedupQueries {
        |SELECT doc_id, $hex AS simhash_hex FROM vs ORDER BY doc_id""".stripMargin
   }
 
+  /** q112 oracle: [[graft.operators.PerceptualHash]] fingerprints from
+    * first principles — image docs are doc_id % 3 = 0 (assetsFromText's
+    * kind rule) and the payload inside the container is exactly the text
+    * bytes, so the grams are substr(text, i, 4); md5-prefix-64 gram
+    * hashes, 64 ±1-vote sums, signed-BIGINT assembly (bit 63 via the
+    * Long.MinValue term, same trick as simHashTable), then the N² scan
+    * with bit_count(xor) ≤ 5 that the banded join is pigeonhole-exact
+    * against. */
+  private def pHashNearDupOracle: String = {
+    val chars = (1 to 16)
+      .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS c$j")
+      .mkString(", ")
+    val votes = (0 until 64)
+      .map(k => s"SUM((((c${16 - k / 4} >> ${k % 4}) & 1) * 2 - 1)) AS v$k")
+      .mkString(", ")
+    val assemble = (0 until 63)
+      .map(k => s"(CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ") +
+      " + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    s"""WITH img AS (SELECT doc_id, text FROM documents
+       |            WHERE doc_id % 3 = 0 AND length(text) >= 4),
+       |g AS (SELECT doc_id, md5(substr(text, CAST(i AS INT), 4)) AS h
+       |      FROM img, UNNEST(range(1, length(text) - 2)) AS u(i)),
+       |cs AS (SELECT doc_id, $chars FROM g),
+       |vs AS (SELECT doc_id, $votes FROM cs GROUP BY doc_id),
+       |p AS (SELECT doc_id, CAST($assemble AS BIGINT) AS ph FROM vs)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM p a JOIN p b ON b.doc_id > a.doc_id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q80 oracle: the q69 recursive closure, then keep component == doc_id
     * and roll up per source. */
   private def nearDupSurvivorsOracle: String =
@@ -318,6 +368,7 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q112_phash_near_dup" -> pHashNearDupOracle,
     "q88_authority_rank" -> authorityRankOracle,
     "q38_minhash_lsh" -> minHashLshOracle,
     "q39_simhash" -> simHashOracle,
