@@ -30,15 +30,45 @@ object BloomFilters {
   def mightContain(bloom: Column, key: Column): Column =
     call_function("graft_bloom_contains", bloom, key)
 
+  /** Hard capacity contract (round-4 ADVICE): Spark's
+    * BloomFilterAggregate silently `Math.min`-clamps expectedItems /
+    * numBits to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * (default 4M) and `.maxNumBits` (default 67,108,864 bits = 8 MB) —
+    * a caller asking for 10^9 shingles at 16 bits/item (~2 GB) would
+    * silently get an 8 MB filter whose FP rate is far looser than
+    * configured (still an upper bound, but not the configured one).
+    * Refuse instead of clamping; the partitioned variant below is the
+    * path past the ceiling. */
+  private def requireWithinCaps(df: DataFrame,
+                                expectedItems: Long, numBits: Long): Unit = {
+    val conf = df.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems >= 1 && expectedItems <= maxItems,
+      s"expectedItems=$expectedItems outside (0, $maxItems] — Spark would " +
+        "silently clamp; raise the runtime.bloomFilter confs or use the " +
+        "partitioned variant")
+    require(numBits >= 1 && numBits <= maxBits,
+      s"numBits=$numBits outside (0, $maxBits] — Spark would silently " +
+        "clamp; raise the runtime.bloomFilter confs or use the " +
+        "partitioned variant")
+  }
+
   /** Approximate contamination (q71's semantics, bloom-bounded): per
     * eval doc, the fraction of its distinct `keyCol` values that MIGHT
     * appear in `trainKeys`. The aggregate runs distributed; only the
-    * final bitmap (numBits/8 bytes — e.g. 20 MB for 10^9 shingles at
-    * 16 bits each) returns to the driver and ships to probes as a
-    * literal, the same transfer Spark's own runtime filters make. */
+    * final bitmap (numBits/8 bytes) returns to the driver and ships to
+    * probes as a literal, the same transfer Spark's own runtime filters
+    * make. That literal is this path's ceiling: the session caps bound
+    * it at 8 MB by default (refused above them, never clamped — see
+    * [[requireWithinCaps]]); 10^9+ key sets (~2 GB at 16 bits/item)
+    * go through [[mightContainPartitioned]] instead. */
   def approxContamination(trainKeys: DataFrame, evalKeyed: DataFrame,
                           idCol: String, keyCol: String,
                           expectedItems: Long, numBits: Long): DataFrame = {
+    requireWithinCaps(trainKeys, expectedItems, numBits)
     val bitmap = trainKeys
       .agg(bloomAgg(col(keyCol), expectedItems, numBits).as("b"))
       .head().getAs[Array[Byte]](0)
@@ -49,5 +79,89 @@ object BloomFilters {
           .as("n_might_hit"))
       .withColumn("contamination_ub",
         col("n_might_hit").cast("double") / col("n_keys"))
+  }
+
+  /** Partitioned bloom containment — the scale path past the literal
+    * ceiling: the key space splits on `pmod(xxhash64(key), P)`, one
+    * bitmap is aggregated PER partition (each within the session caps),
+    * and probes meet their bitmap by CO-PARTITIONING, not broadcast —
+    * `zipPartitions` over two sides repartitioned by the same part
+    * column, so each task holds its partition's bitmaps exactly once
+    * (a plain join on part would duplicate an 8 MB bitmap onto every
+    * probe row, and a driver literal of all P bitmaps is the 2 GB
+    * transfer this exists to avoid). Total capacity = P × per-partition
+    * cap — 10^10 shingles at 16 bits/item is P=256 at default caps.
+    *
+    * Returns the probe rows (`idCol`, `keyCol`, cast long/string) that
+    * MIGHT be contained — one-sided: contains every true hit plus the
+    * per-partition FP rate of false ones. Typical composition feeds the
+    * survivors to an exact verify join ([[contaminationBloomPruned]]),
+    * where FPs cost verify work but never correctness. */
+  def mightContainPartitioned(trainKeys: DataFrame, probes: DataFrame,
+                              idCol: String, keyCol: String,
+                              expectedItemsPerPart: Long, numBitsPerPart: Long,
+                              numPartitions: Int = 64): DataFrame = {
+    requireWithinCaps(trainKeys, expectedItemsPerPart, numBitsPerPart)
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    val spark = trainKeys.sparkSession
+    import spark.implicits._
+    val p = lit(numPartitions.toLong)
+    val blooms = trainKeys
+      .select(col(keyCol).cast("string").as("__key"))
+      .withColumn("__part", pmod(xxhash64(col("__key")), p))
+      .groupBy(col("__part"))
+      .agg(bloomAgg(col("__key"), expectedItemsPerPart, numBitsPerPart).as("__bloom"))
+      .repartition(numPartitions, col("__part"))
+    val probesP = probes
+      .select(col(idCol).cast("long").as("__id"),
+        col(keyCol).cast("string").as("__key"))
+      .withColumn("__part", pmod(xxhash64(col("__key")), p))
+      .repartition(numPartitions, col("__part"))
+    // both sides share HashPartitioning(__part, P) — identical value →
+    // identical task, so the per-task map sees every bitmap it needs
+    val survivors = probesP.as[(Long, String, Long)].rdd.zipPartitions(
+      blooms.as[(Long, Array[Byte])].rdd) { (pIt, bIt) =>
+      val filters = bIt.map { case (part, bytes) =>
+        part -> org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+      }.toMap
+      pIt.filter { case (_, key, part) =>
+        // same hash chain as the aggregate: xxhash64(key) is what
+        // graft_bloom_agg inserted (a part with no train keys has no
+        // bitmap — a definite miss)
+        filters.get(part).exists(_.mightContainLong(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(key),
+            org.apache.spark.sql.types.StringType, 42L)))
+      }.map { case (id, key, _) => (id, key) }
+    }
+    survivors.toDF(idCol, keyCol)
+  }
+
+  /** Exact contamination through the partitioned-bloom pruner: the
+    * bitmap drops definite-miss keys (the bulk, at any real dup rate),
+    * the survivors are verified by the exact semi-join, and the report
+    * is EXACT — false positives cost verify work, never correctness.
+    * This is the 100 TB shape of q71: the train-shingle set never
+    * broadcasts, never joins the full eval stream, and the only
+    * full-size shuffle is over the pruned candidates. */
+  def contaminationBloomPruned(trainKeys: DataFrame, evalKeyed: DataFrame,
+                               idCol: String, keyCol: String,
+                               expectedItemsPerPart: Long, numBitsPerPart: Long,
+                               numPartitions: Int = 64): DataFrame = {
+    val totals = evalKeyed
+      .select(col(idCol).cast("long").as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val candidates = mightContainPartitioned(trainKeys, evalKeyed,
+      idCol, keyCol, expectedItemsPerPart, numBitsPerPart, numPartitions)
+    val hits = candidates
+      .join(trainKeys.select(col(keyCol).cast("string").as(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles"))
   }
 }

@@ -125,7 +125,30 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q71's exact semantics THROUGH the partitioned-bloom pruner: per-part
+  // bitmaps aggregated over the train shingles, probes co-partitioned to
+  // their bitmap (zipPartitions, never a driver literal), survivors
+  // verified by the exact semi-join. The oracle is the plain exact join —
+  // false positives cost verify work, never output bits, so this is
+  // hash-exact at ANY bloom sizing (the per-part sizing here is right
+  // for sf0.01 and deliberately under-sized at sf0.1+: only the pruning
+  // rate degrades).
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(call_function("graft_shingles", col("text"), lit(3))).as("shingle"))
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle")).distinct()
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("shingle")).distinct()
+    graft.operators.BloomFilters.contaminationBloomPruned(
+      trainSh, evalSh, "doc_id", "shingle",
+      expectedItemsPerPart = 16384L, numBitsPerPart = 16384L * 16,
+      numPartitions = 16)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_partitioned_bloom" -> q113 _,
     "q61_stratified_sample" -> q61 _,
     "q110_hash_split" -> q110 _,
     "q62_sequence_packing" -> q62 _,
@@ -202,6 +225,18 @@ object TrainingQueries {
         "FROM (SELECT doc_id % 8 AS shard, doc_id, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
         "FROM documents)) ORDER BY doc_id"),
+    "q113_partitioned_bloom" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM t), " +
+        "train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0), " +
+        "ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 10 = 0) " +
+        "SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
+        "AS contamination " +
+        "FROM ev LEFT JOIN train ON train.s = ev.s " +
+        "GROUP BY ev.doc_id ORDER BY ev.doc_id"),
     "q71_contamination" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
         "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), " +

@@ -26,6 +26,67 @@ class BloomFiltersSpec extends SparkSpec {
     assert(fp < 250, s"fp=$fp of 5000 — rate too high for 16 bits/item")
   }
 
+  test("beyond-cap sizing is refused, not silently clamped") {
+    // Spark's BloomFilterAggregate Math.min-clamps to the session's
+    // runtime.bloomFilter maxNumItems (4M) / maxNumBits (64M bits) —
+    // the operator must refuse instead (round-4 ADVICE)
+    val train = Seq("a", "b").toDF("shingle")
+    val eval_ = Seq((1L, "a")).toDF("doc_id", "shingle")
+    intercept[IllegalArgumentException] {
+      BloomFilters.approxContamination(train, eval_, "doc_id", "shingle",
+        expectedItems = 5_000_000L, numBits = 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      BloomFilters.approxContamination(train, eval_, "doc_id", "shingle",
+        expectedItems = 1000L, numBits = 100_000_000L)
+    }
+    intercept[IllegalArgumentException] {
+      BloomFilters.mightContainPartitioned(train, eval_, "doc_id", "shingle",
+        expectedItemsPerPart = 5_000_000L, numBitsPerPart = 1000L)
+    }
+  }
+
+  test("partitioned containment: no false negatives across partitions") {
+    val train = spark.range(0, 20000)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val probes = spark.range(0, 20000)
+      .select((col("id") % 100).as("doc_id"), concat(lit("k"), col("id")).as("k"))
+    val kept = BloomFilters.mightContainPartitioned(train, probes,
+      "doc_id", "k", expectedItemsPerPart = 4000L,
+      numBitsPerPart = 4000L * 16, numPartitions = 8).count()
+    assert(kept === 20000L, "partitioned bloom must never false-negative")
+  }
+
+  test("partitioned containment: absent keys mostly pruned") {
+    val train = spark.range(0, 20000)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val absent = spark.range(0, 20000)
+      .select((col("id") % 100).as("doc_id"),
+        concat(lit("ABSENT"), col("id")).as("k"))
+    val kept = BloomFilters.mightContainPartitioned(train, absent,
+      "doc_id", "k", expectedItemsPerPart = 4000L,
+      numBitsPerPart = 4000L * 16, numPartitions = 8).count()
+    assert(kept < 1000, s"fp=$kept of 20000 — rate too high for 16 bits/item")
+  }
+
+  test("bloom-pruned contamination is EXACT even with adversarially tiny bitmaps") {
+    // under-size the per-partition filters 100×: the FP rate degrades
+    // to near-1 so pruning saves nothing, but the verify join must keep
+    // the output bit-identical to the plain exact join
+    val train = (0 until 2000).map(i => s"t$i").toDF("shingle")
+    val eval_ = (
+      (1 to 20).map(i => (1L, s"t$i")) ++
+        (1 to 10).map(i => (2L, s"t$i")) ++ (1 to 10).map(i => (2L, s"x$i")) ++
+        (1 to 20).map(i => (3L, s"y$i"))).toDF("doc_id", "shingle")
+    val pruned = BloomFilters.contaminationBloomPruned(train, eval_,
+      "doc_id", "shingle", expectedItemsPerPart = 8L, numBitsPerPart = 16L,
+      numPartitions = 4)
+    val prunedMap = pruned.select(col("doc_id"), col("n_hit"))
+      .as[(Long, Long)].collect().toMap
+    // doc 1 fully contained, doc 2 half, doc 3 disjoint (row kept, 0 hits)
+    assert(prunedMap === Map(1L -> 20L, 2L -> 10L, 3L -> 0L))
+  }
+
   test("approxContamination upper-bounds the exact q71-style join") {
     // train shingles t0..t999; eval docs: doc 1 fully contained, doc 2
     // half contained, doc 3 disjoint
