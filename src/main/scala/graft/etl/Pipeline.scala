@@ -31,11 +31,15 @@ object Pipeline {
     val u = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val payload = u.columns.filterNot(_ == key)
+    // getField/backquotes, not col("__w.name"): a payload column whose
+    // name contains a dot would otherwise parse as deeper nesting
+    // (round-4 ADVICE)
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
     u.groupBy(col(key))
-      .agg(max_by(struct(payload.map(col): _*),
+      .agg(max_by(struct(payload.map(ref): _*),
         struct(col(version), col("__src"))).as("__w"))
       .select(base.columns.map(c =>
-        if (c == key) col(key) else col(s"__w.$c").as(c)): _*)
+        if (c == key) col(key) else col("__w").getField(c).as(c)): _*)
   }
 
   /** S5 under schema drift (supabase_loader.py:194-228): the base table's

@@ -28,37 +28,44 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Backquoted attribute reference: a bare `col(name)` parses dots as
+    * nested-field access, so a column literally named "a.b" would fail
+    * to resolve (round-4 ADVICE). Doubling is the parser's backtick
+    * escape. */
+  private def ref(name: String) = col("`" + name.replace("`", "``") + "`")
+
   def profile(df: DataFrame, columns: Seq[String] = Nil,
               exact: Boolean = false, rsd: Double = 0.02): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "profile requires at least one column")
     if (exact) {
       cols.map { c =>
-        df.select(col(c)).agg(
+        df.select(ref(c).as("__c")).agg(
           count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_null"),
-          count_distinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_value"),
-          max(col(c)).cast("string").as("max_value"))
+          (count(lit(1)) - count(col("__c"))).as("n_null"),
+          count_distinct(col("__c")).as("n_distinct"),
+          min(col("__c")).cast("string").as("min_value"),
+          max(col("__c")).cast("string").as("max_value"))
           .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
             col("n_distinct"), col("min_value"), col("max_value"))
       }.reduce(_ unionAll _)
     } else {
-      val aggs = cols.flatMap { c =>
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        // positional generated aliases — immune to any characters in c
         Seq(
-          count(col(c)).as(s"__nn_$c"),
-          approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
-          min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c"))
+          count(ref(c)).as(s"__nn_$i"),
+          approx_count_distinct(ref(c), rsd).as(s"__nd_$i"),
+          min(ref(c)).cast("string").as(s"__min_$i"),
+          max(ref(c)).cast("string").as(s"__max_$i"))
       } :+ count(lit(1)).as("__n")
       val one = df.agg(aggs.head, aggs.tail: _*)
-      one.select(explode(array(cols.map(c => struct(
+      one.select(explode(array(cols.zipWithIndex.map { case (c, i) => struct(
           lit(c).as("col_name"),
           col("__n").as("n_rows"),
-          (col("__n") - col(s"__nn_$c")).as("n_null"),
-          col(s"__nd_$c").as("n_distinct"),
-          col(s"__min_$c").as("min_value"),
-          col(s"__max_$c").as("max_value"))): _*)).as("p"))
+          (col("__n") - col(s"__nn_$i")).as("n_null"),
+          col(s"__nd_$i").as("n_distinct"),
+          col(s"__min_$i").as("min_value"),
+          col(s"__max_$i").as("max_value")) }: _*)).as("p"))
         .select("p.*")
     }
   }

@@ -6,10 +6,13 @@ import graft.Tables._
 import graft.functions.TextAnalysis
 import graft.operators.Dedup
 
-/** Deduplication query set over `documents`: exact-hash dedup (oracle),
-  * keep-first dedup (oracle), pairwise n-gram Jaccard (oracle), and the
-  * non-SQL-expressible MinHash-LSH / SimHash operators (rows-only check;
-  * ScalaTest covers their semantics on constructed near-dup fixtures).
+/** Deduplication query set over `documents`: exact-hash dedup, keep-first
+  * dedup, pairwise n-gram Jaccard, MinHash-LSH, SimHash, perceptual image
+  * hash, near-dup components/survivors, and authority rank — ALL
+  * hash-matched against generated DuckDB oracles (the portable md5-keyed
+  * hash paths exist precisely so LSH banding is oracle-expressible;
+  * ScalaTest additionally pins the fast xxhash64 production paths to the
+  * portable ones on constructed near-dup fixtures).
   */
 object DedupQueries {
 

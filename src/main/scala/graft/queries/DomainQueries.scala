@@ -7,9 +7,10 @@ import graft.etl.{Pipeline, TagStage}
 
 /** Flagship domain-operator queries: the P2∘P1 tag pipeline as a typed
   * Dataset.map stage over deterministically synthesized LLM responses
-  * (rows-only check — semantics are ScalaTest-golden-verified against the
-  * reference's own examples), and the P9 variant-group representative
-  * selection (oracle-checked).
+  * (q44 — hash-matched against a DuckDB oracle that restates the policy
+  * rollup, AND ScalaTest-golden-verified against the reference's own
+  * examples), and the P9 variant-group representative selection
+  * (oracle-checked).
   */
 object DomainQueries {
 

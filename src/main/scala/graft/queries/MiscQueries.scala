@@ -8,8 +8,8 @@ import graft.functions.VocabularyOps
 
 /** Remaining scalar/array operator coverage: URL functions (X4/X5/X9/X10),
   * embedding-text builder (X12), summary round-trip (X16→X17), composition
-  * flatten (E9, rows-only — nested struct literals aren't practical in the
-  * oracle), and vocabulary validation (X24/P10).
+  * flatten (E9 — oracle-checked via its flattened string projection), and
+  * vocabulary validation (X24/P10). All hash-matched.
   */
 object MiscQueries {
 

@@ -73,8 +73,7 @@ object SinkQueries {
   // deterministic product order, read back from disk and hashed; the
   // DuckDB twin rebuilds the envelope string character-exactly.
   private def q105(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q105_dump").getAbsolutePath
+    val dir = scopedDir("graft_q105_dump", d)
     ProductSources.writeJsonDump(region(s, d).select("r_regionkey", "r_name"),
       dir, "2026-01-01T00:00:00Z", orderCols = Seq("r_regionkey"))
     s.read.text(dir).select(
@@ -90,8 +89,7 @@ object SinkQueries {
   // of every summary row — an overwrite-where-append-belonged, or a
   // partial second write, breaks n_copies.
   private def q106(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q106_summary").getAbsolutePath
+    val dir = scopedDir("graft_q106_summary", d)
     val summary = orders(s, d)
       .groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"))
@@ -116,9 +114,19 @@ object SinkQueries {
   // sfDir) so bench-timed runs measure the V2 READ, not fixture setup
   private val builtTrees = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Sink/fixture paths scoped by process AND data dir (round-4 ADVICE):
+    * two drivers on one host, or two sf dirs in one JVM, must never
+    * share a path — the pid kills the cross-process race, the data-dir
+    * hash keeps per-dir trees alive side by side within a process. */
+  private lazy val procToken = ProcessHandle.current().pid()
+  private def scopedDir(name: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      f"${name}_p${procToken}_${d.hashCode.toLong & 0xffffffffL}%08x")
+      .getAbsolutePath
+
   private def q107(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q107_tree")
+    val root = Paths.get(scopedDir("graft_q107_tree", d))
     if (builtTrees.putIfAbsent(s"$root|$d", true).isEmpty) {
       if (Files.exists(root)) { // fresh tree per JVM (stale-run protection)
         Files.walk(root).sorted(java.util.Comparator.reverseOrder())

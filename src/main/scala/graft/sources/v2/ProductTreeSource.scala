@@ -127,10 +127,18 @@ class ProductTreeScanBuilder(root: String, brand: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accumulate across invocations (round-4 ADVICE): Catalyst may call
+    // pushFilters more than once, and each call's filters are CONJUNCTS
+    // of the same query — so sets intersect and consumed appends; a
+    // replace would silently widen an earlier call's constraint
     val (prune, residual) = filters.partition(f => prunable(f).isDefined)
-    consumed = prune
-    categories = prune.flatMap(f => prunable(f).get) // conjunctive: intersect
-      .reduceOption(_ intersect _).orElse(categories)
+    consumed ++= prune.filterNot(consumed.contains)
+    val incoming = prune.flatMap(f => prunable(f).get)
+      .reduceOption(_ intersect _)
+    categories = (categories, incoming) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b)             => b.orElse(a)
+    }
     residual
   }
   override def pushedFilters(): Array[Filter] = consumed
