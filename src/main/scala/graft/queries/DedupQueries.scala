@@ -180,7 +180,27 @@ object DedupQueries {
       .nearDupPairs(fps, "asset_id", "phash", maxHamming = 5)
   }
 
+  // Entity-resolution fuzzy join (the name-level dedup modality): all
+  // pairs of DISTINCT part names within Levenshtein distance 2, with each
+  // name's part multiplicity. Candidates come from the deletion-
+  // neighborhood blocking join (FuzzyJoin scaladoc: complete for ED<=2,
+  // equi-join-shaped — never N²); the DuckDB oracle is the all-pairs
+  // distance scan the blocking is provably equivalent to. The count join
+  // is left to AQE (pairs are near-match-density-sized, but the distinct-
+  // name dimension is unbounded at warehouse scale — no forced broadcast).
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val counts = part(s, d).groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    graft.operators.FuzzyJoin.selfJoin(part(s, d), "p_name", maxDist = 2)
+      .join(counts.as("ca"), col("key_a") === col("ca.p_name"))
+      .join(counts.as("cb"), col("key_b") === col("cb.p_name"))
+      .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
+        col("edit_dist"),
+        col("ca.n").as("n_parts_a"), col("cb.n").as("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_fuzzy_name_join" -> q114 _,
     "q112_phash_near_dup" -> q112 _,
     "q88_authority_rank" -> q88 _,
     "q35_exact_dedup_stats" -> q35 _,
@@ -371,6 +391,13 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q114_fuzzy_name_join" ->
+      ("WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name) " +
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist, " +
+        "CAST(a.n AS BIGINT) AS n_parts_a, CAST(b.n AS BIGINT) AS n_parts_b " +
+        "FROM d a JOIN d b ON a.p_name < b.p_name " +
+        "AND levenshtein(a.p_name, b.p_name) <= 2 ORDER BY name_a, name_b"),
     "q112_phash_near_dup" -> pHashNearDupOracle,
     "q88_authority_rank" -> authorityRankOracle,
     "q38_minhash_lsh" -> minHashLshOracle,
