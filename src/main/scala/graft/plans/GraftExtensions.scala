@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.argmaxCosineEntry)
     ext.injectFunction(GraftExtensions.bloomAggEntry)
     ext.injectFunction(GraftExtensions.bloomContainsEntry)
+    ext.injectFunction(GraftExtensions.cmsEstimateEntry)
   }
 }
 
@@ -153,6 +154,15 @@ object GraftExtensions {
         new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(1)))): Expression
     })
 
+  private[graft] val cmsEstimateEntry = (
+    new FunctionIdentifier("graft_cms_estimate"),
+    new ExpressionInfo(classOf[GraftCmsEstimate].getName, "graft_cms_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_cms_estimate(sketch, key) takes two arguments")
+      GraftCmsEstimate(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
@@ -161,7 +171,7 @@ object GraftExtensions {
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
-      bloomContainsEntry).foreach { e =>
+      bloomContainsEntry, cmsEstimateEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

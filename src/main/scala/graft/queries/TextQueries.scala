@@ -249,7 +249,25 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // Heavy-hitter tokens (vocabulary head detection — the frequency-
+  // capping / stopword-discovery primitive): tokens occurring at least
+  // once per 200 token rows, with EXACT counts, via the count-min-sketch
+  // prune + exact verify in HeavyHitters (estimate is an upper bound →
+  // the map-side prune keeps every true heavy hitter; the exact group-by
+  // then touches only candidate rows and discards false positives). The
+  // DuckDB oracle is the plain exact HAVING scan the gate is provably
+  // equivalent to at any sketch sizing.
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    graft.operators.HeavyHitters
+      .exactAtLeastFraction(toks, "token", denom = 200,
+        eps = 1e-3, confidence = 0.99, seed = 42)
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_heavy_hitters" -> q115 _,
     "q74_pii_redaction" -> q74 _,
     "q75_repetition_ratio" -> q75 _,
     "q76_document_chunking" -> q76 _,
@@ -268,6 +286,12 @@ object TextQueries {
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "q115_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token " +
+        "FROM documents), " +
+        "t AS (SELECT GREATEST(1, COUNT(*) // 200) AS thr FROM tok) " +
+        "SELECT token, COUNT(*) AS n FROM tok, t GROUP BY token, t.thr " +
+        "HAVING COUNT(*) >= t.thr ORDER BY n DESC, token"),
     "q74_pii_redaction" ->
       ("WITH t AS (SELECT doc_id, text || ' contact user' || doc_id || " +
         "'@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2 " +
