@@ -78,4 +78,34 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Temperature-resampled stratum mixture — the data-driven companion
+    * of [[stratifiedRate]] (whose rates are caller-supplied constants):
+    * materializes the alpha = 0.5 mixture that q77-style weights only
+    * DESCRIBE. Per stratum s the keep rate is sqrt(n_min / n_s), so the
+    * expected kept count is sqrt(n_min · n_s) ∝ n_s^0.5 — the
+    * temperature-mixing target, with the smallest stratum kept whole
+    * and every larger one down-sampled toward it. alpha is fixed at 0.5
+    * because sqrt is the one power IEEE requires correctly rounded
+    * (arbitrary pow is not — oracle-parity rules); the per-row decision
+    * is the same md5 slot as every sampler here, so the pick is
+    * reproducible across runs, engines, and repartitioning.
+    *
+    * Shape: one group-by over the stratum column (bounded output — a
+    * stratum dimension is low-cardinality by construction: sources,
+    * languages, quality bands), broadcast back, row-local filter. No
+    * shuffle of the fact. */
+  def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
+                          salt: String = "graft-mix"): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val floorN = perStratum.agg(min(col("__n")).as("__n_min"))
+    val bounds = perStratum.crossJoin(broadcast(floorN))
+      .select(col(stratumCol),
+        floor(sqrt(col("__n_min").cast("double")) /
+          sqrt(col("__n").cast("double")) * lit(65536.0))
+          .cast("int").as("__bound"))
+    df.join(broadcast(bounds), Seq(stratumCol))
+      .filter(hashSlot(col(idCol), salt) < col("__bound"))
+      .drop("__bound")
+  }
 }

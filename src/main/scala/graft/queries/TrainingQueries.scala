@@ -34,6 +34,17 @@ object TrainingQueries {
         countDistinct(col("lang")).as("n_langs"),
         sum(col("n_chars")).as("total_chars"))
 
+  // Temperature-resampled corpus materialization: the alpha=0.5 source
+  // mixture ACTUALLY SAMPLED (q77 computes the descriptive weights; this
+  // applies them): per-source md5-slot keep bound sqrt(n_min/n_s), kept
+  // volume rolled up per source. The oracle recomputes every row's pick,
+  // so bound arithmetic, salt, and slot parsing are all hash-gated.
+  private def q116(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureResample(documents(s, d), "doc_id", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+
   // Concat-and-chop sequence packing: 256-token windows over 8 shards
   // (portable pmod sharding so the oracle reproduces the layout).
   private def q62(s: SparkSession, d: String): DataFrame =
@@ -149,6 +160,7 @@ object TrainingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_partitioned_bloom" -> q113 _,
+    "q116_temperature_resample" -> q116 _,
     "q61_stratified_sample" -> q61 _,
     "q110_hash_split" -> q110 _,
     "q62_sequence_packing" -> q62 _,
@@ -198,6 +210,15 @@ object TrainingQueries {
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens, " +
         "CAST(SUM(GREATEST(1, CAST(FLOOR(LENGTH(text) / 4.0) AS BIGINT))) AS BIGINT) AS total_est_tokens " +
         "FROM sampled GROUP BY lang ORDER BY lang"),
+    "q116_temperature_resample" ->
+      ("WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), " +
+        "m AS (SELECT MIN(n_docs) AS n_min FROM ps), " +
+        "w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE)) / " +
+        "sqrt(CAST(n_docs AS DOUBLE)) * 65536.0) AS INT) AS bound FROM ps, m) " +
+        "SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars " +
+        "FROM documents d JOIN w ON w.source = d.source " +
+        "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 4))::INT < w.bound " +
+        "GROUP BY d.source ORDER BY d.source"),
     "q110_hash_split" ->
       ("SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +

@@ -118,4 +118,22 @@ class SequencePackingSpec extends SparkSpec {
       Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
     }
   }
+
+  test("temperatureResample hits the sqrt mixture target, smallest stratum whole") {
+    // strata of 100 / 400 / 2500 rows: targets are 100 / sqrt(100*400)=200 /
+    // sqrt(100*2500)=500 — the 25:1 imbalance compresses to 5:1
+    val mixed = ((0 until 100).map(i => (i.toLong, "tiny")) ++
+      (0 until 400).map(i => (1000L + i, "mid")) ++
+      (0 until 2500).map(i => (10000L + i, "big"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureResample(mixed, "doc_id", "source")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(kept("tiny") == 100) // bound 65536: kept whole
+    assert(kept("mid") > 150 && kept("mid") < 250, kept.toString)
+    assert(kept("big") > 400 && kept("big") < 600, kept.toString)
+    // deterministic picks
+    assert(Sampling.temperatureResample(mixed, "doc_id", "source")
+      .select(sum($"doc_id")).head().getLong(0) ==
+      Sampling.temperatureResample(mixed, "doc_id", "source")
+        .select(sum($"doc_id")).head().getLong(0))
+  }
 }
