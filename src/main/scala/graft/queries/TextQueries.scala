@@ -266,7 +266,56 @@ object TextQueries {
       .orderBy(col("n").desc, col("token"))
   }
 
+  // BM25 retrieval scoring (the ranking layer over the q72 inverted
+  // index): top-100 docs for a fixed 3-term query, k1=1.2, b=0.75.
+  // Everything is one keyword-counts kernel pass per doc + one bounded
+  // global stats aggregate broadcast back — no shuffle of the corpus.
+  // Oracle-parity choices (rules in CoreQueries' scaladoc): idf is the
+  // RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) — the log wrapper
+  // is a transcendental no engine guarantees correctly rounded, so it is
+  // omitted rather than floor-fudged (per-term rankings are identical,
+  // the blend just weighs rare terms more strongly); the saturation
+  // numerator constant is the LITERAL 2.2, not computed k1+1 (1.2+1.0
+  // != 2.2 in doubles); every float op is written with identical
+  // parenthesization in both engines; output is e6-floored and ordered
+  // by the floored integer.
+  private val bm25Terms = Seq("spark", "query", "stream")
+
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val vocabLit = array(bm25Terms.map(t => array(lit(t))): _*)
+    val base = documents(s, d)
+      .withColumn("__c", call_function("graft_keyword_counts", col("text"), vocabLit))
+      .withColumn("__m", call_function("graft_text_metrics", col("text")))
+      .select(col("doc_id") +:
+        element_at(col("__m"), 1).cast("long").as("dl") +:
+        bm25Terms.indices.map(i =>
+          element_at(col("__c"), i + 1).cast("long").as(s"tf_${bm25Terms(i)}")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens") +:
+        bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    def term(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val dfT = col(s"df_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5))
+      (idf * (tf * lit(2.2))) /
+        (tf + lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    base.crossJoin(broadcast(stats))
+      .filter(bm25Terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id") +: col("dl") +:
+        bm25Terms.map(t => col(s"tf_$t")) :+
+        floor(bm25Terms.map(term).reduce(_ + _) * lit(1000000.0))
+          .cast("long").as("bm25_e6"): _*)
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_bm25_scores" -> q117 _,
     "q115_heavy_hitters" -> q115 _,
     "q74_pii_redaction" -> q74 _,
     "q75_repetition_ratio" -> q75 _,
@@ -285,7 +334,28 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** q117 oracle: the identical arithmetic, parenthesized identically. */
+  private def bm25Oracle: String = {
+    val tfs = bm25Terms.map(t =>
+      s"CAST(len(list_filter(l, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
+    val dfs = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val terms = bm25Terms.map { t =>
+      s"(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) * " +
+        s"(CAST(tf_$t AS DOUBLE) * 2.2)) / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + " +
+        s"0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    }.mkString(" + ")
+    s"WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+      s"b AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, $tfs FROM t), " +
+      s"g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens, $dfs FROM b) " +
+      s"SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, " +
+      s"CAST(FLOOR(($terms) * 1000000.0) AS BIGINT) AS bm25_e6 " +
+      s"FROM b, g WHERE ${bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")} " +
+      s"ORDER BY bm25_e6 DESC, doc_id LIMIT 100"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q117_bm25_scores" -> bm25Oracle,
     "q115_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token " +
         "FROM documents), " +
