@@ -196,7 +196,6 @@ object DedupQueries {
       .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
         col("edit_dist"),
         col("ca.n").as("n_parts_a"), col("cb.n").as("n_parts_b"))
-      .orderBy(col("name_a"), col("name_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -263,7 +263,6 @@ object TextQueries {
     graft.operators.HeavyHitters
       .exactAtLeastFraction(toks, "token", denom = 200,
         eps = 1e-3, confidence = 0.99, seed = 42)
-      .orderBy(col("n").desc, col("token"))
   }
 
   // BM25 retrieval scoring (the ranking layer over the q72 inverted
@@ -283,6 +282,9 @@ object TextQueries {
 
   private def q117(s: SparkSession, d: String): DataFrame = {
     val vocabLit = array(bm25Terms.map(t => array(lit(t))): _*)
+    // localCheckpoint: stats + scoring both consume `base`; without it
+    // each pass re-runs both text kernels over the corpus. The pinned
+    // intermediate is 5 longs/doc — negligible vs re-tokenizing.
     val base = documents(s, d)
       .withColumn("__c", call_function("graft_keyword_counts", col("text"), vocabLit))
       .withColumn("__m", call_function("graft_text_metrics", col("text")))
@@ -290,6 +292,7 @@ object TextQueries {
         element_at(col("__m"), 1).cast("long").as("dl") +:
         bm25Terms.indices.map(i =>
           element_at(col("__c"), i + 1).cast("long").as(s"tf_${bm25Terms(i)}")): _*)
+      .localCheckpoint()
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens") +:

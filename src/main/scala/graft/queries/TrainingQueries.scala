@@ -43,7 +43,6 @@ object TrainingQueries {
     Sampling.temperatureResample(documents(s, d), "doc_id", "source")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
-      .orderBy(col("source"))
 
   // Concat-and-chop sequence packing: 256-token windows over 8 shards
   // (portable pmod sharding so the oracle reproduces the layout).
