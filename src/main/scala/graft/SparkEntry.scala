@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.ScalarOpsQueries.queries ++
-      graft.queries.SinkQueries.queries
+      graft.queries.SinkQueries.queries ++
+      graft.queries.ClusterQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.ScalarOpsQueries.oracle ++
-      graft.queries.SinkQueries.oracle
+      graft.queries.SinkQueries.oracle ++
+      graft.queries.ClusterQueries.oracle
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.KMeans
+
+/** Embedding-clustering query set: deterministic Lloyd k-means (q118)
+  * and SemDeDup-style within-cluster semantic pruning (q119) over
+  * `embeddings`.
+  *
+  * Oracle strategy (the q88 PageRank playbook): every Lloyd iteration is
+  * exact integer arithmetic (see [[graft.operators.KMeans]]), so the
+  * DuckDB twin replays the full chain — seed pick, per-iteration
+  * assignment + floor-div centroid update, final assignment — as
+  * generated CTEs and hash-matches bit-for-bit, floats included (the
+  * only float op, q119's cosine gate, is the established
+  * `graft_cosine` ≡ `list_cosine_similarity` parity from q40).
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val Iters = 2
+  private val CosThreshold = 0.25
+
+  // ---- generated oracle chain ------------------------------------------
+
+  /** Exact floor division in DuckDB over BIGINTs (its bare `%` truncates
+    * like the JVM, so the nonneg-mod identity matches Math.floorDiv). */
+  private def fd(s: String, n: String) =
+    s"(($s - (($s % $n + $n) % $n)) // $n)"
+
+  /** CTE chain ending in the final assignment `a${Iters + 1}` (vec_id, v,
+    * cell) and final centroids `c$Iters` (cell, c). */
+  private def chainSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH emb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM embeddings), "
+    sb ++= s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell, v AS c " +
+      s"FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM emb ORDER BY h, vec_id LIMIT $K)), "
+    def assignStep(i: Int, prevCents: String): Unit = {
+      sb ++= s"d$i AS (SELECT e.vec_id, e.v, c.cell, " +
+        "CAST(list_sum(list_transform(list_zip(e.v, c.c), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist " +
+        s"FROM emb e CROSS JOIN $prevCents c), "
+      sb ++= s"a$i AS (SELECT vec_id, v, cell FROM (SELECT vec_id, v, cell, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d$i) WHERE rn = 1), "
+    }
+    for (i <- 1 to Iters) {
+      assignStep(i, s"c${i - 1}")
+      sb ++= s"x$i AS (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS j FROM a$i), "
+      sb ++= s"s$i AS (SELECT cell, j, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv FROM x$i GROUP BY cell, j), "
+      sb ++= s"u$i AS (SELECT cell, list(${fd("sv", "n")} ORDER BY j) AS c FROM s$i GROUP BY cell), "
+      sb ++= s"c$i AS (SELECT p.cell, COALESCE(u.c, p.c) AS c FROM c${i - 1} p LEFT JOIN u$i u ON p.cell = u.cell), "
+    }
+    assignStep(Iters + 1, s"c$Iters")
+    sb.toString.stripSuffix(", ").dropRight(0)
+  }
+
+  // ---- q118: k-means cluster rollup ------------------------------------
+
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = KMeans.fit(embeddings(s, d), "vec_id", "embedding", K, Iters)
+    val l1 = cents.zipWithIndex.map { case (c, i) => i -> c.map(math.abs).sum }.toMap
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec_id"))
+      .withColumn("centroid_l1", element_at(typedlit(l1), col("cluster_id")))
+  }
+
+  private def q118Sql: String = {
+    val fi = Iters + 1
+    chainSql.stripSuffix(", ") + ", " +
+      s"l AS (SELECT cell, CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS centroid_l1 FROM c$Iters) " +
+      s"SELECT a.cell AS cluster_id, COUNT(*) AS n_members, MIN(a.vec_id) AS min_vec_id, " +
+      s"MIN(l.centroid_l1) AS centroid_l1 FROM a$fi a JOIN l ON a.cell = l.cell GROUP BY a.cell"
+  }
+
+  // ---- q119: SemDeDup within-cluster semantic prune --------------------
+
+  /** SemDeDup's second stage: pairs are compared only WITHIN a cluster
+    * (the k-means blocking bounds the quadratic at O(Σ n_c²); pairs split
+    * across cells are the accepted, deterministic recall trade). A row is
+    * dropped when a SMALLER-id member of its cluster sits above the
+    * cosine gate — greedy keep-lowest-id, no transitive closure. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val (fitted, _) = KMeans.fit(embeddings(s, d), "vec_id", "embedding", K, Iters)
+    // 3 consumers (both join sides + the rollup) and an iterative lineage:
+    // pin the tiny (id, vec, cell) projection instead of re-running it.
+    val assigned = fitted.select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .localCheckpoint()
+    val pairs = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") && col("x.vec_id") < col("y.vec_id"))
+      .filter(call_function("graft_cosine", col("x.embedding"), col("y.embedding")) >= CosThreshold)
+    val dropped = pairs
+      .select(col("y.cluster_id").as("cluster_id"), col("y.vec_id").as("vec_id"))
+      .distinct()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .withColumn("n_kept", col("n_members") - col("n_dropped"))
+  }
+
+  private def q119Sql: String = {
+    val fi = Iters + 1
+    chainSql.stripSuffix(", ") + ", " +
+      "raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      s"p AS (SELECT x.cell AS cell, y.vec_id AS did FROM a$fi x JOIN a$fi y " +
+      "ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+      "JOIN raw bx ON bx.vec_id = x.vec_id JOIN raw byy ON byy.vec_id = y.vec_id " +
+      s"WHERE list_cosine_similarity(bx.e, byy.e) >= $CosThreshold), " +
+      "dr AS (SELECT cell, COUNT(DISTINCT did) AS n_dropped FROM p GROUP BY cell), " +
+      s"m AS (SELECT cell, COUNT(*) AS n_members FROM a$fi GROUP BY cell) " +
+      "SELECT m.cell AS cluster_id, m.n_members AS n_members, " +
+      "CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped, " +
+      "CAST(m.n_members - COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_kept " +
+      "FROM m LEFT JOIN dr ON m.cell = dr.cell"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_kmeans_clusters" -> q118,
+    "q119_semantic_dedup" -> q119)
+
+  val oracle: Map[String, String] = Map(
+    "q118_kmeans_clusters" -> q118Sql,
+    "q119_semantic_dedup" -> q119Sql)
+}
