@@ -123,6 +123,32 @@ object MiscQueries {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
       exact = true)
 
+  // Z-order locality rollup: Morton-interleave (l_partkey, l_suppkey) —
+  // the write-layout sort key of operators/ZOrder.layoutByZ — and show
+  // per-coarse-Z-bucket dimension ranges. Pure bit arithmetic, so the
+  // oracle recomputes every interleaved bit; ZOrderSpec measures the
+  // actual file-skipping win (tight boxes in BOTH dims per partition).
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val z = graft.operators.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 15)
+    lineitem(s, d)
+      .select(z.as("z"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("z"), 12).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+  }
+
+  private def q120Sql: String = {
+    val terms = (0 until 15).flatMap(b => Seq(
+      s"(((l_partkey >> $b) & 1) << ${2 * b})",
+      s"(((l_suppkey >> $b) & 1) << ${2 * b + 1})"))
+    s"WITH zd AS (SELECT ${terms.mkString(" + ")} AS z, l_partkey, l_suppkey FROM lineitem) " +
+      "SELECT (z >> 12) AS z_bucket, COUNT(*) AS n, " +
+      "MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk, " +
+      "MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk " +
+      "FROM zd GROUP BY 1"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_url_functions" -> q50 _,
     "q51_composition_flatten" -> q51 _,
@@ -130,7 +156,8 @@ object MiscQueries {
     "q53_vocab_validate" -> q53 _,
     "q54_multi_source_agg" -> q54 _,
     "q55_longest_token" -> q55 _,
-    "q108_column_profile" -> q108 _
+    "q108_column_profile" -> q108 _,
+    "q120_zorder_buckets" -> q120 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +229,7 @@ object MiscQueries {
            |  CAST(MIN($c) AS VARCHAR) AS min_value,
            |  CAST(MAX($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q120_zorder_buckets" -> q120Sql
   )
 }
