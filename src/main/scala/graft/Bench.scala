@@ -209,7 +209,11 @@ object Bench {
       // x10: exact 0.76 s, HLL 0.84 s, both Spark-constant-bound vs
       // DuckDB 0.036, see BASELINE — so neither variant is a
       // data-proportional signal at this size and it stays out too)
-      "q109_salted_skew_join")
+      "q109_salted_skew_join",
+      // r5: iterative k-means + SemDeDup are data-proportional (per-row
+      // kernel assignment, within-cluster pair compare); at sf0.1 they
+      // sit on the multi-job floor like q115 — x10 is the honest regime
+      "q118_kmeans_clusters", "q119_semantic_dedup")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -63,10 +63,20 @@ object KMeans {
   }
 
   /** Nearest-centroid assignment: one row-local argmin over the
-    * broadcast k×d literal; ties take the lowest cell id. Input must
-    * carry the quantized vector as `__v`; adds `cellCol`. */
+    * broadcast k×d literal via the codegen'd `graft_argmin_l2` kernel;
+    * ties take the lowest cell id. Input must carry the quantized vector
+    * as `__v`; adds `cellCol`. [[assignHof]] is the declarative twin the
+    * spec pins the kernel against. */
   def assign(quantized: DataFrame, cents: Array[Seq[Long]],
-             cellCol: String = "cluster_id"): DataFrame = {
+             cellCol: String = "cluster_id"): DataFrame =
+    quantized.withColumn(cellCol,
+      call_function("graft_argmin_l2", col("__v"), typedlit(cents.toSeq)))
+
+  /** HOF twin of [[assign]] (interpreted — `transform`/`zip_with`/
+    * `aggregate` fall out of codegen; measured ~96 µs/row at k=8, d=64
+    * vs the kernel's loop). Kept as the parity oracle for KMeansSpec. */
+  def assignHof(quantized: DataFrame, cents: Array[Seq[Long]],
+                cellCol: String = "cluster_id"): DataFrame = {
     val cl = typedlit(cents.toSeq)
     quantized
       .withColumn("__dists", transform(cl, c => sqDist(col("__v"), c)))

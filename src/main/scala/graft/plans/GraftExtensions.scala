@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggEntry)
     ext.injectFunction(GraftExtensions.bloomContainsEntry)
     ext.injectFunction(GraftExtensions.cmsEstimateEntry)
+    ext.injectFunction(GraftExtensions.argminL2Entry)
   }
 }
 
@@ -163,6 +164,15 @@ object GraftExtensions {
       GraftCmsEstimate(children(0), children(1)): Expression
     })
 
+  private[graft] val argminL2Entry = (
+    new FunctionIdentifier("graft_argmin_l2"),
+    new ExpressionInfo(classOf[GraftArgminL2].getName, "graft_argmin_l2"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_argmin_l2(vec, centroids) takes two arguments")
+      GraftArgminL2(children(0), children(1)): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
@@ -171,7 +181,7 @@ object GraftExtensions {
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
-      bloomContainsEntry, cmsEstimateEntry).foreach { e =>
+      bloomContainsEntry, cmsEstimateEntry, argminL2Entry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -60,6 +60,21 @@ class KMeansSpec extends SparkSpec {
     assert(cents.forall(_.length == 2))
   }
 
+  test("argmin-L2 kernel matches the HOF twin (incl. duplicate-centroid ties)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("__v", KMeans.quantize(col("embedding")))
+    val cents0 = Array.fill(5)(Seq.fill(16)((rnd.nextInt(2097152) - 1048576).toLong))
+    val cents = cents0 :+ cents0(2) // duplicate → guaranteed tie candidates
+    val kernel = KMeans.assign(df, cents).select("vec_id", "cluster_id")
+    val hof = KMeans.assignHof(df, cents).select("vec_id", "cluster_id")
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+    // the duplicate at index 5 can never win a tie against index 2
+    assert(kernel.filter($"cluster_id" === 5).count() == 0)
+  }
+
   test("quantization is the exact floor of x*2^20") {
     val q = Seq((0L, Seq(0.5f, -0.5f, 0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
