@@ -198,7 +198,32 @@ object DedupQueries {
         col("ca.n").as("n_parts_a"), col("cb.n").as("n_parts_b"))
   }
 
+  // Leakage-safe train/eval split: a near-dup GROUP must land entirely on
+  // one side, or eval leaks train content (the reason dedup-aware splits
+  // exist in LLM data pipelines). Split key = md5 of the component label
+  // (q69's min-doc_id), not of the doc — every member inherits the
+  // group's draw, so the invariant holds by construction: first md5 byte
+  // < 0x1a → eval (~10.2%). One closure pass + one rollup shuffle; the
+  // component table is the small side and broadcasts.
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
+      numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = documents(s, d).select(col("doc_id").as("id"))
+    val split = graft.operators.ConnectedComponents.auto(pairs, nodes)
+      .select(col("id").as("doc_id"), col("component"))
+      .withColumn("split",
+        when(substring(md5(col("component").cast("string")), 1, 2) < "1a",
+          lit("eval")).otherwise(lit("train")))
+    documents(s, d).join(split, Seq("doc_id"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("component")).as("n_groups"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_leakage_safe_split" -> q121 _,
     "q114_fuzzy_name_join" -> q114 _,
     "q112_phash_near_dup" -> q112 _,
     "q88_authority_rank" -> q88 _,
@@ -389,7 +414,26 @@ object DedupQueries {
        |  CAST(rank AS BIGINT) AS rank_e6 FROM r5""".stripMargin
   }
 
+  /** q121 oracle: the q69 recursive closure, then the same md5-of-label
+    * split rule and per-(source, split) rollup. */
+  private def leakageSafeSplitOracle: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.source,
+       |  CASE WHEN substr(md5(CAST(c.component AS VARCHAR)), 1, 2) < '1a'
+       |       THEN 'eval' ELSE 'train' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(DISTINCT c.component) AS BIGINT) AS n_groups
+       |FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q121_leakage_safe_split" -> leakageSafeSplitOracle,
     "q114_fuzzy_name_join" ->
       ("WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name) " +
         "SELECT a.p_name AS name_a, b.p_name AS name_b, " +

@@ -91,4 +91,22 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == Seq("a b c", "b c d"))
     assert(out(1).isEmpty)
   }
+
+  test("leakage-safe split: every member of a component draws the same side") {
+    // chain 0-1-2 is one component; 10 and 20 are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 10L, 20L).toDF("id")
+    val split = graft.operators.ConnectedComponents.auto(pairs, nodes)
+      .withColumn("split",
+        when(substring(md5(col("component").cast("string")), 1, 2) < "1a",
+          lit("eval")).otherwise(lit("train")))
+    val perComponent = split.groupBy("component")
+      .agg(countDistinct(col("split")).as("n_sides"))
+      .as[(Long, Long)].collect()
+    assert(perComponent.forall(_._2 == 1L), perComponent.toSeq)
+    // the rule is a function of the component label alone → doc-level
+    // re-draws (the leakage bug this operator exists to prevent) would
+    // show as n_sides > 1 on the 3-member chain
+    assert(split.filter(col("component") === 0L).count() == 3)
+  }
 }
