@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver testdata directories
   * (`/root/testdata/sf*` — see TESTDATA.md). All queries take the sf
@@ -22,7 +24,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events` with `ts` surfaced as nanos-since-epoch LONG, whatever the
+    * file's physical flavor. The event family does exact integer window
+    * arithmetic on nanos (see EventQueries), so the loader owns the
+    * normalization:
+    *
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (the original driver data
+    *    and `tools/gen_scaled_data.py` output) — already nanos.
+    *  - `TimestampNTZType` (driver data regenerated as naive
+    *    timestamp[us], Spark's default inference): rebuilt from wall-clock
+    *    parts — `unix_date`/`hour`/`minute`/`date_part('SECOND')` are all
+    *    tz-independent on NTZ, so the result equals DuckDB's
+    *    `epoch_ns(ts)` (naive-as-UTC) under ANY session time zone. All
+    *    codegen'd date/time intrinsics, no conf toggling.
+    *  - `TimestampType`: raw parquet micros are epoch micros
+    *    (no reader tz conversion for INT64 timestamps) — `unix_micros`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType => df.withColumn("ts", ntzEpochNanos(col("ts")))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+  }
+
+  /** Epoch nanos of a TIMESTAMP_NTZ wall clock interpreted as UTC —
+    * session-tz-independent by construction (every part function below is
+    * defined on the wall clock itself). Micro fraction comes from
+    * `date_part('SECOND')`'s DECIMAL(8,6); the cast back to long is exact.
+    */
+  private def ntzEpochNanos(c: Column): Column =
+    (unix_date(to_date(c)).cast(LongType) * lit(86400000000L) +
+      hour(c).cast(LongType) * lit(3600000000L) +
+      minute(c).cast(LongType) * lit(60000000L) +
+      (date_part(lit("SECOND"), c) * lit(1000000)).cast(LongType)) * lit(1000L)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

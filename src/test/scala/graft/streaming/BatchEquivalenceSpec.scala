@@ -26,7 +26,7 @@ class BatchEquivalenceSpec extends SparkSpec {
 
   /** (ms timestamp, user_id, event_type, value) in global event order. */
   private lazy val orderedEvents: Seq[(java.sql.Timestamp, Long, String, Double)] =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.Tables.events(spark, sfDir) // loader owns the ts→nanos surface
       // integral `div`, not `/`: float division of ~1.7e18 ns loses
       // sub-µs precision and can floor across an exact-ms boundary
       .select(expr("ts div 1000000").as("ms"),
