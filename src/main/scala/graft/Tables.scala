@@ -42,23 +42,25 @@ object Tables {
     *    (no reader tz conversion for INT64 timestamps) — `unix_micros`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensure(s)
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df
-      case TimestampNTZType => df.withColumn("ts", ntzEpochNanos(col("ts")))
-      case TimestampType =>
-        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", call_function("graft_ts_nanos", col("ts")))
       case other =>
         throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
   }
 
   /** Epoch nanos of a TIMESTAMP_NTZ wall clock interpreted as UTC —
-    * session-tz-independent by construction (every part function below is
+    * session-tz-independent by construction (every part function is
     * defined on the wall clock itself). Micro fraction comes from
     * `date_part('SECOND')`'s DECIMAL(8,6); the cast back to long is exact.
+    * This is the declarative twin TablesSpec pins [[graft.plans.GraftTsNanos]]
+    * against — the query path uses the kernel (one codegen'd multiply).
     */
-  private def ntzEpochNanos(c: Column): Column =
+  private[graft] def ntzEpochNanos(c: Column): Column =
     (unix_date(to_date(c)).cast(LongType) * lit(86400000000L) +
       hour(c).cast(LongType) * lit(3600000000L) +
       minute(c).cast(LongType) * lit(60000000L) +

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomContainsEntry)
     ext.injectFunction(GraftExtensions.cmsEstimateEntry)
     ext.injectFunction(GraftExtensions.argminL2Entry)
+    ext.injectFunction(GraftExtensions.tsNanosEntry)
   }
 }
 
@@ -173,6 +174,14 @@ object GraftExtensions {
       GraftArgminL2(children(0), children(1)): Expression
     })
 
+  private[graft] val tsNanosEntry = (
+    new FunctionIdentifier("graft_ts_nanos"),
+    new ExpressionInfo(classOf[GraftTsNanos].getName, "graft_ts_nanos"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_ts_nanos(ts) takes one argument")
+      GraftTsNanos(children.head): Expression
+    })
+
   /** Imperative fallback: register graft functions on a session that was
     * built without `spark.sql.extensions` (e.g. a host application's own
     * session handed to SparkEntry). Idempotent. */
@@ -181,7 +190,8 @@ object GraftExtensions {
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
-      bloomContainsEntry, cmsEstimateEntry, argminL2Entry).foreach { e =>
+      bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
+      tsNanosEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }
