@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.ScalarOpsQueries.queries ++
       graft.queries.SinkQueries.queries ++
-      graft.queries.ClusterQueries.queries
+      graft.queries.ClusterQueries.queries ++
+      graft.queries.WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.ScalarOpsQueries.oracle ++
       graft.queries.SinkQueries.oracle ++
-      graft.queries.ClusterQueries.oracle
+      graft.queries.ClusterQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable aggregate state — incremental rollup maintenance.
+  *
+  * The 100 TB pattern this encodes: a running rollup over an append-only
+  * fact table must never re-scan history. Keep a compact per-group STATE
+  * table of mergeable statistics; each new batch builds its own state
+  * from just the new files and the two states merge group-wise. Merge
+  * cost is proportional to |groups|, not |facts| — the whole point.
+  *
+  * Every statistic here is exactly mergeable AND engine-exact:
+  *   n (count), sum_cents (money as long cents — associative integer
+  *   addition, no float drift), min_v / max_v (doubles compared, never
+  *   added). Average and range re-derive from state at read time.
+  * Deliberately absent: exact distinct counts (not mergeable without
+  *   the full key set — that is what [[graft.operators.Profile]]'s HLL
+  *   pass and Spark's `hll_union_agg` sketches are for, see q68/q108).
+  *
+  * `AggStateSpec` proves the algebra (merge ≡ rebuild on random splits,
+  * associativity, empty-side identity); the q124 oracle proves it
+  * cross-engine — DuckDB re-derives the rollup from the FULL fact scan
+  * while Spark answers from history-state ⊕ batch-state.
+  */
+object AggState {
+
+  val statCols: Seq[String] = Seq("n", "sum_cents", "min_v", "max_v")
+
+  /** Per-group state from a fact slice. One map-side-combined shuffle on
+    * the group keys; `0.5`-offset long-cents rounding matches the q25/q56
+    * money convention (exact in both engines for the two-decimal inputs). */
+  def build(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "agg state needs at least one key column")
+    facts.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum((col(valueCol) * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+  }
+
+  /** Group-wise merge of any number of states. Groups absent from one
+    * side pass through unchanged (union semantics); the shuffle moves
+    * only state rows. */
+  def merge(keys: Seq[String], states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_cents")).as("sum_cents"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+  }
+}

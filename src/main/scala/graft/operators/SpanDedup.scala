@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication (the corpus-level "repeated
+  * passage" analysis of Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better" — suffix-array ExactSubstr, re-expressed
+  * for a distributed engine as shingle algebra):
+  *
+  * a token position is DUPLICATED when the n-token shingle starting there
+  * occurs more than once in the whole corpus; maximal runs of duplicated
+  * positions merge into spans — the passages a span-removal pass would
+  * cut, and the signal a curation pass reports (boilerplate, license
+  * headers, templated pages).
+  *
+  * Plan shape, scan to spans:
+  *  1. `graft_shingles` emits each doc's shingle array row-locally
+  *     (no corpus-wide lead/lag shuffle) → posexplode;
+  *  2. one shuffle on the shingle groups occurrence counts; `> 1`
+  *     filters to the duplicated minority before anything re-joins —
+  *     candidates scale with duplication density, never corpus size;
+  *  3. join flags the duplicated positions (inner, on the shingle —
+  *     Catalyst auto-broadcasts when the dup set is small, and at
+  *     10^11 shingles the equi-join shuffles both sides on the same
+  *     key it already grouped by);
+  *  4. per-doc gaps-and-islands merges overlapping [pos, pos+n)
+  *     intervals: island starts where pos exceeds the running max end
+  *     of every earlier interval — two windows over ONE doc_id
+  *     exchange, then a tiny per-island aggregate.
+  *
+  * All outputs are integer token positions/counts — engine-exact; the
+  * q123 oracle re-derives the same spans in DuckDB from
+  * `string_split_regex` shingles (the q71-proven tokenizer parity).
+  */
+object SpanDedup {
+
+  /** Merged duplicated spans: (idCol, span_start, span_end) with
+    * half-open token intervals [span_start, span_end). */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span shingle width must be >= 2, got $n")
+    val sh = docs.select(col(idCol),
+      posexplode(call_function("graft_shingles", col(textCol), lit(n)))
+        .as(Seq("pos", "sh")))
+    val dups = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("sh"))
+    val flagged = sh.join(dups, "sh")
+      .select(col(idCol), col("pos"), (col("pos") + lit(n)).as("end"))
+
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val runMaxEnd = max(col("end"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new_island",
+        when(runMaxEnd.isNull || col("pos") > runMaxEnd, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document rollup over [[dupSpans]], keeping zero-span documents
+    * (the curation report shape): n_dup_spans, dup_tokens (Σ span
+    * lengths), longest_span. */
+  def spanReport(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        max(col("span_end") - col("span_start")).as("longest_span"))
+    docs.select(col(idCol)).join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+  }
+}

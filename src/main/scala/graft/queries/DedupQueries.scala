@@ -222,8 +222,18 @@ object DedupQueries {
         countDistinct(col("component")).as("n_groups"))
   }
 
+  // Exact substring-span dedup (Lee et al. 2022 ExactSubstr, shingle
+  // re-expression): per doc, the merged maximal spans of 5-token
+  // shingles that occur anywhere else in the corpus — the passages a
+  // removal pass cuts. Machinery + plan shape in
+  // [[graft.operators.SpanDedup]]; the oracle re-derives spans from
+  // string_split_regex shingles + the same gaps-and-islands windows.
+  private def q123(s: SparkSession, d: String): DataFrame =
+    graft.operators.SpanDedup.spanReport(documents(s, d), "doc_id", "text", 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_leakage_safe_split" -> q121 _,
+    "q123_substring_spans" -> q123 _,
     "q114_fuzzy_name_join" -> q114 _,
     "q112_phash_near_dup" -> q112 _,
     "q88_authority_rank" -> q88 _,
@@ -432,8 +442,38 @@ object DedupQueries {
        |FROM documents d JOIN comp c ON c.doc_id = d.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** q123 oracle: positions via unnest(generate_series), duplicated
+    * shingles via HAVING count>1, islands via the same running-max-end
+    * windows, per-doc rollup keeping zero-span docs. */
+  private def substringSpansOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, $wsRe) AS l FROM documents),
+       |s0 AS (SELECT doc_id, unnest(generate_series(1, len(l) - 4)) AS i, l FROM t),
+       |s AS (SELECT doc_id, i - 1 AS pos,
+       |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |      FROM s0),
+       |d AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) > 1),
+       |f AS (SELECT s.doc_id, s.pos, s.pos + 5 AS e FROM s JOIN d USING (sh)),
+       |m AS (SELECT doc_id, pos, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+       |      FROM f),
+       |i AS (SELECT doc_id, pos, e,
+       |        SUM(CASE WHEN rm IS NULL OR pos > rm THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM m),
+       |sp AS (SELECT doc_id, isl, MIN(pos) AS s0, MAX(e) AS e0 FROM i GROUP BY doc_id, isl),
+       |r AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+       |        CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens,
+       |        CAST(MAX(e0 - s0) AS BIGINT) AS longest_span
+       |      FROM sp GROUP BY doc_id)
+       |SELECT documents.doc_id, COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       |  COALESCE(dup_tokens, 0) AS dup_tokens,
+       |  COALESCE(longest_span, 0) AS longest_span
+       |FROM documents LEFT JOIN r USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q121_leakage_safe_split" -> leakageSafeSplitOracle,
+    "q123_substring_spans" -> substringSpansOracle,
     "q114_fuzzy_name_join" ->
       ("WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name) " +
         "SELECT a.p_name AS name_a, b.p_name AS name_b, " +

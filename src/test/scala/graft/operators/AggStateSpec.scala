@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AggStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("g")
+
+  private def facts(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => (s"g${rnd.nextInt(5)}",
+      math.round(rnd.nextDouble() * 10000) / 100.0)).toDF("g", "v")
+  }
+
+  private def canon(df: DataFrame): Seq[(String, Long, Long, Double, Double)] =
+    df.select(col("g"), col("n"), col("sum_cents"), col("min_v"), col("max_v"))
+      .as[(String, Long, Long, Double, Double)].collect.toSeq.sortBy(_._1)
+
+  test("merge of a random 3-way split equals the full rebuild") {
+    val all = facts(7, 3000).cache()
+    val parts = all.randomSplit(Array(0.2, 0.5, 0.3), seed = 11)
+    val merged = AggState.merge(keys, parts.toSeq.map(p => AggState.build(p, keys, "v")))
+    assert(canon(merged) === canon(AggState.build(all, keys, "v")))
+    all.unpersist()
+  }
+
+  test("merge is associative: (a+b)+c == a+(b+c)") {
+    val a = AggState.build(facts(1, 500), keys, "v")
+    val b = AggState.build(facts(2, 700), keys, "v")
+    val c = AggState.build(facts(3, 300), keys, "v")
+    val left = AggState.merge(keys, Seq(AggState.merge(keys, Seq(a, b)), c))
+    val right = AggState.merge(keys, Seq(a, AggState.merge(keys, Seq(b, c))))
+    assert(canon(left) === canon(right))
+  }
+
+  test("groups absent from one side pass through (union semantics)") {
+    val a = AggState.build(Seq(("only_a", 1.0)).toDF("g", "v"), keys, "v")
+    val b = AggState.build(Seq(("only_b", 2.0), ("only_b", 4.0)).toDF("g", "v"), keys, "v")
+    val m = canon(AggState.merge(keys, Seq(a, b)))
+    assert(m === Seq(("only_a", 1L, 100L, 1.0, 1.0), ("only_b", 2L, 600L, 2.0, 4.0)))
+  }
+
+  test("state build is one map-side-combined shuffle (partial aggregate)") {
+    val plan = AggState.build(facts(9, 100), keys, "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
+    assert(plan.contains("partial_"), s"no partial aggregate in:\n$plan")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 distinct filler tokens — no accidental 3-shingle repeats
+  private def filler(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("a shared passage flags one merged span in both docs, exact bounds") {
+    val passage = "p0 p1 p2 p3 p4 p5 p6 p7" // 8 tokens, shared
+    val docs = Seq(
+      (1L, s"${filler("a", 5)} $passage ${filler("b", 5)}"),
+      (2L, s"${filler("c", 3)} $passage")).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect.toSeq.sortBy(_._1)
+    // doc 1: passage occupies tokens [5, 13); every 3-shingle inside it is
+    // shared, so flagged starts are 5..10 and the merged span is [5, 13)
+    assert(spans === Seq((1L, 5, 13), (2L, 3, 11)))
+  }
+
+  test("two separated shared passages stay two islands; back-to-back merge") {
+    val p1 = "x0 x1 x2 x3"
+    val p2 = "y0 y1 y2 y3"
+    val docs = Seq(
+      (1L, s"$p1 ${filler("m", 6)} $p2"),      // separated: two spans
+      (2L, s"$p1 $p2"),                        // adjacent in doc 2
+      (3L, s"${filler("z", 4)} $p1 $p2 ${filler("w", 4)}")).toDF("doc_id", "text")
+    val rep = SpanDedup.spanReport(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect.toSeq.sortBy(_._1)
+    val byDoc = rep.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 === 2L) // two islands
+    // docs 2/3 share the CONCATENATION p1+p2 too (the junction shingles
+    // x2 x3 y0 etc. appear in both), so their spans merge into one
+    assert(byDoc(2L)._2 === 1L && byDoc(2L)._3 === 8L)
+    assert(byDoc(3L)._2 === 1L && byDoc(3L)._3 === 8L)
+  }
+
+  test("within-doc repetition counts as duplication") {
+    val docs = Seq(
+      (1L, s"r0 r1 r2 ${filler("u", 5)} r0 r1 r2")).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect.toSeq.sortBy(_._2)
+    assert(spans === Seq((1L, 0, 3), (1L, 8, 11)))
+  }
+
+  test("corpus with no repeats reports all zeros, every doc present") {
+    val docs = Seq((1L, filler("a", 10)), (2L, filler("b", 10))).toDF("doc_id", "text")
+    val rep = SpanDedup.spanReport(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    assert(rep.size === 2 && rep.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0L))
+  }
+
+  test("docs shorter than n yield no shingles and no spans") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    assert(SpanDedup.dupSpans(docs, "doc_id", "text", 3).count() === 0)
+    assert(SpanDedup.spanReport(docs, "doc_id", "text", 3).count() === 3)
+  }
+}
