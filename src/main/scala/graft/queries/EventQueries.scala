@@ -347,7 +347,36 @@ object EventQueries {
           pmod(col("signup_id"), lit(1000L))).as("checksum"))
   }
 
+  // Time-travel join against versioned history: for every error event,
+  // the user's SCD2-versioned activity state (last non-error event_type
+  // version) active at error time. Composes q122's Scd2 build with the
+  // AsOfJoin interval semantics — valid_from intervals partition each
+  // user's timeline by construction, so "version containing t" ≡
+  // "latest valid_from <= t", one carry-forward window, no range probe.
+  // The change log is deduped per (user, µs) by max event_id first, so
+  // valid_from is unique per user and both engines' as-of tie rules are
+  // never exercised (q66 lesson).
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
+    val log = e.filter(col("event_type") =!= "error")
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("__w"))
+      .select(col("user_id"), col("t"),
+        col("__w.event_id").as("event_id"), col("__w.event_type").as("event_type"))
+    val hist = graft.operators.Scd2
+      .fromChangeLog(log, Seq("user_id"), "t", "event_id", Seq("event_type"))
+      .select(col("user_id"), col("valid_from"),
+        col("event_type").as("active_type"), col("version"))
+    val errs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("t"))
+    graft.operators.AsOfJoin.backward(errs, hist,
+      Seq("user_id"), "t", "valid_from", payload = Seq("active_type", "version"))
+    // err_id unique — transform output, harness canonical-sorts
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_versioned_asof" -> q125 _,
     "q92_event_transitions" -> q92 _,
     "q109_salted_skew_join" -> q109 _,
     "q111_hot_split_join" -> q111 _,
@@ -363,6 +392,25 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_versioned_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "epoch_ns(ts) - epoch_ns(ts) % 1000 AS t FROM events), " +
+        "ne AS (SELECT user_id, t, arg_max(event_type, event_id) AS event_type, " +
+        "MAX(event_id) AS event_id FROM e WHERE event_type <> 'error' " +
+        "GROUP BY user_id, t), " +
+        "o AS (SELECT user_id, t, event_id, event_type, " +
+        "lag(event_type) OVER w AS prev, row_number() OVER w AS rn FROM ne " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+        "v AS (SELECT user_id, event_type AS active_type, " +
+        "CAST(row_number() OVER w2 AS BIGINT) AS version, t AS valid_from FROM c " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "err AS (SELECT event_id AS err_id, user_id, t FROM e " +
+        "WHERE event_type = 'error') " +
+        "SELECT err.err_id, err.user_id, err.t, " +
+        "v.active_type AS asof_active_type, v.version AS asof_version " +
+        "FROM err ASOF LEFT JOIN v " +
+        "ON err.user_id = v.user_id AND v.valid_from <= err.t"),
     "q111_hot_split_join" ->
       ("WITH l AS (SELECT event_id, CAST(CASE WHEN user_id % 10 < 7 THEN 0 " +
         "ELSE user_id % 25 END AS BIGINT) AS k FROM events), " +

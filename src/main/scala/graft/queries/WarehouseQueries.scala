@@ -45,9 +45,40 @@ object WarehouseQueries {
     AggState.merge(keys, Seq(hist, batch))
   }
 
+  // CDC changelog apply: lineitem replayed as a per-order op stream —
+  // line 1 is the base snapshot, lines >= 2 are ordered ops where
+  // returnflag 'R' deletes the order and anything else upserts its
+  // payload. The final snapshot (last-op-wins incl. deletes, untouched
+  // keys passing through) rolls up per order priority. The oracle
+  // re-derives the same state with a DESC row_number window over the
+  // log — Spark runs the one-aggregate machinery (Cdc scaladoc).
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    // The synthetic lineitem does NOT have unique (orderkey, linenumber)
+    // pairs (977 dups at sf0.001, some with differing payloads), so the
+    // op order is the FULL payload tuple: any remaining tie is between
+    // identical rows and every tie-break picks the same winner — the
+    // applyLog determinism contract holds by construction on both
+    // engines. Real CDC logs order by their LSN instead.
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+    val base = li.filter(col("l_linenumber") === 1)
+    val log = li.filter(col("l_linenumber") >= 2)
+      .withColumn("op",
+        when(col("l_returnflag") === "R", lit("delete")).otherwise(lit("upsert")))
+    val fin = graft.operators.Cdc.applyLog(base, log,
+      Seq("l_orderkey"), "op",
+      Seq("l_linenumber", "l_partkey", "l_quantity", "l_returnflag"))
+    fin.join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_quantity") * 100 + lit(0.5)).cast("long")).as("qty_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_scd2_history" -> q122 _,
-    "q124_agg_state_merge" -> q124 _)
+    "q124_agg_state_merge" -> q124 _,
+    "q126_cdc_apply" -> q126 _)
 
   val oracle: Map[String, String] = Map(
     "q122_scd2_history" ->
@@ -67,5 +98,28 @@ object WarehouseQueries {
       ("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents, " +
         "MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v " +
-        "FROM orders GROUP BY o_orderpriority, o_orderstatus"))
+        "FROM orders GROUP BY o_orderpriority, o_orderstatus"),
+    // q126: base rows (line 1) dedup by the same full-tuple max the
+    // operator's aggregate applies; log winner = max full tuple among
+    // lines >= 2; FULL join so log-inserted keys (814 sf0.001 orders
+    // have no line 1) and untouched base keys both survive.
+    "q126_cdc_apply" ->
+      ("WITH r5 AS (SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "l_quantity, l_returnflag FROM lineitem), " +
+        "lastop AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC, " +
+        "l_returnflag DESC) AS rn FROM r5 WHERE l_linenumber >= 2), " +
+        "basewin AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_partkey DESC, l_quantity DESC, l_returnflag DESC) AS rn " +
+        "FROM r5 WHERE l_linenumber = 1), " +
+        "fin AS (SELECT COALESCE(b.l_orderkey, lo.l_orderkey) AS k, " +
+        "COALESCE(lo.l_quantity, b.l_quantity) AS q, " +
+        "COALESCE(lo.l_returnflag, 'N') AS rf " +
+        "FROM (SELECT * FROM basewin WHERE rn = 1) b " +
+        "FULL JOIN (SELECT * FROM lastop WHERE rn = 1) lo " +
+        "ON b.l_orderkey = lo.l_orderkey) " +
+        "SELECT o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(q AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_cents " +
+        "FROM fin JOIN orders ON o_orderkey = k " +
+        "WHERE rf <> 'R' GROUP BY o_orderpriority"))
 }
