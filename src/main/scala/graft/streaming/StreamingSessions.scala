@@ -170,4 +170,80 @@ object StreamingSessions {
           }
       }
   }
+
+  /** Open SCD2 version per key: the tracked attribute, when it started,
+    * its ordinal, and the key's latest event time (timeout anchor — same
+    * straggler rule as [[FunnelProgress.maxT]]). */
+  final case class ScdProgress(attr: String, validFrom: Long, version: Long,
+                               maxT: Long)
+
+  /** One emitted version row. `valid_to` = −1 and `is_current` = true on
+    * the OPEN version a key retires with (emitted at state timeout);
+    * closed versions emit the moment the attribute changes. */
+  final case class ScdVersion(key: Long, attr: String, version: Long,
+                              valid_from: Long, valid_to: Long,
+                              is_current: Boolean)
+
+  /** Streaming twin of [[graft.operators.Scd2.fromChangeLog]]: per-key
+    * type-2 history maintained online. A version row emits exactly when
+    * the next change CLOSES it (so downstream sees every historical
+    * version once, in Append mode), and the still-open version emits when
+    * the key's idle timeout retires its state — after which a revived key
+    * restarts at version 1, the horizon contract every keyed state here
+    * shares. Within a micro-batch events apply in (t, id) order — the
+    * same tie-break the batch operator's window uses; ordering across
+    * batches is the watermark's contract.
+    *
+    * Scale shape: state is ONE small case class per active key (the open
+    * version), evicted on idle — a forever-running changelog stream holds
+    * the active-key working set, never the history (history lives in the
+    * emitted rows / the batch table). StreamingScd2 replay spec: chunked
+    * replay of a log ≡ the batch operator on the identical ms-granular
+    * log, closed and open versions both.
+    */
+  def streamingScd2(log: DataFrame, tsCol: String, keyCol: String,
+                    idCol: String, attrCol: String, idleMs: Long = 3600000L,
+                    watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[ScdVersion] = {
+    import log.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    log
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").as("t"),
+        col(idCol).cast("long").as("id"),
+        col(attrCol).cast("string").as("a"))
+      .withWatermark("t", watermark)
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ScdProgress, ScdVersion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator(ScdVersion(key, open.attr, open.version,
+              open.validFrom, -1L, is_current = true))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+            var st = state.getOption.orNull
+            val ordered = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            ordered.foreach { case (_, ts, _, attr) =>
+              val t = ts.getTime
+              if (st == null)
+                st = ScdProgress(attr, t, 1L, t)
+              else if (!(st.attr == null && attr == null) &&
+                  (st.attr == null || attr == null || st.attr != attr)) {
+                out += ScdVersion(key, st.attr, st.version, st.validFrom, t,
+                  is_current = false)
+                st = ScdProgress(attr, t, st.version + 1, st.maxT)
+              }
+              st = st.copy(maxT = math.max(st.maxT, t))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.maxT + idleMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

@@ -40,6 +40,58 @@ class BatchEquivalenceSpec extends SparkSpec {
     xs.grouped(size).toSeq
   }
 
+  /** (ms timestamp, user_id, event_id, event_type) sorted by (ms, id) —
+    * the (t, id) tie-break order the SCD2 window uses, so chunking can
+    * never deliver same-millisecond events of one key across batches in
+    * a different order than the batch operator applies them. */
+  private lazy val orderedEventsWithId: Seq[(java.sql.Timestamp, Long, Long, String)] =
+    graft.Tables.events(spark, sfDir)
+      .select(expr("ts div 1000000").as("ms"),
+        col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+      .map { case (ms, u, id, e) => (new java.sql.Timestamp(ms), u, id, e) }
+
+  test("streamingScd2 chunked replay equals the batch operator, closed and open versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val idleMs = 100L * 24 * 3600 * 1000
+    val q = StreamingSessions.streamingScd2(
+      input.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+      "ts", "user_id", "event_id", "event_type",
+      idleMs = idleMs, watermark = "1 second")
+      .writeStream.format("memory").queryName("scd2_replay")
+      .outputMode(OutputMode.Append).start()
+    chunks(orderedEventsWithId, 10).foreach { c =>
+      input.addData(c)
+      q.processAllAvailable()
+    }
+    // two sentinel batches push the watermark past every key's
+    // maxT + idle so the OPEN versions flush via state timeout
+    val far = orderedEventsWithId.last._1.getTime + 2 * idleMs
+    input.addData(Seq((new java.sql.Timestamp(far), -1L, 0L, "x")))
+    q.processAllAvailable()
+    input.addData(Seq((new java.sql.Timestamp(far + 1000), -1L, 1L, "x")))
+    q.processAllAvailable()
+    val streamed = spark.table("scd2_replay")
+      .filter(col("key") >= 0)
+      .select(col("key"), col("attr"), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    q.stop()
+    val batch = graft.operators.Scd2.fromChangeLog(
+      orderedEventsWithId.map(e => (e._2, e._1.getTime, e._3, e._4))
+        .toDF("k", "t", "id", "a"),
+      Seq("k"), "t", "id", Seq("a"))
+      .select(col("k"), col("a"), col("version"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)), col("is_current"))
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty && batch.exists(_._6) && batch.exists(!_._6))
+    assert(streamed === batch,
+      s"streaming-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streamingFunnel replay of sf0.01 events equals batch q86") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
