@@ -213,7 +213,13 @@ object Bench {
       // r5: iterative k-means + SemDeDup are data-proportional (per-row
       // kernel assignment, within-cluster pair compare); at sf0.1 they
       // sit on the multi-job floor like q115 — x10 is the honest regime
-      "q118_kmeans_clusters", "q119_semantic_dedup")
+      "q118_kmeans_clusters", "q119_semantic_dedup",
+      // r5-late: all data-proportional — SCD2/as-of are window passes
+      // over the 1M-event log, substring spans are a corpus shingle
+      // shuffle, CDC apply is a fact-table aggregate (q124's merge is
+      // state-bound by design, so it stays out)
+      "q122_scd2_history", "q123_substring_spans", "q125_versioned_asof",
+      "q126_cdc_apply")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -359,6 +359,16 @@ object EventQueries {
   private def q125(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
+    // Measured (r5): repartition(user_id) before the dedup aggregate —
+    // the q87 exchange-reuse shape — drops the plan from 3 exchanges to
+    // 2 but reads parity-to-worse at sf0.1 (0.86-0.95 vs 0.70-1.16
+    // across a noisy box; no run beat the 3-exchange shape). Why no win:
+    // the repartition moves every raw row up front while the (user_id,
+    // t) aggregate's own exchange moves map-side-combined rows, and the
+    // as-of union re-shuffles the (small) version table regardless. The
+    // q87 trick pays when the SAME wide stream feeds several subset-key
+    // stages; here each stage consumes a successively smaller
+    // derivative. REJECTED — keep the per-stage exchanges.
     val log = e.filter(col("event_type") =!= "error")
       .groupBy(col("user_id"), col("t"))
       .agg(max(struct(col("event_id"), col("event_type"))).as("__w"))
