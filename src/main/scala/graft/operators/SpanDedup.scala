@@ -42,6 +42,9 @@ object SpanDedup {
     * half-open token intervals [span_start, span_end). */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span shingle width must be >= 2, got $n")
+    Seq("pos", "sh", "end", "__occ", "__new_island", "__island").foreach { c =>
+      require(idCol != c && textCol != c, s"'$c' is reserved by dupSpans")
+    }
     val sh = docs.select(col(idCol),
       posexplode(call_function("graft_shingles", col(textCol), lit(n)))
         .as(Seq("pos", "sh")))
@@ -61,6 +64,38 @@ object SpanDedup {
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The removal pass over [[dupSpans]]: re-tokenize each document, drop
+    * every token a duplicated span covers, re-join with single spaces.
+    * Output is (idCol, cleaned_md5, n_removed) — the md5 pins the exact
+    * reconstructed text cross-engine without hauling it around.
+    *
+    * Row-local after one broadcast-sized join: the merged span list per
+    * doc collects into an array (spans are disjoint and few — bounded by
+    * tokens/n), and the token filter is a codegen'd HOF over the split
+    * array (`filter` with index + `exists` over the span structs) — no
+    * shuffle beyond dupSpans' own. Tokenization is `split(text, "\\s+")`
+    * with Spark's default -1 limit: the exact JDK semantics
+    * `graft_shingles` mirrors, so span positions line up with token
+    * positions by construction.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spanArr = dupSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    docs.select(col(idCol), col(textCol))
+      .join(spanArr, Seq(idCol), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("__toks", split(col(textCol), "\\s+"))
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        !exists(col("__spans"),
+          sp => i >= sp.getField("s") && i < sp.getField("e"))))
+      .select(col(idCol),
+        md5(concat_ws(" ", col("__kept"))).as("cleaned_md5"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** Per-document rollup over [[dupSpans]], keeping zero-span documents

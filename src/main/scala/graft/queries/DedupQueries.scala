@@ -231,9 +231,16 @@ object DedupQueries {
   private def q123(s: SparkSession, d: String): DataFrame =
     graft.operators.SpanDedup.spanReport(documents(s, d), "doc_id", "text", 5)
 
+  // The removal pass over q123's spans: cleaned text md5-pinned, per-doc
+  // removed-token counts — the deliverable an ExactSubstr dedup actually
+  // ships. Row-local token filtering; see SpanDedup.removeSpans.
+  private def q127(s: SparkSession, d: String): DataFrame =
+    graft.operators.SpanDedup.removeSpans(documents(s, d), "doc_id", "text", 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_leakage_safe_split" -> q121 _,
     "q123_substring_spans" -> q123 _,
+    "q127_span_removal" -> q127 _,
     "q114_fuzzy_name_join" -> q114 _,
     "q112_phash_near_dup" -> q112 _,
     "q88_authority_rank" -> q88 _,
@@ -471,9 +478,40 @@ object DedupQueries {
        |  COALESCE(longest_span, 0) AS longest_span
        |FROM documents LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** q127 oracle: q123's span CTEs, then token-level NOT EXISTS removal
+    * and an ordered string_agg rebuild of the cleaned text. */
+  private def spanRemovalOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, $wsRe) AS l FROM documents),
+       |s0 AS (SELECT doc_id, unnest(generate_series(1, len(l) - 4)) AS i, l FROM t),
+       |s AS (SELECT doc_id, i - 1 AS pos,
+       |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+       |      FROM s0),
+       |d AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(*) > 1),
+       |f AS (SELECT s.doc_id, s.pos, s.pos + 5 AS e FROM s JOIN d USING (sh)),
+       |m AS (SELECT doc_id, pos, e,
+       |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+       |      FROM f),
+       |i AS (SELECT doc_id, pos, e,
+       |        SUM(CASE WHEN rm IS NULL OR pos > rm THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM m),
+       |sp AS (SELECT doc_id, isl, MIN(pos) AS sp0, MAX(e) AS ep0 FROM i GROUP BY doc_id, isl),
+       |tok0 AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS j, l FROM t),
+       |tk AS (SELECT doc_id, j - 1 AS pos, l[j] AS tok FROM tok0),
+       |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk WHERE NOT EXISTS
+       |  (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id
+       |     AND tk.pos >= sp.sp0 AND tk.pos < sp.ep0)),
+       |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+       |        COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, md5(COALESCE(c.cleaned, '')) AS cleaned_md5,
+       |  CAST(len(t.l) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN c ON c.doc_id = t.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q121_leakage_safe_split" -> leakageSafeSplitOracle,
     "q123_substring_spans" -> substringSpansOracle,
+    "q127_span_removal" -> spanRemovalOracle,
     "q114_fuzzy_name_join" ->
       ("WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name) " +
         "SELECT a.p_name AS name_a, b.p_name AS name_b, " +

@@ -54,6 +54,28 @@ class SpanDedupSpec extends SparkSpec {
     assert(rep.size === 2 && rep.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0L))
   }
 
+  test("removeSpans cuts exactly the flagged tokens and rebuilds the rest") {
+    val passage = "p0 p1 p2 p3 p4"
+    val d1 = s"${filler("a", 4)} $passage ${filler("b", 3)}"
+    val d2 = s"$passage ${filler("c", 6)}"
+    val out = SpanDedup.removeSpans(
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect.toSeq.sortBy(_._1)
+    def md5s(s: String) =
+      Seq(s).toDF("s").select(md5(col("s"))).head().getString(0)
+    assert(out === Seq(
+      (1L, md5s(s"${filler("a", 4)} ${filler("b", 3)}"), 5L),
+      (2L, md5s(filler("c", 6)), 5L)))
+  }
+
+  test("removeSpans leaves a repeat-free corpus byte-identical") {
+    val docs = Seq((1L, filler("u", 9)), (2L, filler("v", 7))).toDF("doc_id", "text")
+    val out = SpanDedup.removeSpans(docs, "doc_id", "text", 3)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("orig")), "doc_id")
+    assert(out.filter(col("cleaned_md5") =!= col("orig") ||
+      col("n_removed") =!= 0L).count() === 0)
+  }
+
   test("docs shorter than n yield no shingles and no spans") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     assert(SpanDedup.dupSpans(docs, "doc_id", "text", 3).count() === 0)
