@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cmsEstimateEntry)
     ext.injectFunction(GraftExtensions.argminL2Entry)
     ext.injectFunction(GraftExtensions.tsNanosEntry)
+    ext.injectFunction(GraftExtensions.topKEntry)
   }
 }
 
@@ -174,6 +175,23 @@ object GraftExtensions {
       GraftArgminL2(children(0), children(1)): Expression
     })
 
+  // Spark's internal bounded-priority-queue collector (the ML
+  // recommend-for-all top-k), surfaced as a function: a
+  // TypedImperativeAggregate, so ObjectHashAggregate partial-merges the
+  // k-bounded heap map-side — the grouped top-k that replaces the
+  // window row_number's full shuffle+sort (see operators/TopK).
+  private[graft] val topKEntry = (
+    new FunctionIdentifier("graft_collect_top_k"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+      "graft_collect_top_k"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_collect_top_k(expr, k, reverse) takes three arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        children(0), children(1), children(2)): Expression
+    })
+
   private[graft] val tsNanosEntry = (
     new FunctionIdentifier("graft_ts_nanos"),
     new ExpressionInfo(classOf[GraftTsNanos].getName, "graft_ts_nanos"),
@@ -191,7 +209,7 @@ object GraftExtensions {
       shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
-      tsNanosEntry).foreach { e =>
+      tsNanosEntry, topKEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -225,6 +225,16 @@ object CoreQueries {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  // O6 at scale: the same per-group top-N as q17 but through the
+  // bounded-heap AGGREGATE (operators/TopK — shuffle carries at most k
+  // candidates per group per map partition instead of every row; the
+  // 100 TB shape). Single-direction (price, key) DESC ordering so the
+  // heap's lexicographic struct comparison needs no negation tricks;
+  // orderkey is unique, so deterministic. Oracle = the window form.
+  private def q128(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.perGroup(orders(s, d),
+      Seq("o_orderpriority"), Seq("o_totalprice", "o_orderkey"), Seq(), k = 3)
+
   // O8/P9: representative-per-group (argmax) — pipeline.py:429-433 variant
   // representative by max image count; here: each customer's largest order.
   // O8 argmax per group. Shape note (measured, interleaved A/B at the 1.5M
@@ -285,6 +295,7 @@ object CoreQueries {
     "q15_top_counts" -> q15 _,
     "q16_case_ordinal_sort" -> q16 _,
     "q17_group_topn" -> q17 _,
+    "q128_topk_aggregate" -> q128 _,
     "q18_argmax_per_group" -> q18 _,
     "q19_upsert_merge" -> q19 _
   )
@@ -367,6 +378,12 @@ object CoreQueries {
         "ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
         "WHERE rk <= 3 ORDER BY o_orderpriority, rk"),
+    "q128_topk_aggregate" ->
+      ("SELECT o_orderpriority, rank, o_totalprice, o_orderkey FROM " +
+        "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rank " +
+        "FROM orders) WHERE rank <= 3"),
     "q18_argmax_per_group" ->
       ("SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, " +
