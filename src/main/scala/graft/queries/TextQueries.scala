@@ -67,6 +67,11 @@ object TextQueries {
   // across engines (proved by q32), so the DESC ordering is engine-exact;
   // doc_id breaks ties and the emitted score is e6-floored per the
   // oracle-parity rules.
+  // At 10^10 docs the window below shuffles every row; the bounded-heap
+  // aggregate ([[graft.operators.TopK.perGroup]], q128) is the at-scale
+  // form — kept as the window here because at bench size the quality
+  // kernel dominates and the swap would churn a green oracle for an
+  // invisible gain (negate doc_id to encode the mixed-direction sort).
   private def q70(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
