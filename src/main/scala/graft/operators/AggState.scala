@@ -31,13 +31,16 @@ object AggState {
   /** Per-group state from a fact slice. One map-side-combined shuffle on
     * the group keys; `0.5`-offset long-cents rounding matches the q25/q56
     * money convention (exact in both engines for the two-decimal inputs). */
+  // backquoted refs: dotted key/value names must not parse as nesting
+  private def ref(c: String) = col("`" + c.replace("`", "``") + "`")
+
   def build(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     require(keys.nonEmpty, "agg state needs at least one key column")
-    facts.groupBy(keys.map(col): _*).agg(
+    facts.groupBy(keys.map(ref): _*).agg(
       count(lit(1)).as("n"),
-      sum((col(valueCol) * 100 + lit(0.5)).cast("long")).as("sum_cents"),
-      min(col(valueCol)).as("min_v"),
-      max(col(valueCol)).as("max_v"))
+      sum((ref(valueCol) * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+      min(ref(valueCol)).as("min_v"),
+      max(ref(valueCol)).as("max_v"))
   }
 
   /** Group-wise merge of any number of states. Groups absent from one
@@ -45,7 +48,7 @@ object AggState {
     * only state rows. */
   def merge(keys: Seq[String], states: Seq[DataFrame]): DataFrame = {
     require(states.nonEmpty, "nothing to merge")
-    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*).agg(
+    states.reduce(_.unionByName(_)).groupBy(keys.map(ref): _*).agg(
       sum(col("n")).as("n"),
       sum(col("sum_cents")).as("sum_cents"),
       min(col("min_v")).as("min_v"),

@@ -75,10 +75,27 @@ object WarehouseQueries {
         sum((col("l_quantity") * 100 + lit(0.5)).cast("long")).as("qty_cents"))
   }
 
+  // Incremental SCD2 maintenance: history built from the first half of
+  // the log (cut 2024-01-16T00Z, mid-range of the 30-day fixture), then
+  // the second half applied as a batch — must equal the full rebuild,
+  // which is EXACTLY what the DuckDB twin computes (q122's oracle over
+  // all events). Closed versions never re-shuffle; work is
+  // O(open keys + batch) — see Scd2.applyIncrement.
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val cutNs = 1705363200L * 1000000000L
+    val log = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val hist = Scd2.fromChangeLog(log.filter(col("ts") <= cutNs),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    Scd2.applyIncrement(hist, log.filter(col("ts") > cutNs),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_scd2_history" -> q122 _,
     "q124_agg_state_merge" -> q124 _,
-    "q126_cdc_apply" -> q126 _)
+    "q126_cdc_apply" -> q126 _,
+    "q129_scd2_increment" -> q129 _)
 
   val oracle: Map[String, String] = Map(
     "q122_scd2_history" ->
@@ -99,6 +116,21 @@ object WarehouseQueries {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents, " +
         "MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v " +
         "FROM orders GROUP BY o_orderpriority, o_orderstatus"),
+    // q129 oracle: the FULL-history rebuild (q122's derivation verbatim)
+    // — incremental apply must be indistinguishable from it
+    "q129_scd2_increment" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type " +
+        "FROM events), " +
+        "o AS (SELECT user_id, t, event_id, event_type, " +
+        "lag(event_type) OVER w AS prev, row_number() OVER w AS rn FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type), " +
+        "v AS (SELECT user_id, event_type, " +
+        "CAST(row_number() OVER w2 AS BIGINT) AS version, " +
+        "t AS valid_from, lead(t) OVER w2 AS valid_to FROM c " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT user_id, event_type, version, valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM v"),
     // q126: base rows (line 1) dedup by the same full-tuple max the
     // operator's aggregate applies; log winner = max full tuple among
     // lines >= 2; FULL join so log-inserted keys (814 sf0.001 orders

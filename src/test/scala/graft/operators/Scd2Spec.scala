@@ -51,6 +51,50 @@ class Scd2Spec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("attr"), col("version"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+      .as[(String, String, Long, Long, Option[Long], Boolean)].collect.toSet
+
+  test("applyIncrement equals the full rebuild on random splits, chained") {
+    val rnd = new scala.util.Random(23)
+    val log = (1 to 600).map { i =>
+      (s"k${rnd.nextInt(25)}", (i * 10).toLong, i.toLong, s"v${rnd.nextInt(3)}")
+    }
+    def df(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("k", "t", "id", "attr")
+    val full = canon(Scd2.fromChangeLog(df(log), Seq("k"), "t", "id", Seq("attr")))
+    for (cut <- Seq(100L, 3000L, 5990L)) {
+      val h = Scd2.fromChangeLog(df(log.filter(_._2 <= cut)), Seq("k"), "t", "id", Seq("attr"))
+      val inc = Scd2.applyIncrement(h, df(log.filter(_._2 > cut)),
+        Seq("k"), "t", "id", Seq("attr"))
+      assert(canon(inc) === full, s"cut=$cut")
+    }
+    // chained: two increments in sequence
+    val h1 = Scd2.fromChangeLog(df(log.filter(_._2 <= 2000)), Seq("k"), "t", "id", Seq("attr"))
+    val h2 = Scd2.applyIncrement(h1, df(log.filter(r => r._2 > 2000 && r._2 <= 4000)),
+      Seq("k"), "t", "id", Seq("attr"))
+    val h3 = Scd2.applyIncrement(h2, df(log.filter(_._2 > 4000)),
+      Seq("k"), "t", "id", Seq("attr"))
+    assert(canon(h3) === full)
+  }
+
+  test("applyIncrement: untouched keys re-emit unchanged; new keys start at 1") {
+    val h = Scd2.fromChangeLog(
+      Seq(("old", 10L, 1L, "x"), ("old", 20L, 2L, "y"),
+        ("idle", 15L, 3L, "z")).toDF("k", "t", "id", "attr"),
+      Seq("k"), "t", "id", Seq("attr"))
+    val out = canon(Scd2.applyIncrement(h,
+      Seq(("old", 30L, 4L, "x"), ("fresh", 25L, 5L, "a")).toDF("k", "t", "id", "attr"),
+      Seq("k"), "t", "id", Seq("attr")))
+    assert(out === Set(
+      ("old", "x", 1L, 10L, Some(20L), false),
+      ("old", "y", 2L, 20L, Some(30L), false),   // open version closed by the batch
+      ("old", "x", 3L, 30L, None, true),         // ordinal continues
+      ("idle", "z", 1L, 15L, None, true),        // byte-identical passthrough
+      ("fresh", "a", 1L, 25L, None, true)))      // new key starts at 1
+  }
+
   test("multi-column keys and multiple tracked attributes") {
     val df = Seq(
       ("a", "p", 1L, 1L, "x", 10), ("a", "p", 2L, 2L, "x", 10),
