@@ -171,6 +171,72 @@ object StreamingSessions {
       }
   }
 
+  /** CDC fold state: the key's current payload, tombstone flag, latest
+    * applied (t, id) and event time (timeout anchor). */
+  final case class CdcProgress(v: String, deleted: Boolean,
+                               upToT: Long, upToId: Long, maxT: Long)
+
+  /** One emitted state change. `up_to_t`/`up_to_id` identify the last
+    * applied op, so a consumer (and the replay spec) takes the row with
+    * the max (up_to_t, up_to_id) per key as the current state. */
+  final case class CdcUpdate(key: Long, v: String, deleted: Boolean,
+                             up_to_t: Long, up_to_id: Long)
+
+  /** Streaming twin of [[graft.operators.Cdc.applyLog]]: the changelog
+    * folded ONLINE — last op wins, deletes tombstone, a later upsert
+    * revives. Emits one [[CdcUpdate]] per key per micro-batch in which
+    * the folded state actually changed; state is one small case class
+    * per key, evicted on idle timeout (a retired key's tombstone/value
+    * lives in the emitted stream — replay it into the batch snapshot
+    * with [[graft.operators.Cdc.applyLog]], which is exactly what the
+    * StreamingCdc replay spec proves round-trips). Within a micro-batch
+    * ops apply in (t, id) order — the batch operator's ordering
+    * contract; across batches, the watermark's.
+    */
+  def streamingCdcApply(log: DataFrame, tsCol: String, keyCol: String,
+                        idCol: String, opCol: String, valueCol: String,
+                        deleteOp: String = "delete",
+                        idleMs: Long = 3600000L,
+                        watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[CdcUpdate] = {
+    import log.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    log
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").as("t"),
+        col(idCol).cast("long").as("id"),
+        col(opCol).cast("string").as("op"),
+        col(valueCol).cast("string").as("v"))
+      .withWatermark("t", watermark)
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcProgress, CdcUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.orNull
+            var st = before
+            val ordered = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            ordered.foreach { case (_, ts, id, op, v) =>
+              val t = ts.getTime
+              val mx = if (st == null) t else math.max(st.maxT, t)
+              st =
+                if (op == deleteOp) CdcProgress(null, deleted = true, t, id, mx)
+                else CdcProgress(v, deleted = false, t, id, mx)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.maxT + idleMs, state.getCurrentWatermarkMs() + 1))
+            val changed = before == null ||
+              (before.v, before.deleted) != ((st.v, st.deleted))
+            if (changed)
+              Iterator(CdcUpdate(key, st.v, st.deleted, st.upToT, st.upToId))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Open SCD2 version per key: the tracked attribute, when it started,
     * its ordinal, and the key's latest event time (timeout anchor — same
     * straggler rule as [[FunnelProgress.maxT]]). */

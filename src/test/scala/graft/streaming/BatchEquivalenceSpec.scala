@@ -92,6 +92,41 @@ class BatchEquivalenceSpec extends SparkSpec {
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streamingCdcApply chunked replay equals the batch changelog fold") {
+    implicit val sqlCtx = spark.sqlContext
+    // events as an op stream: errors delete the user's state, anything
+    // else upserts the event type as the payload
+    val ops = orderedEventsWithId.map { case (ts, u, id, e) =>
+      (ts, u, id, if (e == "error") "delete" else "upsert", e)
+    }
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long, String, String)]
+    val q = StreamingSessions.streamingCdcApply(
+      input.toDF().toDF("ts", "user_id", "event_id", "op", "v"),
+      "ts", "user_id", "event_id", "op", "v",
+      idleMs = 100L * 24 * 3600 * 1000, watermark = "1 second")
+      .writeStream.format("memory").queryName("cdc_replay")
+      .outputMode(OutputMode.Append).start()
+    chunks(ops, 10).foreach { c => input.addData(c); q.processAllAvailable() }
+    val lastPerKey = spark.table("cdc_replay")
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("v"), col("deleted")),
+        struct(col("up_to_t"), col("up_to_id"))).as("w"))
+      .select(col("key"), col("w.v"), col("w.deleted"))
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    q.stop()
+    val streamedAlive = lastPerKey.collect { case (k, Some(v), false) => k -> v }.toMap
+    val streamedDead = lastPerKey.collect { case (k, _, true) => k }.toSet
+    val opDf = ops.map { case (ts, u, id, op, v) => (u, ts.getTime, id, op, v) }
+      .toDF("k", "t", "id", "op", "v")
+    val batch = graft.operators.Cdc
+      .applyLog(opDf.drop("op").filter(lit(false)), opDf,
+        Seq("k"), "op", Seq("t", "id"))
+      .select(col("k"), col("v")).as[(Long, String)].collect().toMap
+    assert(batch.nonEmpty && streamedDead.nonEmpty)
+    assert(streamedAlive === batch)
+    assert(streamedDead === ops.map(_._2).toSet -- batch.keySet)
+  }
+
   test("streamingFunnel replay of sf0.01 events equals batch q86") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
