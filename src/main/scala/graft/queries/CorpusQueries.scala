@@ -166,7 +166,27 @@ object CorpusQueries {
         col("n_docs"), col("total_chars"), col("max_chars"))
       .orderBy(col("lang"), col("source"))
 
+  // Arbitrary GROUPING SETS (the general form q89's ROLLUP is a special
+  // case of): non-hierarchical set list {(lang, source), (source), ()}
+  // — a rollup could not produce the (source)-only level — with
+  // grouping_id() disambiguating genuine nulls from aggregation levels.
+  // One Expand + one aggregate pass, same single-shuffle shape as q89.
+  private def q130(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("gid"), col("n_docs"), col("total_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_grouping_sets" -> q130 _,
     "q79_ngram_novelty" -> q79 _,
     "q81_source_zscore" -> q81 _,
     "q83_quality_quartiles" -> q83 _,
@@ -175,6 +195,14 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // grouping_id bit order: Spark numbers grouped columns left-to-right
+    // MSB-first over (lang, source) — DuckDB's GROUPING(lang, source)
+    // uses the same convention, so the ids line up directly
+    "q130_grouping_sets" ->
+      ("SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source, " +
+        "CAST(GROUPING(lang, source) AS BIGINT) AS gid, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY GROUPING SETS ((lang, source), (source), ())"),
     "q89_rollup_subtotals" ->
       ("SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source, " +
         "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +

@@ -385,7 +385,33 @@ object EventQueries {
     // err_id unique — transform output, harness canonical-sorts
   }
 
+  // Time-weighted average (the metric a step-function sensor/price feed
+  // needs — plain AVG over-weights bursts): per user, value holds from
+  // each event until the next, integral = Σ cents·Δt over the
+  // observation window [first, last event]. Exact integer arithmetic
+  // end-to-end: µs grid (cents×Δtµs ≤ 2.6e16/term, ≲70 terms/user —
+  // no long overflow; DuckDB's int128 SUM is CAST down after), floor
+  // division for the mean. One user-keyed window + one aggregate.
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        // integral div — float division of 1.7e18 ns loses sub-µs bits
+        expr("ts div 1000").as("t"),
+        (col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * (col("nt") - col("t"))).as("ws"),
+        sum(col("nt") - col("t")).as("dur"))
+      .filter(col("dur") > 0)
+      .select(col("user_id"), col("dur").as("duration_us"),
+        expr("ws div dur").as("twa_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_time_weighted_avg" -> q131 _,
     "q125_versioned_asof" -> q125 _,
     "q92_event_transitions" -> q92 _,
     "q109_salted_skew_join" -> q109 _,
@@ -402,6 +428,16 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q131_time_weighted_avg" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t, " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), " +
+        "w AS (SELECT user_id, t, cents, lead(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS nt FROM e), " +
+        "s AS (SELECT user_id, CAST(SUM(cents * (nt - t)) AS BIGINT) AS ws, " +
+        "CAST(SUM(nt - t) AS BIGINT) AS dur FROM w WHERE nt IS NOT NULL " +
+        "GROUP BY user_id) " +
+        "SELECT user_id, dur AS duration_us, ws // dur AS twa_cents " +
+        "FROM s WHERE dur > 0"),
     "q125_versioned_asof" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, " +
         "epoch_ns(ts) - epoch_ns(ts) % 1000 AS t FROM events), " +
