@@ -67,7 +67,12 @@ object EventScaleSmoke {
     }
 
     val lines = Seq("q57_sessionization", "q86_event_funnel",
-      "q87_retention_cohorts", "q91_moving_window").map { name =>
+      "q87_retention_cohorts", "q91_moving_window",
+      // r5 history family: q122's two-window SCD2 build and q129's
+      // incremental apply (whose shuffle must track open-keys + batch,
+      // NOT history depth — the claim to watch here)
+      "q122_scd2_history", "q129_scd2_increment",
+      "q131_time_weighted_avg").map { name =>
       val (sec, w, r) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f}"""
     }
