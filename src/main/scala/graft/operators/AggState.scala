@@ -48,6 +48,12 @@ object AggState {
     * only state rows. */
   def merge(keys: Seq[String], states: Seq[DataFrame]): DataFrame = {
     require(states.nonEmpty, "nothing to merge")
+    states.foreach { st =>
+      (keys ++ statCols).foreach { c =>
+        require(st.columns.contains(c),
+          s"state is not build-shaped: missing '$c'")
+      }
+    }
     states.reduce(_.unionByName(_)).groupBy(keys.map(ref): _*).agg(
       sum(col("n")).as("n"),
       sum(col("sum_cents")).as("sum_cents"),

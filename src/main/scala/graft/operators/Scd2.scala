@@ -96,6 +96,14 @@ object Scd2 {
       orderCol: String,
       tieBreak: String,
       tracked: Seq[String]): DataFrame = {
+    val meta = Seq("version", "valid_from", "valid_to", "is_current")
+    (keys ++ tracked ++ meta).foreach { c =>
+      require(history.columns.contains(c),
+        s"history is not fromChangeLog-shaped: missing '$c'")
+    }
+    meta.foreach { c =>
+      require(!batch.columns.contains(c), s"batch already has a '$c' column")
+    }
     val outCols = (keys ++ tracked).map(ref) ++
       Seq("version", "valid_from", "valid_to", "is_current").map(col)
     val closed = history.filter(!col("is_current")).select(outCols: _*)
