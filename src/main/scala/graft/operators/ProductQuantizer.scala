@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the memory-compression rung of the ANN
+  * ladder (brute → LSH → IVF → PQ): split each d-dim embedding into M
+  * contiguous subvectors, k-means each subspace independently, and store
+  * every vector as M small codes. A 64-dim float vector (256 B) becomes
+  * M=4 bytes-ish of codes; at 10^10 vectors that is the difference
+  * between an in-memory index and none.
+  *
+  * Query-time ADC (asymmetric distance): the query stays UNquantized —
+  * per subspace, a k-entry table of exact distances query-subvector →
+  * centroid is computed once on the driver, and each row's approximate
+  * distance is M table lookups + a sum, codegen'd over broadcast
+  * literals. The scan never touches the original vectors.
+  *
+  * Everything rides [[KMeans]]' integer determinism: floats quantize
+  * once via floor(x·2²⁰), codebooks train in exact integer Lloyd
+  * (subspace-sliced), ADC distances are integer squared-L2 — so the
+  * DuckDB oracle replays codebook training, encoding, AND the ADC
+  * ranking bit-for-bit (q132). Recall vs exact brute force is pinned in
+  * ProductQuantizerSpec; exactness of the ARITHMETIC is the oracle's
+  * job, approximation quality is the spec's.
+  *
+  * Scale shape: training = M × KMeans.fit (driver traffic O(M·k·subDim)
+  * per iteration); encoding = M row-local codegen'd argmin kernels over
+  * broadcast codebooks; ADC = row-local lookups + `TakeOrderedAndProject`
+  * global top-k (per-partition heads, no full sort).
+  */
+object ProductQuantizer {
+
+  /** [m][cell] → centroid (quantized longs, length subDim). */
+  final case class Model(m: Int, subDim: Int, codebooks: Array[Array[Seq[Long]]])
+
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          m: Int, k: Int, iters: Int): Model = {
+    val d = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(m >= 1 && d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val books = (0 until m).map { i =>
+      KMeans.fit(
+        df.withColumn("__sub", slice(col(vecCol), i * sub + 1, sub)),
+        idCol, "__sub", k, iters, "__pqc")._2
+    }.toArray
+    Model(m, sub, books)
+  }
+
+  /** Adds `pq_code` (array<int>, length m): per subspace, the nearest
+    * codebook cell by the same argmin-L2 kernel k-means assignment uses. */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val codes = (0 until model.m).map { i =>
+      call_function("graft_argmin_l2",
+        KMeans.quantize(slice(col(vecCol), i * model.subDim + 1, model.subDim)),
+        typedlit(model.codebooks(i).toSeq))
+    }
+    df.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** Driver-side exact integer sqDist between quantized subvectors. */
+  private def sqDistLong(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => val z = x - y; z * z }.sum
+
+  /** Quantize a raw float query exactly as [[KMeans.quantize]] does. */
+  def quantizeQuery(q: Seq[Float]): Seq[Long] =
+    q.map(x => math.floor(x.toDouble * KMeans.Scale).toLong)
+
+  /** ADC top-k: approximate distance = Σ_m table_m[code_m], where
+    * table_m holds the exact distances query-subvector → every centroid
+    * of subspace m. Ties break on `idCol`. Input must carry `pq_code`. */
+  def adcTopK(encoded: DataFrame, idCol: String, model: Model,
+              query: Seq[Float], k: Int): DataFrame = {
+    val qv = quantizeQuery(query)
+    require(qv.length == model.m * model.subDim,
+      s"query dim ${qv.length} != ${model.m * model.subDim}")
+    val tables = (0 until model.m).map { i =>
+      val qSub = qv.slice(i * model.subDim, (i + 1) * model.subDim)
+      model.codebooks(i).map(c => sqDistLong(qSub, c)).toSeq
+    }
+    val dist = (0 until model.m)
+      .map(i => element_at(typedlit(tables(i)),
+        element_at(col("pq_code"), i + 1) + 1))
+      .reduce(_ + _)
+    encoded
+      .withColumn("adc_dist", dist)
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("adc_dist"))
+  }
+
+  /** The production PQ query path: ADC shortlist of `shortlist`
+    * candidates (codes only — the scan never touches vectors), then an
+    * exact integer re-rank of just the shortlist against the full query.
+    * On the synthetic sf0.01 embeddings (mostly unclustered — PQ's
+    * hardest case) measured recall@10 vs exact search: ADC alone
+    * 0.38-0.44, rerank@50 0.80-0.82, rerank@100 0.88-0.92 at m=8, k=64
+    * (ProductQuantizerSpec pins conservative floors). The re-rank join
+    * touches `shortlist` rows — at 10^10 vectors the full-vector read is
+    * per-candidate random access, not a scan.
+    */
+  def adcRerankTopK(encoded: DataFrame, idCol: String, vecCol: String,
+                    model: Model, query: Seq[Float],
+                    shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val qv = quantizeQuery(query)
+    val short = adcTopK(encoded, idCol, model, query, shortlist)
+      .select(col(idCol))
+    encoded.select(col(idCol), col(vecCol))
+      .join(short, Seq(idCol))
+      .withColumn("exact_dist",
+        KMeans.sqDist(KMeans.quantize(col(vecCol)), typedlit(qv)))
+      .orderBy(col("exact_dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("exact_dist"))
+  }
+}

@@ -117,11 +117,94 @@ object ClusterQueries {
       "FROM m LEFT JOIN dr ON m.cell = dr.cell"
   }
 
+  // ---- q132: product quantization + ADC top-k --------------------------
+
+  private val PqM = 8
+  private val PqK = 64
+  private val PqIters = 1
+  private val PqShortlist = 100
+  private val PqTop = 10
+
+  /** PQ codebooks (M × integer-Lloyd), codes, ADC shortlist, and exact
+    * re-rank for the MIN(vec_id) query — every stage exact integer
+    * arithmetic, so the oracle replays training, encoding, shortlist
+    * ranking AND re-ranking bit-for-bit. See
+    * [[graft.operators.ProductQuantizer]]. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val model = graft.operators.ProductQuantizer
+      .fit(emb, "vec_id", "embedding", PqM, PqK, PqIters)
+    val query = emb.orderBy(col("vec_id").asc)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val encoded = graft.operators.ProductQuantizer
+      .encode(emb, "embedding", model)
+      .select(col("vec_id"), col("embedding"), col("pq_code"))
+      // the fit collects have already run; pin the tiny (id, vec, code)
+      // projection so the shortlist and re-rank branches share ONE
+      // encoding pass instead of re-running the M argmin kernels
+      .localCheckpoint()
+    graft.operators.ProductQuantizer.adcRerankTopK(encoded,
+      "vec_id", "embedding", model, query, PqShortlist, PqTop)
+  }
+
+  /** Generated PQ oracle: per subspace i — slice, md5 seeds, one Lloyd
+    * iteration (assign, floor-div update with empty-cell carry), final
+    * code assignment, and the query→centroid distance table; then ADC =
+    * Σ_i qd_i[code_i], top-10 by (dist, vec_id). Mirrors chainSql's
+    * structure with subspace-suffixed CTE names. */
+  private def q132Sql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH emb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM embeddings), "
+    sb ++= "qq AS (SELECT v FROM emb WHERE vec_id = (SELECT MIN(vec_id) FROM emb)), "
+    val subDim = 64 / PqM
+    for (i <- 0 until PqM) {
+      val lo = i * subDim + 1
+      val hi = lo + subDim - 1
+      sb ++= s"e_$i AS (SELECT vec_id, v[$lo:$hi] AS v FROM emb), "
+      sb ++= s"qs_$i AS (SELECT v[$lo:$hi] AS v FROM qq), "
+      sb ++= s"c0_$i AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell, v AS c " +
+        s"FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e_$i ORDER BY h, vec_id LIMIT $PqK)), "
+      sb ++= s"d1_$i AS (SELECT e.vec_id, e.v, c.cell, " +
+        "CAST(list_sum(list_transform(list_zip(e.v, c.c), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist " +
+        s"FROM e_$i e CROSS JOIN c0_$i c), "
+      sb ++= s"a1_$i AS (SELECT vec_id, v, cell FROM (SELECT vec_id, v, cell, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1_$i) WHERE rn = 1), "
+      sb ++= s"x1_$i AS (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS j FROM a1_$i), "
+      sb ++= s"s1_$i AS (SELECT cell, j, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv FROM x1_$i GROUP BY cell, j), "
+      sb ++= s"u1_$i AS (SELECT cell, list(${fd("sv", "n")} ORDER BY j) AS c FROM s1_$i GROUP BY cell), "
+      sb ++= s"c1_$i AS (SELECT p.cell, COALESCE(u.c, p.c) AS c FROM c0_$i p LEFT JOIN u1_$i u ON p.cell = u.cell), "
+      sb ++= s"fd_$i AS (SELECT e.vec_id, c.cell, " +
+        "CAST(list_sum(list_transform(list_zip(e.v, c.c), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist " +
+        s"FROM e_$i e CROSS JOIN c1_$i c), "
+      sb ++= s"f_$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM fd_$i) WHERE rn = 1), "
+      sb ++= s"qd_$i AS (SELECT c.cell, " +
+        "CAST(list_sum(list_transform(list_zip((SELECT v FROM qs_" + i + "), c.c), " +
+        s"z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS qd FROM c1_$i c), "
+    }
+    val joins = (0 until PqM).map { i =>
+      s"JOIN f_$i ON f_$i.vec_id = base.vec_id JOIN qd_$i ON qd_$i.cell = f_$i.cell"
+    }.mkString(" ")
+    val sum = (0 until PqM).map(i => s"qd_$i.qd").mkString(" + ")
+    sb ++= s"base AS (SELECT vec_id FROM emb), " +
+      s"adc AS (SELECT base.vec_id, CAST($sum AS BIGINT) AS adc_dist FROM base $joins), " +
+      s"sh AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT $PqShortlist), " +
+      "rr AS (SELECT emb.vec_id, " +
+      "CAST(list_sum(list_transform(list_zip(emb.v, (SELECT v FROM qq)), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS exact_dist " +
+      "FROM emb JOIN sh ON sh.vec_id = emb.vec_id) " +
+      s"SELECT vec_id, exact_dist FROM rr ORDER BY exact_dist, vec_id LIMIT $PqTop"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_kmeans_clusters" -> q118,
-    "q119_semantic_dedup" -> q119)
+    "q119_semantic_dedup" -> q119,
+    "q132_pq_adc_topk" -> q132)
 
   val oracle: Map[String, String] = Map(
     "q118_kmeans_clusters" -> q118Sql,
-    "q119_semantic_dedup" -> q119Sql)
+    "q119_semantic_dedup" -> q119Sql,
+    "q132_pq_adc_topk" -> q132Sql)
 }
