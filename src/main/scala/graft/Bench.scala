@@ -219,7 +219,8 @@ object Bench {
       // shuffle, CDC apply is a fact-table aggregate (q124's merge is
       // state-bound by design, so it stays out)
       "q122_scd2_history", "q123_substring_spans", "q125_versioned_asof",
-      "q126_cdc_apply", "q127_span_removal", "q128_topk_aggregate")
+      "q126_cdc_apply", "q127_span_removal", "q128_topk_aggregate",
+      "q132_pq_adc_topk")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
