@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST line
+// of output as JSON. Two sbt behaviors broke that for three rounds:
+// (a) forked-process stdout is re-logged with an "[info] " prefix,
+// (b) "[success] Total time: ..." prints after the program's last line.
+// StdoutOutput passes the forked JVM's stdout through raw; showSuccess
+// drops the epilogue — the bench's compact JSON line is then the literal
+// last bare line of the sbt invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
