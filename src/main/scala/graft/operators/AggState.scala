@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable aggregate state — incremental rollup maintenance.
@@ -29,16 +29,23 @@ object AggState {
   val statCols: Seq[String] = Seq("n", "sum_cents", "min_v", "max_v")
 
   /** Per-group state from a fact slice. One map-side-combined shuffle on
-    * the group keys; `0.5`-offset long-cents rounding matches the q25/q56
-    * money convention (exact in both engines for the two-decimal inputs). */
+    * the group keys; sign-aware long-cents rounding matches the q25/q56
+    * money convention (exact in both engines for two-decimal inputs of
+    * either sign — half-away-from-zero, same as DECIMAL semantics). */
   // backquoted refs: dotted key/value names must not parse as nesting
   private def ref(c: String) = col("`" + c.replace("`", "``") + "`")
+
+  /** Two-decimal money → long cents, exact for negative values too:
+    * cast(long) truncates toward zero, so the 0.5 offset must carry the
+    * value's sign (a bare +0.5 turns -1.25 into -124, not -125). */
+  def cents(c: Column): Column =
+    (c * 100 + when(c < 0, lit(-0.5)).otherwise(lit(0.5))).cast("long")
 
   def build(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     require(keys.nonEmpty, "agg state needs at least one key column")
     facts.groupBy(keys.map(ref): _*).agg(
       count(lit(1)).as("n"),
-      sum((ref(valueCol) * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+      sum(cents(ref(valueCol))).as("sum_cents"),
       min(ref(valueCol)).as("min_v"),
       max(ref(valueCol)).as("max_v"))
   }

@@ -44,6 +44,8 @@ object Cdc {
         s"(base=${base.columns.mkString(",")} log=${log.columns.mkString(",")})")
     require(!base.columns.contains("__op") && !base.columns.contains("__seq"),
       "input already has a __op/__seq column")
+    require(opCol != "__op" && opCol != "__seq",
+      s"opCol must not be the reserved '__op'/'__seq' name (got '$opCol')")
 
     def ref(c: String) = col("`" + c.replace("`", "``") + "`")
     val payload = base.columns.filterNot(keys.contains).toSeq

@@ -110,7 +110,10 @@ object Scd2 {
     val seed = history.filter(col("is_current"))
       .select((keys ++ tracked).map(ref) ++ Seq(
         col("valid_from").as(orderCol),
-        lit(-1L).cast("long").as(tieBreak),
+        // Long.MinValue, not -1: the seed must sort strictly before ANY
+        // batch row at an equal timestamp, including batches that carry
+        // negative tieBreak values.
+        lit(Long.MinValue).as(tieBreak),
         col("version").as("__v0")): _*)
     val delta = batch
       .select((keys ++ tracked ++ Seq(orderCol, tieBreak)).map(ref): _*)

@@ -29,7 +29,7 @@ object EventQueries {
         // long-cents accumulator, not sum(decimal) and not round(): the
         // widened decimal buffer and Spark's double round() each cost a
         // BigDecimal per row (see q25's scaladoc)
-        (sum((col("value") * 100 + lit(0.5)).cast("long")).cast("decimal(38,0)") /
+        (sum(graft.operators.AggState.cents(col("value"))).cast("decimal(38,0)") /
           lit(100L).cast("decimal(20,0)")).cast("double").as("total_value"))
       .orderBy(col("hour_start_ns"), col("event_type"))
 
@@ -399,7 +399,7 @@ object EventQueries {
       .select(col("user_id"), col("event_id"),
         // integral div — float division of 1.7e18 ns loses sub-µs bits
         expr("ts div 1000").as("t"),
-        (col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        graft.operators.AggState.cents(col("value")).as("cents"))
       .withColumn("nt", lead(col("t"), 1).over(w))
       .filter(col("nt").isNotNull)
       .groupBy(col("user_id"))

@@ -37,11 +37,13 @@ object WarehouseQueries {
     val keys = Seq("o_orderpriority", "o_orderstatus")
     val cut = to_date(lit("1995-06-01"))
     // to_date works on DATE / NTZ / LTZ alike — the split only needs to
-    // partition rows exactly once (the oracle re-derives from ALL rows)
-    val hist = AggState.build(
-      o.filter(to_date(col("o_orderdate")) < cut), keys, "o_totalprice")
-    val batch = AggState.build(
-      o.filter(to_date(col("o_orderdate")) >= cut), keys, "o_totalprice")
+    // partition rows exactly once (the oracle re-derives from ALL rows).
+    // A null date fails BOTH `< cut` and `>= cut`, so the split is
+    // isHist / NOT isHist with nulls routed to the batch side — a true
+    // partition even if the fixture ever gains null dates.
+    val isHist = coalesce(to_date(col("o_orderdate")) < cut, lit(false))
+    val hist = AggState.build(o.filter(isHist), keys, "o_totalprice")
+    val batch = AggState.build(o.filter(!isHist), keys, "o_totalprice")
     AggState.merge(keys, Seq(hist, batch))
   }
 
@@ -72,7 +74,7 @@ object WarehouseQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum((col("l_quantity") * 100 + lit(0.5)).cast("long")).as("qty_cents"))
+        sum(AggState.cents(col("l_quantity"))).as("qty_cents"))
   }
 
   // Incremental SCD2 maintenance: history built from the first half of
