@@ -16,42 +16,122 @@ import org.apache.spark.sql.functions._
   * headers, templated pages).
   *
   * Plan shape, scan to spans:
-  *  1. `graft_shingles` emits each doc's shingle array row-locally
-  *     (no corpus-wide lead/lag shuffle) → posexplode — ONCE;
-  *  2. one shuffle on the shingle, then a full-partition `count`
-  *     window flags positions whose shingle occurs more than once —
-  *     chosen over the groupBy-count + join-back shape by interleaved
-  *     A/B at x10 (2.0 vs 5.3 s): the join shape re-runs the
-  *     kernel+explode pass for the probe side and pays a second
-  *     shuffle, while the window consumes the single exploded stream
-  *     in place. A degenerate boilerplate shingle makes a straggler
-  *     task here (linear, count-only — never quadratic); salt the
-  *     shingle key two-level if a corpus ever hits that;
+  *  1. `graft_shingle_hashes` emits each doc's 64-bit shingle hashes
+  *     row-locally — no shingle STRING is ever materialized or shuffled
+  *     (30-60 bytes each for 5-token shingles; at corpus scale the
+  *     string shuffle is the operator's whole cost, and even locally
+  *     the string kernel measured 0.55 s vs 0.35 s at x10) → posexplode
+  *     — ONCE;
+  *  2. one shuffle on the 8-byte hash, then a full-partition `count`
+  *     window flags positions whose shingle-hash occurs more than once.
+  *     Five shapes measured interleaved at x10 (warm, candidates
+  *     250.9k/2.5M positions): window 0.89-0.98 s; repartition +
+  *     per-partition hash-count mapPartitions 0.84-1.27 (encoder
+  *     serialization eats the sort saving, and the row buffer does not
+  *     spill — rejected); count-agg + broadcast semi-join back
+  *     1.63-1.86 (second kernel run + join); ObjectHashAggregate
+  *     collect_list 2.9; localCheckpoint + count-agg + semi-join
+  *     2.1-2.8. The window also spills gracefully and assumes nothing
+  *     about dup-set size — it is the 100 TB shape. A degenerate
+  *     boilerplate shingle makes a straggler task (linear, count-only —
+  *     never quadratic); salt the hash key two-level if a corpus ever
+  *     hits that;
+  *  2b. [[dupSpansExact]] adds a CONFIRM pass: a hash collision between
+  *     two distinct shingles can only ADD candidates (equal strings
+  *     always share a hash — no false negatives), so re-derive the
+  *     exact shingle string at candidate positions only (inner join
+  *     back to the candidate docs, row-local `slice` of the token
+  *     array) and re-count over the exact string. This second shuffle
+  *     carries strings for just the duplicated fraction of positions;
+  *     the result is bit-identical to an all-strings plan at any
+  *     collision rate (SpanDedupSpec forces collisions via the
+  *     coarse-hash hook and asserts equality). The default [[dupSpans]]
+  *     skips it and carries the standard ExactSubstr production
+  *     contract instead: one-sided over-flag with probability
+  *     ~positions²/2^64 (~3e-7 for the x10 corpus' 2.5M positions) —
+  *     never an under-flag. Measured at x10 the confirm pass costs
+  *     +0.8 s on a 10%-duplicated corpus;
   *  3. per-doc gaps-and-islands merges overlapping [pos, pos+n)
   *     intervals: island starts where pos exceeds the running max end
   *     of every earlier interval — two windows over ONE doc_id
-  *     exchange, then a tiny per-island aggregate.
+  *     exchange, then a tiny per-island aggregate. Measured negative
+  *     (r6, x10 interleaved): fusing this stage into a single
+  *     groupBy(doc) + sort_array + `aggregate` HOF fold is time-parity
+  *     (1.51-1.54 vs 1.50-1.70 s full-operator) — the stage is
+  *     exchange-floor-bound, not window-bound — so the declarative
+  *     two-window form stays.
+  *
+  * r6 scale note: swapping the string key for the 8-byte hash is
+  * time-PARITY at the local x10 point (1.52 vs 1.50 s — local shuffles
+  * ride the page cache, so the bottleneck is explode+window CPU, not
+  * shuffle bytes). The 4-7× shuffle-byte reduction is a network-scale
+  * property: on a real cluster the exchange serializes to the wire and
+  * the string key IS the operator's cost. The local pin vs DuckDB
+  * (4.3×, BASELINE.md r6) is the multi-stage floor, with every
+  * alternative shape measured and rejected above.
   *
   * All outputs are integer token positions/counts — engine-exact; the
   * q123 oracle re-derives the same spans in DuckDB from
-  * `string_split_regex` shingles (the q71-proven tokenizer parity).
+  * `string_split_regex` shingles (the q71-proven tokenizer parity; the
+  * hash kernel reproduces split's token boundaries byte-exactly, see
+  * GraftShingleHashes).
   */
 object SpanDedup {
 
   /** Merged duplicated spans: (idCol, span_start, span_end) with
-    * half-open token intervals [span_start, span_end). */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    * half-open token intervals [span_start, span_end). Production
+    * contract: ~2^-64-per-pair one-sided over-flag (scaladoc above);
+    * use [[dupSpansExact]] where bit-exactness is required. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    dupSpansImpl(docs, idCol, textCol, n, coarseBuckets = 0L, exact = false)
+
+  /** [[dupSpans]] plus the exact-string confirm pass — bit-identical to
+    * an all-strings plan at any hash-collision rate. */
+  def dupSpansExact(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    dupSpansImpl(docs, idCol, textCol, n, coarseBuckets = 0L, exact = true)
+
+  /** Impl with a test hook: coarseBuckets > 0 folds the shingle hash
+    * into that many buckets, forcing collisions so the confirm pass's
+    * correctness is observable (production always passes 0 — the full
+    * 64-bit key). */
+  private[graft] def dupSpansImpl(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      coarseBuckets: Long, exact: Boolean): DataFrame = {
     require(n >= 2, s"span shingle width must be >= 2, got $n")
-    Seq("pos", "sh", "end", "__occ", "__new_island", "__island").foreach { c =>
+    Seq("pos", "sh", "end", "__h", "__cpos", "__toks",
+        "__occ", "__new_island", "__island").foreach { c =>
       require(idCol != c && textCol != c, s"'$c' is reserved by dupSpans")
     }
-    val sh = docs.select(col(idCol),
-      posexplode(call_function("graft_shingles", col(textCol), lit(n)))
-        .as(Seq("pos", "sh")))
-    val flagged = sh
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val hashArr = call_function("graft_shingle_hashes", col(textCol), lit(n))
+    val hs = docs.select(col(idCol),
+      posexplode(if (coarseBuckets > 0)
+        transform(hashArr, h => pmod(h, lit(coarseBuckets))) else hashArr)
+        .as(Seq("pos", "__h")))
+    // Pass 1 — candidates by 8-byte hash; shingle strings never exist.
+    val cand = hs
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__occ") > 1)
-      .select(col(idCol), col("pos"), (col("pos") + lit(n)).as("end"))
+      .select(col(idCol), col("pos"))
+    val flagged = (if (!exact) cand else {
+      // Pass 2 — exact confirm over candidate positions only: rebuild
+      // each candidate shingle row-locally from the doc's token array
+      // and re-count on the exact string. All occurrences of a truly
+      // duplicated shingle are candidates (hash equality is implied by
+      // string equality), so counting within the candidate set is exact.
+      val candByDoc = cand.groupBy(col(idCol))
+        .agg(collect_list(col("pos")).as("__cpos"))
+      docs.select(col(idCol), col(textCol))
+        .join(candByDoc, Seq(idCol))
+        .withColumn("__toks", split(col(textCol), "\\s+"))
+        .select(col(idCol), explode(col("__cpos")).as("pos"), col("__toks"))
+        // slice is 1-based; tokens have no whitespace, so the space-join
+        // is injective and mirrors graft_shingles' output format
+        .select(col(idCol), col("pos"),
+          concat_ws(" ", slice(col("__toks"), col("pos") + lit(1), lit(n))).as("sh"))
+        .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__occ") > 1)
+        .select(col(idCol), col("pos"))
+    }).select(col(idCol), col("pos"), (col("pos") + lit(n)).as("end"))
 
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
     val runMaxEnd = max(col("end"))

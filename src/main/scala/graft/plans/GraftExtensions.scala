@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleCountEntry)
     ext.injectFunction(GraftExtensions.textMetricsEntry)
     ext.injectFunction(GraftExtensions.shinglesEntry)
+    ext.injectFunction(GraftExtensions.shingleHashesEntry)
     ext.injectFunction(GraftExtensions.jsonLongEntry)
     ext.injectFunction(GraftExtensions.keywordCountsEntry)
     ext.injectFunction(GraftExtensions.argmaxCosineEntry)
@@ -99,6 +100,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_shingles(text, n) takes two arguments")
       GraftShingles(children(0), children(1)): Expression
+    })
+
+  private[graft] val shingleHashesEntry = (
+    new FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_shingle_hashes(text, n) takes two arguments")
+      GraftShingleHashes(children(0), children(1)): Expression
     })
 
   private[graft] val jsonLongEntry = (
@@ -206,7 +215,8 @@ object GraftExtensions {
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry, shinglesEntry, jsonLongEntry,
+      shingleCountEntry, textMetricsEntry, shinglesEntry,
+      shingleHashesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
       tsNanosEntry, topKEntry).foreach { e =>

@@ -76,6 +76,47 @@ class SpanDedupSpec extends SparkSpec {
       col("n_removed") =!= 0L).count() === 0)
   }
 
+  test("exact confirm pass survives forced hash collisions; default = exact on collision-free keys") {
+    // Fold the shingle hash into 2 buckets: nearly every position becomes
+    // a pass-1 candidate, and only the confirm pass separates true
+    // repeats from collision noise. Result must be bit-identical to the
+    // full-width key on a corpus with one real shared passage.
+    val passage = "q0 q1 q2 q3 q4 q5"
+    val docs = Seq(
+      (1L, s"${filler("a", 7)} $passage ${filler("b", 4)}"),
+      (2L, s"$passage ${filler("c", 9)}"),
+      (3L, filler("d", 12))).toDF("doc_id", "text")
+    def run(buckets: Long, exact: Boolean) =
+      SpanDedup.dupSpansImpl(docs, "doc_id", "text", 3, buckets, exact)
+        .as[(Long, Int, Int)].collect.toSeq.sorted
+    val truth = Seq((1L, 7, 13), (2L, 0, 6))
+    assert(run(0L, exact = true) === truth)
+    assert(run(0L, exact = false) === truth) // full-width key: no collisions
+    assert(run(2L, exact = true) === truth)
+    assert(run(1L, exact = true) === truth) // ONE bucket: worst case
+    // and the coarse key WITHOUT confirm genuinely over-flags — the
+    // contract difference the exact variant exists for
+    assert(run(1L, exact = false).size > truth.size)
+  }
+
+  test("hash kernel token boundaries match split(\\s+, -1) on edge-case whitespace") {
+    // Same dup detection through graft_shingle_hashes as through the
+    // string kernel on texts with leading/trailing/repeated whitespace
+    // and tabs: token positions must line up for spans to agree.
+    val docs = Seq(
+      (1L, "  e0 e1\te2  e3 e0 e1\te2"),  // leading ws → empty first token
+      (2L, "e0 e1 e2 trail0 trail1 "),    // trailing ws → empty last token
+      (3L, "x0  x1\n x2")).toDF("doc_id", "text")
+    val viaHash = SpanDedup.dupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect.toSeq.sorted
+    // doc 1 tokens: ["", e0, e1, e2, e3, e0, e1, e2] — shingle
+    // (e0,e1,e2) occurs at doc-1 positions 1 and 5 AND doc-2 position 0
+    // (its tokens are [e0,e1,e2,trail0,trail1,""]), so three spans; the
+    // positions only line up if the byte-walk kept the empty leading /
+    // trailing tokens exactly where split(\s+, -1) puts them
+    assert(viaHash === Seq((1L, 1, 4), (1L, 5, 8), (2L, 0, 3)))
+  }
+
   test("docs shorter than n yield no shingles and no spans") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     assert(SpanDedup.dupSpans(docs, "doc_id", "text", 3).count() === 0)
