@@ -144,14 +144,34 @@ object Bench {
       val mIvf = measure("x_ann_ivf_index_query",
         force(IvfIndex.topKIndexed(spark, "bench_ivf_idx",
           "vec_id", "embedding", probe, k = 10, nprobe = 2)))
+      import graft.operators.{IvfPq, ProductQuantizer}
+      val atPq = (System.nanoTime() - suiteT0) / 1e9
+      val tPqBuild = time(ProductQuantizer.buildPqIndex(
+        corpus, "vec_id", "embedding", "bench_pq_idx", m = 8, k = 64, iters = 1))
+      val mPq = measure("x_ann_pq_index_query",
+        force(ProductQuantizer.adcRerankTopKIndexed(spark, "bench_pq_idx",
+          corpus, "vec_id", "embedding", probe, shortlist = 100, k = 10)))
+      val atIvfPq = (System.nanoTime() - suiteT0) / 1e9
+      val tIvfPqBuild = time(IvfPq.build(
+        corpus, "vec_id", "embedding", "bench_ivfpq_idx",
+        numCells = 8, m = 8, codesK = 64, iters = 1))
+      val mIvfPq = measure("x_ann_ivfpq_index_query",
+        force(IvfPq.topKIndexed(spark, "bench_ivfpq_idx", corpus,
+          "vec_id", "embedding", probe, k = 10, nprobe = 2, shortlist = 100)))
       Seq(
         Measure("x_ann_lsh_index_build", tLshBuild, Seq(tLshBuild), 0.0, atLsh),
         mLsh,
         Measure("x_ann_ivf_index_build", tIvfBuild, Seq(tIvfBuild), 0.0, atIvf),
-        mIvf)
+        mIvf,
+        Measure("x_ann_pq_index_build", tPqBuild, Seq(tPqBuild), 0.0, atPq),
+        mPq,
+        Measure("x_ann_ivfpq_index_build", tIvfPqBuild, Seq(tIvfPqBuild), 0.0, atIvfPq),
+        mIvfPq)
     } catch { case _: Throwable =>
       Seq("x_ann_lsh_index_build", "x_ann_lsh_index_query",
-        "x_ann_ivf_index_build", "x_ann_ivf_index_query")
+        "x_ann_ivf_index_build", "x_ann_ivf_index_query",
+        "x_ann_pq_index_build", "x_ann_pq_index_query",
+        "x_ann_ivfpq_index_build", "x_ann_ivfpq_index_query")
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
     }
 
@@ -220,7 +240,10 @@ object Bench {
       // state-bound by design, so it stays out)
       "q122_scd2_history", "q123_substring_spans", "q125_versioned_asof",
       "q126_cdc_apply", "q127_span_removal", "q128_topk_aggregate",
-      "q132_pq_adc_topk")
+      "q132_pq_adc_topk",
+      // r6: the IVFADC compose is data-proportional through assignment
+      // + encode + the probed-cell ADC scan
+      "q133_ivfpq_topk")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -69,9 +69,9 @@ object IvfIndex {
   }
 
   /** Rank centroids by driver-side cosine to the probe; nearest `nprobe`
-    * cell ids. */
-  private def rankCells(cents: Array[(Int, Seq[Float])], probe: Seq[Float],
-                        nprobe: Int): Seq[Int] = {
+    * cell ids. Shared with [[IvfPq]]'s coarse-prune stage. */
+  private[operators] def rankCells(cents: Array[(Int, Seq[Float])], probe: Seq[Float],
+                                   nprobe: Int): Seq[Int] = {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0

@@ -104,15 +104,81 @@ object ProductQuantizer {
                     model: Model, query: Seq[Float],
                     shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    rerank(encoded, adcTopK(encoded, idCol, model, query, shortlist),
+      idCol, vecCol, query, k)
+  }
+
+  /** Exact integer re-rank of a shortlist against the full query: joins
+    * the id-only shortlist back to a table carrying the raw vectors —
+    * at 10^10 vectors a per-candidate random access, never a scan. */
+  private[operators] def rerank(vectors: DataFrame, short: DataFrame,
+                                idCol: String, vecCol: String,
+                                query: Seq[Float], k: Int): DataFrame = {
     val qv = quantizeQuery(query)
-    val short = adcTopK(encoded, idCol, model, query, shortlist)
-      .select(col(idCol))
-    encoded.select(col(idCol), col(vecCol))
-      .join(short, Seq(idCol))
+    vectors.select(col(idCol), col(vecCol))
+      .join(short.select(col(idCol)), Seq(idCol))
       .withColumn("exact_dist",
         KMeans.sqDist(KMeans.quantize(col(vecCol)), typedlit(qv)))
       .orderBy(col("exact_dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("exact_dist"))
+  }
+
+  // ---- persisted index (VERDICT r5 item 5) -----------------------------
+
+  /** Persist the PQ index: the CODES table — (idCol, pq_code) ONLY, no
+    * vectors, because at 10^10 vectors the m-byte codes ARE the index
+    * while the 256 B raw vectors stay in the source table for
+    * per-candidate re-rank access — plus a `<table>_codebooks` sidecar
+    * (m_idx, cell, centroid). Codes are bucketed by id so the re-rank
+    * join co-locates with an id-bucketed source table. Training and
+    * encoding run ONCE here; [[adcTopKIndexed]] never re-runs either. */
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String, table: String,
+                   m: Int, k: Int, iters: Int, buckets: Int = 8): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = fit(df, idCol, vecCol, m, k, iters)
+    (0 until model.m).flatMap(i => model.codebooks(i).zipWithIndex.map {
+      case (c, cell) => (i, cell, c)
+    }).toDF("m_idx", "cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table + "_codebooks")
+    graft.etl.Warehouse.writeBucketed(
+      encode(df, vecCol, model).select(col(idCol), col("pq_code")),
+      table, idCol, buckets)
+    model
+  }
+
+  /** Rehydrate a persisted model from the `<table>_codebooks` sidecar —
+    * an O(m·k·subDim) driver read, like the IVF centroid sidecar. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, table: String): Model = {
+    val rows = spark.table(table + "_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map { i =>
+      rows.filter(_._1 == i).sortBy(_._2).map(_._3: Seq[Long])
+    }.toArray
+    require(books.forall(_.length == books(0).length),
+      s"codebook sidecar for '$table' is ragged across subspaces")
+    Model(m, books(0)(0).length, books)
+  }
+
+  /** ADC top-k over the persisted codes table: no training, no encode —
+    * the scan reads (id, pq_code) and does m lookups + a sum per row.
+    * PersistedPqIndexSpec asserts the plan carries zero argmin kernels. */
+  def adcTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     idCol: String, query: Seq[Float], k: Int): DataFrame =
+    adcTopK(spark.table(table), idCol, loadModel(spark, table), query, k)
+
+  /** Indexed ADC shortlist + exact re-rank against the caller's vector
+    * table (the source table the codes were built from). */
+  def adcRerankTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                           table: String, vectors: DataFrame,
+                           idCol: String, vecCol: String, query: Seq[Float],
+                           shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val model = loadModel(spark, table)
+    rerank(vectors, adcTopK(spark.table(table), idCol, model, query, shortlist),
+      idCol, vecCol, query, k)
   }
 }

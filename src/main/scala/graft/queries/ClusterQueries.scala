@@ -152,11 +152,18 @@ object ClusterQueries {
     * code assignment, and the query→centroid distance table; then ADC =
     * Σ_i qd_i[code_i], top-10 by (dist, vec_id). Mirrors chainSql's
     * structure with subspace-suffixed CTE names. */
-  private def q132Sql: String = {
+  private def q132Sql: String =
+    "WITH emb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM embeddings), " +
+      "qq AS (SELECT v FROM emb WHERE vec_id = (SELECT MIN(vec_id) FROM emb)), " +
+      pqChainSql("SELECT vec_id FROM emb")
+
+  /** The shared PQ CTE chain: expects `emb` (vec_id, v quantized longs)
+    * as the training corpus and `qq` (v) as the quantized query to be
+    * defined by the caller's preamble; `base` selects the vec_ids to
+    * ADC-rank (all of emb for q132, the IVF-probed subset for q133). */
+  private def pqChainSql(base: String): String = {
     val sb = new StringBuilder
-    sb ++= "WITH emb AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM embeddings), "
-    sb ++= "qq AS (SELECT v FROM emb WHERE vec_id = (SELECT MIN(vec_id) FROM emb)), "
     val subDim = 64 / PqM
     for (i <- 0 until PqM) {
       val lo = i * subDim + 1
@@ -187,7 +194,7 @@ object ClusterQueries {
       s"JOIN f_$i ON f_$i.vec_id = base.vec_id JOIN qd_$i ON qd_$i.cell = f_$i.cell"
     }.mkString(" ")
     val sum = (0 until PqM).map(i => s"qd_$i.qd").mkString(" + ")
-    sb ++= s"base AS (SELECT vec_id FROM emb), " +
+    sb ++= s"base AS ($base), " +
       s"adc AS (SELECT base.vec_id, CAST($sum AS BIGINT) AS adc_dist FROM base $joins), " +
       s"sh AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT $PqShortlist), " +
       "rr AS (SELECT emb.vec_id, " +
@@ -198,13 +205,54 @@ object ClusterQueries {
     sb.toString
   }
 
+  // ---- q133: IVF×PQ composed ANN ---------------------------------------
+
+  private val IvfCells = 8
+  private val IvfNprobe = 2
+
+  /** IVFADC compose (VERDICT r5 item 6): md5-seeded coarse cells prune
+    * the corpus to nprobe=2 of 8, global PQ codebooks ADC-rank the
+    * survivors, exact integer re-rank of the shortlist. Corpus excludes
+    * the vec_id=0 probe row (the q59 convention). See
+    * [[graft.operators.IvfPq]]. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.IvfPq.topK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe,
+      k = PqTop, numCells = IvfCells, nprobe = IvfNprobe,
+      m = PqM, codesK = PqK, iters = PqIters, shortlist = PqShortlist)
+  }
+
+  /** q133 oracle: the q59 IVF CTEs (float-cosine cell assignment + probe
+    * ranking — established parity) feed the q132 PQ chain as its `base`
+    * subset; training corpus and codebooks exclude vec_id=0. */
+  private def q133Sql: String =
+    "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings WHERE vec_id <> 0), " +
+      "emb AS (SELECT vec_id, list_transform(ed, x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM corpus), " +
+      "qq AS (SELECT list_transform(p, x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS v FROM probe), " +
+      s"ivfc AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, ed AS cv " +
+      s"FROM corpus QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $IvfCells), " +
+      "cellof AS (SELECT vec_id, cell FROM (SELECT c2.vec_id, cc.cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY c2.vec_id " +
+      "ORDER BY list_cosine_similarity(c2.ed, cc.cv) DESC, cc.cell) AS rn " +
+      "FROM corpus c2, ivfc cc) WHERE rn = 1), " +
+      s"pcells AS (SELECT cc.cell FROM ivfc cc, probe " +
+      s"ORDER BY list_cosine_similarity(p, cc.cv) DESC, cc.cell LIMIT $IvfNprobe), " +
+      pqChainSql(
+        "SELECT vec_id FROM cellof WHERE cell IN (SELECT cell FROM pcells)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_kmeans_clusters" -> q118,
     "q119_semantic_dedup" -> q119,
-    "q132_pq_adc_topk" -> q132)
+    "q132_pq_adc_topk" -> q132,
+    "q133_ivfpq_topk" -> q133)
 
   val oracle: Map[String, String] = Map(
     "q118_kmeans_clusters" -> q118Sql,
     "q119_semantic_dedup" -> q119Sql,
-    "q132_pq_adc_topk" -> q132Sql)
+    "q132_pq_adc_topk" -> q132Sql,
+    "q133_ivfpq_topk" -> q133Sql)
 }
