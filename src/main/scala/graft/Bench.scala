@@ -204,6 +204,41 @@ object Bench {
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
     }
 
+    // Bucketed-SCD2-history as-of probe (r6, VERDICT item 4): q125 pays
+    // history build + as-of union-window per query; the warehouse answer
+    // builds the history ONCE bucketed by user_id, and the probe is a
+    // bucketed left join + max-struct aggregate whose history side needs
+    // NO exchange. x_asof_hist_build is that one-time cost;
+    // x_asof_hist_query is the marginal per-query cost a deployment pays.
+    val asofResults: Seq[Measure] = if (only.isDefined) Seq() else try {
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables.events(spark, sfDir)
+        .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
+      val log = e.filter(col("event_type") =!= "error")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("__w"))
+        .select(col("user_id"), col("t"),
+          col("__w.event_id").as("event_id"), col("__w.event_type").as("event_type"))
+      val atB = (System.nanoTime() - suiteT0) / 1e9
+      val tBuild = time(graft.etl.Warehouse.writeBucketed(
+        graft.operators.Scd2
+          .fromChangeLog(log, Seq("user_id"), "t", "event_id", Seq("event_type"))
+          .select(col("user_id"), col("valid_from"),
+            col("event_type").as("active_type"), col("version")),
+        "bench_asof_hist", "user_id"))
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("t"))
+      val m = measure("x_asof_hist_query",
+        force(graft.operators.AsOfJoin.backwardViaJoin(
+          errs, spark.table("bench_asof_hist"),
+          Seq("user_id"), "t", "valid_from",
+          payload = Seq("active_type", "version"))))
+      Seq(Measure("x_asof_hist_build", tBuild, Seq(tBuild), 0.0, atB), m)
+    } catch { case _: Throwable =>
+      Seq("x_asof_hist_build", "x_asof_hist_query")
+        .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
+    }
+
     // Data-dominated scale point: when the 10×-replicated dataset exists
     // (tools/gen_scaled_data.py), re-run the data-heavy query subset on it
     // as x10_* lines. These measure marginal (data-proportional) cost —
@@ -283,7 +318,8 @@ object Bench {
 
     val floorPost = measureFloor()
 
-    val all = results ++ annResults ++ jsonResults ++ scaledResults ++ ivf256Results
+    val all = results ++ annResults ++ jsonResults ++ asofResults ++
+      scaledResults ++ ivf256Results
     def fmtMap(f: Measure => String): String =
       all.map(m => "\"" + m.name + "\":" + f(m)).mkString("{", ",", "}")
     val qs = fmtMap(_.median.toString)

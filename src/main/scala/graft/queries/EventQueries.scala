@@ -369,6 +369,14 @@ object EventQueries {
     // q87 trick pays when the SAME wide stream feeds several subset-key
     // stages; here each stage consumes a successively smaller
     // derivative. REJECTED — keep the per-stage exchanges.
+    //
+    // Measured (r6): the bucketed-history probe (AsOfJoin.backwardViaJoin
+    // against a Warehouse-bucketed Scd2 table; x_asof_hist_* bench lines)
+    // answers in 0.786 s at x10 vs 1.01-1.08 s for this full pipeline —
+    // but this fixture's ~50 versions/user is that shape's worst regime
+    // (the join expands ~50× before partial-agg collapse), so the
+    // union-window form stays q125's production shape; see BASELINE.md r6
+    // and the backwardViaJoin scaladoc for the regime contract.
     val log = e.filter(col("event_type") =!= "error")
       .groupBy(col("user_id"), col("t"))
       .agg(max(struct(col("event_id"), col("event_type"))).as("__w"))

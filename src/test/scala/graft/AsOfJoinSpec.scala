@@ -75,4 +75,26 @@ class AsOfJoinSpec extends SparkSpec {
 
     assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty)
   }
+
+  test("backwardViaJoin is result-identical to the union-window form") {
+    // the fixed-case table (equal timestamps, left-outer nulls, absent
+    // keys) plus the 300-row random replay — both forms must agree row
+    // for row, since the bucketed-history probe swaps shapes, not
+    // semantics
+    val viaJoin = AsOfJoin
+      .backwardViaJoin(leftDf, rightDf, Seq("key"), "t", "rt", Seq("v", "rt"))
+    val window = AsOfJoin
+      .backward(leftDf, rightDf, Seq("key"), "t", "rt", Seq("v", "rt"))
+    assert(viaJoin.exceptAll(window).isEmpty && window.exceptAll(viaJoin).isEmpty)
+
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      .toDF("id", "key", "t")
+    val r = (1 to 200).map(i => (s"k${i % 7}", (i * 13 % 997).toLong, s"p$i"))
+      .toDF("key", "rt", "v")
+      .groupBy("key", "rt").agg(max("v").as("v"))
+    val a = AsOfJoin.backwardViaJoin(l, r, Seq("key"), "t", "rt", Seq("v"))
+    val b = AsOfJoin.backward(l, r, Seq("key"), "t", "rt", Seq("v"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
