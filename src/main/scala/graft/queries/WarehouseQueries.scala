@@ -61,6 +61,17 @@ object WarehouseQueries {
     // identical rows and every tie-break picks the same winner — the
     // applyLog determinism contract holds by construction on both
     // engines. Real CDC logs order by their LSN instead.
+    //
+    // Measured (r6, x10 interleaved, VERDICT item 7): fusing the rollup
+    // into the apply — join priority onto the op stream BEFORE the
+    // aggregate, group by (orderkey, priority) so the rollup reuses the
+    // partitioning — reads 2.36-2.76 s vs 1.37-1.67 s for this shape:
+    // the pre-join moves the full 6M-row fact through the join before
+    // the aggregate collapses it. REJECTED. A broadcast(orders) hint is
+    // time-parity (1.42-1.57 s — the orders shuffle was never the cost;
+    // the op-stream exchange is) and scale-dishonest for a fact-sized
+    // orders table. REJECTED. The remaining gap vs DuckDB's two
+    // in-process window scans is the pinned multi-stage floor.
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_quantity"), col("l_returnflag"))
     val base = li.filter(col("l_linenumber") === 1)
