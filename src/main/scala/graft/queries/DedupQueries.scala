@@ -237,7 +237,20 @@ object DedupQueries {
   private def q127(s: SparkSession, d: String): DataFrame =
     graft.operators.SpanDedup.removeSpans(documents(s, d), "doc_id", "text", 5)
 
+  // Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+  // EVERY within-(lang, source)-block pair with token-set Jaccard >= 0.9,
+  // integer-verified. The oracle mirrors the same prefix-filtered plan
+  // (df-ranked prefixes, length + positional prunes) so BOTH engines run
+  // the subquadratic algorithm — the all-pairs twin was measured
+  // quadratic-infeasible on this template-generated (self-similar)
+  // corpus; completeness vs brute force is SetSimJoinSpec's job.
+  private def q134(s: SparkSession, d: String): DataFrame =
+    graft.operators.SetSimJoin.selfJoin(
+      documents(s, d), "doc_id", TextAnalysis.tokens(col("text")),
+      simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_setsim_join" -> q134 _,
     "q121_leakage_safe_split" -> q121 _,
     "q123_substring_spans" -> q123 _,
     "q127_span_removal" -> q127 _,
@@ -536,6 +549,32 @@ object DedupQueries {
         "(SELECT doc_id, lang, source, ROW_NUMBER() OVER " +
         "(PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
         "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    // q134: the SAME prefix-filtered algorithm in SQL — df-ascending
+    // token rank per doc, prefix length sz-ceil(tau*sz)+1, length +
+    // positional prunes in the candidate join, integer cross-multiplied
+    // Jaccard verification. tau = 9/10.
+    "q134_setsim_join" ->
+      ("WITH t AS (SELECT doc_id, lang, source, " +
+        "list_distinct(string_split_regex(text, '\\s+')) AS l FROM documents), " +
+        "tok AS (SELECT doc_id, lang, source, len(l) AS sz, unnest(l) AS token FROM t), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1), " +
+        "ord AS (SELECT doc_id, lang, source, sz, token, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS pos " +
+        "FROM tok JOIN dfreq USING (token)), " +
+        "pre AS (SELECT * FROM ord WHERE pos <= sz - ((9*sz + 9) // 10) + 1), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.sz AS sz_a, b.sz AS sz_b " +
+        "FROM pre a JOIN pre b ON a.token = b.token AND a.lang = b.lang " +
+        "AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "AND a.sz * 10 >= 9 * b.sz AND b.sz * 10 >= 9 * a.sz " +
+        "AND 1 + least(a.sz - a.pos, b.sz - b.pos) >= (9*(a.sz+b.sz) + 18) // 19 " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "ver AS (SELECT id_a, id_b, sz_a, sz_b, " +
+        "CAST(len(list_filter(ta.l, x -> list_contains(tb.l, x))) AS BIGINT) AS n_common " +
+        "FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b) " +
+        "SELECT id_a, id_b, n_common, CAST(sz_a AS BIGINT) AS sz_a, " +
+        "CAST(sz_b AS BIGINT) AS sz_b FROM ver " +
+        "WHERE n_common * 10 >= 9 * (sz_a + sz_b - n_common)"),
     "q37_jaccard_pairs" ->
       ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(len(list_filter(list_distinct(a.l), x -> list_contains(b.l, x))) AS INT) AS n_common, " +
