@@ -67,4 +67,62 @@ object AggState {
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"))
   }
+
+  // ---- frequency state: exact mergeable QUANTILES on the cents grid ----
+  //
+  // count/sum/min/max merge trivially; quantiles famously don't — the
+  // standard answers are approximate sketches (q68's hll/approx_percentile
+  // path). For MONEY-like columns there is an exact mergeable form: the
+  // value domain is a discrete grid (long cents), so per-(group, value)
+  // COUNTS are a complete, exactly mergeable description of the
+  // distribution. State size is |groups| x |distinct values| — bounded by
+  // the price grid, NOT by fact count, so a 100 TB fact history still
+  // compacts to a small state table; any quantile then reads off the
+  // state with one cumulative walk. All integer arithmetic: the rank
+  // threshold `cum*qDen >= qNum*total` is the cross-multiplied form of
+  // `cum >= ceil(total*q)` (equivalent over integers), no float rounding
+  // anywhere — both engines agree bit-for-bit.
+
+  /** Per-(group, cents-value) counts from a fact slice. One map-side
+    * combined shuffle; same sign-aware cents convention as [[build]]. */
+  def buildFreq(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "freq state needs at least one key column")
+    facts
+      .groupBy(keys.map(ref) :+ cents(ref(valueCol)).as("v_cents"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Group-wise merge of freq states: counts add; values absent from one
+    * side pass through (union semantics). Shuffles state rows only. */
+  def mergeFreq(keys: Seq[String], states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    states.foreach { st =>
+      (keys ++ Seq("v_cents", "n")).foreach { c =>
+        require(st.columns.contains(c),
+          s"state is not buildFreq-shaped: missing '$c'")
+      }
+    }
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(ref) :+ col("v_cents"): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** The qNum/qDen quantile (lower/disc convention: smallest value whose
+    * cumulative count reaches ceil(total*q)) per group, read from a freq
+    * state. Returns (keys..., n, q_cents). The two windows share one
+    * exchange (same partition keys) and run over STATE rows, never facts. */
+  def quantileFromFreq(state: DataFrame, keys: Seq[String],
+                       qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qNum <= qDen, s"quantile $qNum/$qDen out of (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byKeys = Window.partitionBy(keys.map(ref): _*)
+    val cum = byKeys.orderBy(col("v_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    state
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(byKeys))
+      .filter(col("cum") * lit(qDen.toLong) >= lit(qNum.toLong) * col("total"))
+      .groupBy(keys.map(ref): _*)
+      .agg(max(col("total")).as("n"), min(col("v_cents")).as("q_cents"))
+  }
 }

@@ -104,13 +104,47 @@ object WarehouseQueries {
       Seq("user_id"), "ts", "event_id", Seq("event_type"))
   }
 
+  // Exact mergeable MEDIAN over the incremental split: same history ⊕
+  // batch state pattern as q124, but the state is per-(group, cents)
+  // counts — the exact mergeable form quantiles admit on a discrete
+  // money grid (AggState.buildFreq scaladoc). DuckDB re-derives the
+  // median from the FULL fact scan with the same integer rank rule;
+  // Spark answers from the merged freq state without touching history
+  // facts. Quantile rank is integer cross-multiplied — no float.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val keys = Seq("o_orderpriority")
+    val cut = to_date(lit("1995-06-01"))
+    val isHist = coalesce(to_date(col("o_orderdate")) < cut, lit(false))
+    val hist = AggState.buildFreq(o.filter(isHist), keys, "o_totalprice")
+    val batch = AggState.buildFreq(o.filter(!isHist), keys, "o_totalprice")
+    val merged = AggState.mergeFreq(keys, Seq(hist, batch))
+    AggState.quantileFromFreq(merged, keys, 1, 2)
+      .withColumnRenamed("q_cents", "median_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_freq_state_median" -> q135 _,
     "q122_scd2_history" -> q122 _,
     "q124_agg_state_merge" -> q124 _,
     "q126_cdc_apply" -> q126 _,
     "q129_scd2_increment" -> q129 _)
 
   val oracle: Map[String, String] = Map(
+    // q135: full-scan re-derivation of the exact median on the cents
+    // grid — same lower-quantile rank rule (cum*2 >= total) the state
+    // walk applies, so merge-vs-rebuild equality is cross-engine-checked
+    "q135_freq_state_median" ->
+      ("WITH f AS (SELECT o_orderpriority, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v " +
+        "FROM orders), " +
+        "c AS (SELECT o_orderpriority, v, count(*) AS n FROM f GROUP BY 1, 2), " +
+        "w AS (SELECT o_orderpriority, v, " +
+        "sum(n) OVER (PARTITION BY o_orderpriority ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(n) OVER (PARTITION BY o_orderpriority) AS total FROM c) " +
+        "SELECT o_orderpriority, CAST(max(total) AS BIGINT) AS n, " +
+        "min(v) AS median_cents FROM w WHERE cum * 2 >= total GROUP BY 1"),
     "q122_scd2_history" ->
       ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type " +
         "FROM events), " +

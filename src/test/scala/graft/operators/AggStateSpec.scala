@@ -49,4 +49,50 @@ class AggStateSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
     assert(plan.contains("partial_"), s"no partial aggregate in:\n$plan")
   }
+
+  // ---- freq state: exact mergeable quantiles ----
+
+  private def freqCanon(df: DataFrame): Seq[(String, Long, Long)] =
+    df.select(col("g"), col("v_cents"), col("n"))
+      .as[(String, Long, Long)].collect.toSeq.sorted
+
+  test("freq merge of a random 3-way split equals the full rebuild") {
+    val all = facts(13, 3000).cache()
+    val parts = all.randomSplit(Array(0.25, 0.4, 0.35), seed = 17)
+    val merged = AggState.mergeFreq(keys,
+      parts.toSeq.map(p => AggState.buildFreq(p, keys, "v")))
+    assert(freqCanon(merged) === freqCanon(AggState.buildFreq(all, keys, "v")))
+    all.unpersist()
+  }
+
+  test("quantiles from merged freq state match a reference sort at several q") {
+    val all = facts(21, 2000).cache()
+    val parts = all.randomSplit(Array(0.5, 0.5), seed = 3)
+    val merged = AggState.mergeFreq(keys,
+      parts.toSeq.map(p => AggState.buildFreq(p, keys, "v")))
+    val data = all.as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v => math.round(v._2 * 100)).sorted).toMap
+    for ((qn, qd) <- Seq((1, 4), (1, 2), (3, 4), (9, 10), (1, 1))) {
+      val got = AggState.quantileFromFreq(merged, keys, qn, qd)
+        .select(col("g"), col("n"), col("q_cents"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      val want = data.toSeq.map { case (g, vs) =>
+        // lower/disc quantile: element at rank ceil(n*q) (1-based)
+        val rank = (vs.length.toLong * qn + qd - 1) / qd
+        (g, vs.length.toLong, vs(math.max(rank, 1L).toInt - 1))
+      }.sorted
+      assert(got === want, s"q=$qn/$qd")
+    }
+    all.unpersist()
+  }
+
+  test("freq quantile walk shares one exchange over state rows") {
+    val st = AggState.buildFreq(facts(5, 500), keys, "v")
+    val plan = AggState.quantileFromFreq(st, keys, 1, 2)
+      .queryExecution.executedPlan.toString
+    // one exchange for the fact->state aggregate, one for the state
+    // windows + final aggregate (same partition keys, reused)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"quantile walk re-shuffles state:\n$plan")
+  }
 }
