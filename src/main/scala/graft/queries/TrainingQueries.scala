@@ -157,7 +157,34 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Token-budget fill: keep documents, largest first (n_chars DESC is
+  // the deterministic stand-in for quality DESC — any total order
+  // works), while the running token total fits a 20k budget. The
+  // running total is the distributed two-pass prefix sum — NEVER the
+  // single-partition `sum OVER (ORDER BY)` window the oracle uses
+  // (PrefixSum scaladoc; PrefixSumSpec plan assert).
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .withColumn("n_tokens",
+        size(split(col("text"), "\\s+")).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+    graft.operators.PrefixSum.budgetFill(
+      toks, "n_tokens", 20000L,
+      col("n_chars").desc, col("doc_id"))
+  }
+
+  // Systematic PPS sample: 100 expected picks proportional to n_chars,
+  // deterministic (threshold grid on the cumulative-weight axis, integer
+  // floor-div) — the cross-engine-reproducible form of weighted sampling
+  // without replacement (float u^(1/w) keys are not portable).
+  private def q137(s: SparkSession, d: String): DataFrame =
+    graft.operators.PrefixSum.systematicPps(
+      documents(s, d).select(col("doc_id"), col("n_chars")),
+      "n_chars", 100, "cum_w", col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_token_budget_fill" -> q136 _,
+    "q137_systematic_pps" -> q137 _,
     "q113_partitioned_bloom" -> q113 _,
     "q116_temperature_resample" -> q116 _,
     "q61_stratified_sample" -> q61 _,
@@ -169,6 +196,23 @@ object TrainingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_token_budget_fill" ->
+      ("WITH t AS (SELECT doc_id, n_chars, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_chars, n_tokens, " +
+        "sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_total FROM t) " +
+        "SELECT doc_id, n_chars, n_tokens, CAST(cum_total AS BIGINT) AS cum_total " +
+        "FROM c WHERE cum_total <= 20000"),
+    "q137_systematic_pps" ->
+      ("WITH c AS (SELECT doc_id, n_chars, " +
+        "sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM documents), " +
+        "t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents) " +
+        "SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_w, " +
+        "CAST((cum * 100) // w - ((cum - n_chars) * 100) // w AS BIGINT) AS n_picks " +
+        "FROM c, t WHERE (cum * 100) // w > ((cum - n_chars) * 100) // w"),
     "q78_chunk_pipeline" ->
       ("WITH dd AS (SELECT doc_id, lang, text FROM " +
         "(SELECT doc_id, lang, text, ROW_NUMBER() OVER " +
