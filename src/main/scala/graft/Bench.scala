@@ -158,7 +158,17 @@ object Bench {
       val mIvfPq = measure("x_ann_ivfpq_index_query",
         force(IvfPq.topKIndexed(spark, "bench_ivfpq_idx", corpus,
           "vec_id", "embedding", probe, k = 10, nprobe = 2, shortlist = 100)))
+      // incremental maintenance: marginal cost of appending a ~14% batch
+      // vs the full builds above (no retrain, no partition rewrite)
+      val atApp = (System.nanoTime() - suiteT0) / 1e9
+      val appendBatch = corpus.filter(col("vec_id") % 7 === 0)
+      val tIvfApp = time(IvfIndex.append(spark, "bench_ivf_idx",
+        appendBatch, "vec_id", "embedding"))
+      val tIvfPqApp = time(IvfPq.append(spark, "bench_ivfpq_idx",
+        appendBatch, "vec_id", "embedding"))
       Seq(
+        Measure("x_ann_ivf_append", tIvfApp, Seq(tIvfApp), 0.0, atApp),
+        Measure("x_ann_ivfpq_append", tIvfPqApp, Seq(tIvfPqApp), 0.0, atApp),
         Measure("x_ann_lsh_index_build", tLshBuild, Seq(tLshBuild), 0.0, atLsh),
         mLsh,
         Measure("x_ann_ivf_index_build", tIvfBuild, Seq(tIvfBuild), 0.0, atIvf),
@@ -171,7 +181,8 @@ object Bench {
       Seq("x_ann_lsh_index_build", "x_ann_lsh_index_query",
         "x_ann_ivf_index_build", "x_ann_ivf_index_query",
         "x_ann_pq_index_build", "x_ann_pq_index_query",
-        "x_ann_ivfpq_index_build", "x_ann_ivfpq_index_query")
+        "x_ann_ivfpq_index_build", "x_ann_ivfpq_index_query",
+        "x_ann_ivf_append", "x_ann_ivfpq_append")
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
     }
 

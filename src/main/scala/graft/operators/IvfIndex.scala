@@ -103,6 +103,34 @@ object IvfIndex {
       partitionBy = Seq("ivf_cell"))
   }
 
+  /** Rehydrate the centroid sidecar — an O(numCells) driver read. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Array[(Int, Seq[Float])] =
+    spark.table(table + "_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** Incremental index maintenance: assign NEW vectors to the existing
+    * centroids and append their rows to the cell partitions — no
+    * retrain, no rewrite of existing partitions (the append touches only
+    * the new files). This is the production ingest path at 10^10
+    * vectors: the coarse quantizer is refit on operator schedule, not
+    * per batch. Recall on appended rows matches a rebuild WITH THE SAME
+    * centroids exactly (IndexAppendSpec); centroids drift from what a
+    * from-scratch rebuild would choose only as the corpus distribution
+    * drifts — the standard IVF maintenance contract (FAISS IndexIVF.add
+    * semantics). */
+  def append(spark: org.apache.spark.sql.SparkSession, table: String,
+             newRows: DataFrame, idCol: String, vecCol: String,
+             buckets: Int = 8): Unit = {
+    val cents = loadCentroids(spark, table)
+    graft.etl.Warehouse.writeBucketed(
+      assignCells(newRows, vecCol, cents), table, idCol, buckets,
+      partitionBy = Seq("ivf_cell"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** ANN top-k over a PERSISTED index: centroid ranking reads the
     * O(numCells)-row sidecar table, the corpus scan carries an
     * `ivf_cell IN (…)` partition filter (no per-row assignment recompute,
@@ -110,10 +138,7 @@ object IvfIndex {
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                   idCol: String, vecCol: String, probe: Seq[Float], k: Int,
                   nprobe: Int = 2): DataFrame = {
-    val cents = spark.table(table + "_centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    val cents = loadCentroids(spark, table)
     val probeCells = rankCells(cents, probe, nprobe)
     val candidates = spark.table(table)
       .filter(col("ivf_cell").isin(probeCells: _*))

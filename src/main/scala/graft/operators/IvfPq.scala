@@ -71,6 +71,23 @@ object IvfPq {
       table, idCol, buckets, partitionBy = Seq("ivf_cell"))
   }
 
+  /** Incremental maintenance of the composed index: assign cells with
+    * the persisted coarse centroids, encode with the persisted
+    * codebooks, append into the cell partitions — neither quantizer
+    * retrains and existing partitions are untouched (FAISS
+    * IndexIVFPQ.add semantics; see [[IvfIndex.append]]). */
+  def append(spark: SparkSession, table: String, newRows: DataFrame,
+             idCol: String, vecCol: String, buckets: Int = 8): Unit = {
+    val cents = IvfIndex.loadCentroids(spark, table)
+    val model = ProductQuantizer.loadModel(spark, table)
+    graft.etl.Warehouse.writeBucketed(
+      ProductQuantizer.encode(
+          IvfIndex.assignCells(newRows, vecCol, cents), vecCol, model)
+        .select(col(idCol), col("pq_code"), col("ivf_cell")),
+      table, idCol, buckets, partitionBy = Seq("ivf_cell"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Query the persisted index: sidecar reads are O(numCells) and
     * O(m·codesK) driver rows; the codes scan carries an
     * `ivf_cell IN (…)` partition filter and never re-runs assignment or
@@ -80,10 +97,7 @@ object IvfPq {
                   idCol: String, vecCol: String, probe: Seq[Float],
                   k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    val cents = spark.table(table + "_centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    val cents = IvfIndex.loadCentroids(spark, table)
     val probeCells = IvfIndex.rankCells(cents, probe, nprobe)
     val model = ProductQuantizer.loadModel(spark, table)
     val codes = spark.table(table)

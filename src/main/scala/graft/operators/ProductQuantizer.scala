@@ -163,6 +163,21 @@ object ProductQuantizer {
     Model(m, books(0)(0).length, books)
   }
 
+  /** Incremental codes maintenance: encode NEW vectors with the
+    * PERSISTED codebooks and append to the codes table — no retrain
+    * (codebooks refit on operator schedule; FAISS IndexPQ.add
+    * semantics). Appended codes are bit-identical to what a rebuild
+    * with the same model would produce (IndexAppendSpec). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    newRows: DataFrame, idCol: String, vecCol: String,
+                    buckets: Int = 8): Unit = {
+    val model = loadModel(spark, table)
+    graft.etl.Warehouse.writeBucketed(
+      encode(newRows, vecCol, model).select(col(idCol), col("pq_code")),
+      table, idCol, buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** ADC top-k over the persisted codes table: no training, no encode —
     * the scan reads (id, pq_code) and does m lookups + a sum per row.
     * PersistedPqIndexSpec asserts the plan carries zero argmin kernels. */

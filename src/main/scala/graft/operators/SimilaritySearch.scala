@@ -111,6 +111,22 @@ object SimilaritySearch {
       table, idCol, buckets)
   }
 
+  /** Incremental LSH-index maintenance: sign the NEW vectors with the
+    * same deterministic hyperplane family (numPlanes/dim/seed must match
+    * the build call — the planes are pure functions of them) and append.
+    * Appended signatures are bit-identical to a rebuild's
+    * (IndexAppendSpec). */
+  def appendLshIndex(df: DataFrame, idCol: String, vecCol: String,
+                     table: String, numPlanes: Int = 16, dim: Int,
+                     seed: Long = 42L, buckets: Int = 8): Unit = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    graft.etl.Warehouse.writeBucketed(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("lsh_sig", lshSignature(col(vecCol), planes)),
+      table, idCol, buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** ANN top-k over a PERSISTED index: the plan reads `lsh_sig` from
     * parquet — zero signature recompute (exactly one cosine expression
     * remains: the candidate re-rank). */
