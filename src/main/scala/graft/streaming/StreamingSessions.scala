@@ -312,4 +312,57 @@ object StreamingSessions {
           }
       }
   }
+
+  /** Running count + timeout anchor for one tracked key. */
+  final case class HhState(n: Long, maxT: Long)
+
+  /** One over-threshold count update; consumers keep max(n) per key. */
+  final case class HhCount(key: String, n: Long)
+
+  /** Streaming twin of [[graft.operators.HeavyHitters]]'s exact gate
+    * (q115): per-key running counts as keyed state; a key emits an
+    * updated (key, n) whenever a batch grows its count while at or past
+    * `threshold`, so downstream takes max(n) per key and holds exactly
+    * the batch HAVING-scan answer at every point in stream time.
+    *
+    * Scale/state honesty: state is ONE (long, long) per distinct key
+    * seen inside the idle TTL — the streaming analogue of the exact
+    * aggregate's hash table, evicted by event-time timeout. For
+    * vocabulary-sized key domains pre-gate the stream with the CMS probe
+    * (`graft_cms_estimate` over a sketch of a historical window) so only
+    * candidate keys reach the stateful stage — the same sketch-prune /
+    * exact-verify split the batch operator uses. */
+  def streamingHeavyHitters(events: DataFrame, tsCol: String, keyCol: String,
+                            threshold: Long,
+                            idleMs: Long = 3600000L,
+                            watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[HhCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(threshold >= 1, s"threshold $threshold must be >= 1")
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("t"))
+      .withWatermark("t", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HhCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val before = state.getOption.getOrElse(HhState(0L, Long.MinValue))
+            var n = before.n
+            var maxT = before.maxT
+            rows.foreach { case (_, ts) =>
+              n += 1; maxT = math.max(maxT, ts.getTime)
+            }
+            state.update(HhState(n, maxT))
+            state.setTimeoutTimestamp(
+              math.max(maxT + idleMs, state.getCurrentWatermarkMs() + 1))
+            if (n >= threshold && n > before.n) Iterator(HhCount(key, n))
+            else Iterator.empty
+          }
+      }
+  }
 }

@@ -236,4 +236,38 @@ class BatchEquivalenceSpec extends SparkSpec {
       s"streaming-only: ${(streamed -- batch).take(3)}; " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("streamingHeavyHitters replay of the sf0.01 token stream equals the exact HAVING scan") {
+    implicit val sqlCtx = spark.sqlContext
+    // token stream: sf0.01 documents exploded to tokens in doc order,
+    // synthetic 1-ms-per-token event time (the counts are time-free; the
+    // timestamps only drive watermark/timeout machinery)
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .orderBy(col("doc_id"))
+      .select("token").as[String].collect().toSeq
+      // +1000: a ts=0 first row is "late" against the initial watermark 0
+      // (<= comparison) and silently dropped before the state function
+      .zipWithIndex.map { case (t, i) => (new java.sql.Timestamp(1000L + i), t) }
+    val threshold = 100L
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingSessions.streamingHeavyHitters(
+      input.toDF().toDF("ts", "token"), "ts", "token", threshold,
+      idleMs = 100L * 24 * 3600 * 1000, watermark = "1 second")
+      .writeStream.format("memory").queryName("hh_replay")
+      .outputMode(OutputMode.Append).start()
+    chunks(toks, 10).foreach { c => input.addData(c); q.processAllAvailable() }
+    val streamed = spark.table("hh_replay")
+      .groupBy(col("key")).agg(max(col("n")).as("n"))
+      .as[(String, Long)].collect().toSet
+    q.stop()
+    val batch = toks.map(_._2).toDF("token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .as[(String, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture has no heavy tokens at threshold 100")
+    assert(streamed === batch,
+      s"streaming-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
