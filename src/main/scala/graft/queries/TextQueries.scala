@@ -322,7 +322,16 @@ object TextQueries {
       .limit(100)
   }
 
+  // PMI collocation mining (phrase detection for tokenizer vocab):
+  // bigram lift c_xy*N^2/(B*c_x*c_y) with a min-count 10 gate — exact
+  // integer numerator/denominator, one IEEE division (the log wrapper is
+  // a monotone transform and a transcendental; omitted per the
+  // oracle-compat ruleset, same call as q117's idf).
+  private def q138(s: SparkSession, d: String): DataFrame =
+    graft.operators.Collocations.pmiBigrams(documents(s, d), "text", 10L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pmi_collocations" -> q138 _,
     "q117_bm25_scores" -> q117 _,
     "q115_heavy_hitters" -> q115 _,
     "q74_pii_redaction" -> q74 _,
@@ -363,6 +372,22 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q138: same counts, same single-division lift arithmetic
+    "q138_pmi_collocations" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+        "uni AS (SELECT unnest(l) AS w FROM t), " +
+        "un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), " +
+        "big AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1), " +
+        "i -> l[i] || ' ' || l[i+1])) AS bg FROM t), " +
+        "bc AS (SELECT bg, count(*) AS n_xy FROM big GROUP BY 1), " +
+        "bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM big), " +
+        "sc AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, " +
+        "CAST(n_xy AS BIGINT) AS n_xy FROM bc WHERE n_xy >= 10) " +
+        "SELECT w1, w2, n_xy, CAST(a.n_w AS BIGINT) AS n_w1, " +
+        "CAST(c.n_w AS BIGINT) AS n_w2, " +
+        "CAST(n_xy * n * n AS DOUBLE) / (b * a.n_w * c.n_w) AS lift " +
+        "FROM sc JOIN un a ON a.w = sc.w1 JOIN un c ON c.w = sc.w2, nt, bt"),
     "q117_bm25_scores" -> bm25Oracle,
     "q115_heavy_hitters" ->
       ("WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token " +
