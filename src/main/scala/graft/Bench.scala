@@ -289,7 +289,15 @@ object Bench {
       "q132_pq_adc_topk",
       // r6: the IVFADC compose is data-proportional through assignment
       // + encode + the probed-cell ADC scan
-      "q133_ivfpq_topk")
+      "q133_ivfpq_topk",
+      // r6: prefix-sum budget fill and PMI counting are data-proportional
+      // (one pass + bounded joins). q134 set-sim stays OUT: on this
+      // template-generated corpus the TRUE pair count grows ~quadratically
+      // with block size (12.4k pairs at sf0.1 -> ~100x at x10), so an x10
+      // line measures output explosion, not operator scaling — same
+      // reasoning as q115/q124's exclusions. q135/q137 are
+      // state-/sample-bound by design and stay out with q124.
+      "q136_token_budget_fill", "q138_pmi_collocations")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

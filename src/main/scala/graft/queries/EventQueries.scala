@@ -65,6 +65,26 @@ object EventQueries {
   // match is deterministic in both engines. Oracle uses DuckDB's native
   // ASOF LEFT JOIN — a direct cross-engine proof of the union+window
   // formulation in [[graft.operators.AsOfJoin]].
+  // q66's attribution THROUGH the join-based as-of variant (r6's
+  // backwardViaJoin — the bucketed-history probe shape): same oracle as
+  // q66, so both as-of implementations carry independent cross-engine
+  // evidence, not just the spec's mutual-equivalence replay.
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("click_t", col("t"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t").as("ts_ns"))
+    graft.operators.AsOfJoin
+      .backwardViaJoin(purchases, clicks, Seq("user_id"), "ts_ns", "t",
+        payload = Seq("click_id", "click_t"))
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
@@ -427,6 +447,7 @@ object EventQueries {
     "q56_event_windows" -> q56 _,
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
+    "q139_asof_via_join" -> q139 _,
     "q67_range_join_activity" -> q67 _,
     "q68_quantile_sketch" -> q68 _,
     "q86_event_funnel" -> q86 _,
@@ -501,6 +522,16 @@ object EventQueries {
         "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events, " +
         "MAX(n_events) AS max_session_events FROM per_session " +
         "GROUP BY user_id"),
+    // q139: identical oracle as q66 — the join-based variant must be
+    // indistinguishable from the union-window form cross-engine
+    "q139_asof_via_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
+        "c AS (SELECT user_id, t, MAX(event_id) AS click_id FROM e " +
+        "WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.t AS ts_ns, " +
+        "c.click_id AS asof_click_id, c.t AS asof_click_t " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t"),
     "q66_asof_attribution" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
         "c AS (SELECT user_id, t, MAX(event_id) AS click_id FROM e " +
