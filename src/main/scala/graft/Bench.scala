@@ -290,14 +290,14 @@ object Bench {
       // r6: the IVFADC compose is data-proportional through assignment
       // + encode + the probed-cell ADC scan
       "q133_ivfpq_topk",
-      // r6: prefix-sum budget fill and PMI counting are data-proportional
-      // (one pass + bounded joins). q134 set-sim stays OUT: on this
-      // template-generated corpus the TRUE pair count grows ~quadratically
-      // with block size (12.4k pairs at sf0.1 -> ~100x at x10), so an x10
-      // line measures output explosion, not operator scaling — same
-      // reasoning as q115/q124's exclusions. q135/q137 are
-      // state-/sample-bound by design and stay out with q124.
-      "q136_token_budget_fill", "q138_pmi_collocations")
+      // r6: prefix-sum budget fill, PMI counting, and the blocked
+      // set-sim join are all data-proportional on the x10 replica (the
+      // generator perturbs source names, so blocks multiply rather than
+      // inflate — q134's true pair count measures linear: 12.4k at sf0.1
+      // -> 124k at x10). q135/q137 are state-/sample-bound by design and
+      // stay out with q124.
+      "q134_setsim_join", "q136_token_budget_fill",
+      "q138_pmi_collocations")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

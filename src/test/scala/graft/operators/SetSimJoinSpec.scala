@@ -19,9 +19,10 @@ class SetSimJoinSpec extends SparkSpec {
     } yield (ia, ib, common, sa.size.toLong, sb.size.toLong)).toSet
   }
 
-  private def run(rows: Seq[(Long, String)], num: Int, den: Int): Set[(Long, Long, Long, Long, Long)] =
+  private def run(rows: Seq[(Long, String)], num: Int, den: Int,
+                  dictMax: Int = 1 << 20): Set[(Long, Long, Long, Long, Long)] =
     SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
-        split(col("text"), "\\s+"), num, den)
+        split(col("text"), "\\s+"), num, den, dictMaxTokens = dictMax)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
 
   test("matches brute force on a crafted corpus (tau = 1/2)") {
@@ -37,15 +38,19 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(rows, 1, 2).contains((4L, 5L, 3L, 3L, 3L)), "identical pair kept")
   }
 
-  test("matches brute force on a deterministic random corpus at several taus") {
+  test("matches brute force on a deterministic random corpus at several taus, BOTH prefix paths") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector.tabulate(30)(i => s"w$i")
     val rows = (1L to 60L).map { id =>
       val n = 3 + rnd.nextInt(10)
       id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
     }
-    for ((num, den) <- Seq((3, 10), (1, 2), (7, 10), (9, 10), (1, 1)))
-      assert(run(rows, num, den) === brute(rows, num, den), s"tau=$num/$den")
+    for ((num, den) <- Seq((3, 10), (1, 2), (7, 10), (9, 10), (1, 1))) {
+      val want = brute(rows, num, den)
+      assert(run(rows, num, den) === want, s"dict path tau=$num/$den")
+      // dictMaxTokens = 0 forces the shuffled window path
+      assert(run(rows, num, den, dictMax = 0) === want, s"shuffled path tau=$num/$den")
+    }
   }
 
   test("blocking restricts pairs to equal block keys, complete within blocks") {
