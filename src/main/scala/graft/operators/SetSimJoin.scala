@@ -75,6 +75,94 @@ object SetSimJoin {
   private def ceilDiv(a: Column, b: Column): Column =
     floor((a + b - lit(1)) / b).cast("long")
 
+  /** Tokenized, persisted input: (id, blocks..., l, sz). See the persist
+    * rationale at the [[selfJoin]] call site. */
+  private def tokenized(df: DataFrame, idCol: String, tokensCol: Column,
+                        blocks: Seq[Column]): DataFrame =
+    df.select(
+        (col(idCol).cast("long").as("id") +: blocks) :+
+          array_distinct(tokensCol).as("l"): _*)
+      .withColumn("sz", size(col("l")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Prefix rows (id, blocks..., sz, pos, token) for `t` under the
+    * (df asc, token asc) order, regime-split on vocabulary size. `head`
+    * is the collected dictionary when the dictionary-broadcast regime
+    * applies (empty => shuffled fallback). */
+  private def prefixOf(t: DataFrame, dfreq: DataFrame,
+                       head: Array[org.apache.spark.sql.Row],
+                       simNum: Int, simDen: Int, dictApplies: Boolean,
+                       blockCols: Seq[String]): DataFrame = {
+    val num = lit(simNum.toLong)
+    val den = lit(simDen.toLong)
+    val blocks = blockCols.map(col)
+    if (dictApplies) {
+      val dfMap = head.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = t.sparkSession.sparkContext.broadcast(dfMap)
+      val sNum = simNum.toLong; val sDen = simDen.toLong
+      val prefUdf = udf { (l: Seq[String]) =>
+        val sz = l.size
+        val p = sz - ((sNum * sz + sDen - 1) / sDen).toInt + 1
+        if (p <= 0) Seq.empty[(Int, String)]
+        else {
+          val m = bc.value
+          l.map(tk => (m(tk), tk)).sorted
+            .take(p).zipWithIndex
+            .map { case ((_, tk), i) => (i + 1, tk) }
+        }
+      }
+      t.select((col("id") +: blocks) ++
+          Seq(col("sz"), explode(prefUdf(col("l"))).as("pt")): _*)
+        .select((col("id") +: blocks) ++ Seq(col("sz"),
+          col("pt._1").cast("long").as("pos"), col("pt._2").as("token")): _*)
+    } else {
+      val tok = t.select(col("id"), explode(col("l")).as("token"))
+      val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+      val ranked = tok.join(dfreq, "token")
+        .withColumn("pos", row_number().over(w).cast("long"))
+      // meta joins back by id AFTER the window — the windowed side is
+      // already hash-partitioned on id, so no extra exchange on it
+      val prefLen = (col("sz") - ceilDiv(num * col("sz"), den) + lit(1))
+      ranked
+        .join(t.select((col("id") +: blocks) :+ col("sz"): _*), "id")
+        .filter(col("pos") <= prefLen)
+        .select((col("id") +: blocks) ++
+          Seq(col("sz"), col("pos"), col("token")): _*)
+    }
+  }
+
+  /** Shared candidate-join + verification tail. `pairCond` adds the
+    * self-join `id_a < id_b` constraint (or nothing for R-S joins). */
+  private def candVerify(prefA: DataFrame, prefB: DataFrame,
+                         tA: DataFrame, tB: DataFrame,
+                         simNum: Int, simDen: Int, blockCols: Seq[String],
+                         selfMode: Boolean): DataFrame = {
+    val num = lit(simNum.toLong)
+    val den = lit(simDen.toLong)
+    val a = prefA.alias("a")
+    val b = prefB.alias("b")
+    val blockEq = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val overlapNeed = ceilDiv(num * (col("a.sz") + col("b.sz")), num + den)
+    val pairCond = if (selfMode) col("a.id") < col("b.id") else lit(true)
+    val cand = a.join(b,
+        col("a.token") === col("b.token") && blockEq && pairCond &&
+          col("a.sz") * den >= num * col("b.sz") &&
+          col("b.sz") * den >= num * col("a.sz") &&
+          lit(1) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")) >= overlapNeed)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    cand
+      .join(tA.select(col("id").as("id_a"), col("l").as("l_a")), "id_a")
+      .join(tB.select(col("id").as("id_b"), col("l").as("l_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("l_a"), col("l_b"))).cast("long"))
+      .filter(col("n_common") * den >= num * (col("sz_a") + col("sz_b") - col("n_common")))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("sz_a"), col("sz_b"))
+  }
+
   /** All pairs (id_a < id_b) whose DISTINCT-token Jaccard >= simNum/simDen,
     * with equal `blockCols` values (empty seq = corpus-wide).
     *
@@ -93,10 +181,6 @@ object SetSimJoin {
                dictMaxTokens: Int = 1 << 20): DataFrame = {
     require(simNum > 0 && simNum <= simDen,
       s"similarity threshold $simNum/$simDen out of (0, 1]")
-    val num = lit(simNum.toLong)
-    val den = lit(simDen.toLong)
-    val blocks = blockCols.map(col)
-
     // The tokenized corpus feeds THREE consumers (df aggregate, prefix
     // generation, verification) — without persistence the regex
     // tokenize+distinct pass re-runs per job and dominates the wall
@@ -104,11 +188,7 @@ object SetSimJoin {
     // Memory cost is the tokenized corpus itself (spillable);
     // materializing the tokenization once is also what a 100 TB
     // pipeline does.
-    val t = df.select(
-      (col(idCol).cast("long").as("id") +: blocks) :+
-        array_distinct(tokensCol).as("l"): _*)
-      .withColumn("sz", size(col("l")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = tokenized(df, idCol, tokensCol, blockCols.map(col))
 
     // Global df per token — the ordering only needs to be SOME total
     // order shared by all sets, so block-local dfs are unnecessary.
@@ -120,66 +200,39 @@ object SetSimJoin {
     val head =
       if (dictMaxTokens > 0) dfreq.limit(dictMaxTokens + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
+    val dictApplies = dictMaxTokens > 0 && head.length <= dictMaxTokens
 
-    // prefix rows: (id, blocks..., sz, pos, token), pos 1-based in the
-    // (df asc, token asc) order
-    val prefix: DataFrame =
-      if (dictMaxTokens > 0 && head.length <= dictMaxTokens) {
-        val dfMap = head.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val bc = df.sparkSession.sparkContext.broadcast(dfMap)
-        val sNum = simNum.toLong; val sDen = simDen.toLong
-        val prefUdf = udf { (l: Seq[String]) =>
-          val sz = l.size
-          val p = sz - ((sNum * sz + sDen - 1) / sDen).toInt + 1
-          if (p <= 0) Seq.empty[(Int, String)]
-          else {
-            val m = bc.value
-            l.map(tk => (m(tk), tk)).sorted
-              .take(p).zipWithIndex
-              .map { case ((_, tk), i) => (i + 1, tk) }
-          }
-        }
-        t.select((col("id") +: blocks) ++
-            Seq(col("sz"), explode(prefUdf(col("l"))).as("pt")): _*)
-          .select((col("id") +: blocks) ++ Seq(col("sz"),
-            col("pt._1").cast("long").as("pos"), col("pt._2").as("token")): _*)
-      } else {
-        val tok = t.select(col("id"), explode(col("l")).as("token"))
-        val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
-        val ranked = tok.join(dfreq, "token")
-          .withColumn("pos", row_number().over(w).cast("long"))
-        // meta joins back by id AFTER the window — the windowed side is
-        // already hash-partitioned on id, so no extra exchange on it
-        val prefLen = (col("sz") - ceilDiv(num * col("sz"), den) + lit(1))
-        ranked
-          .join(t.select((col("id") +: blocks) :+ col("sz"): _*), "id")
-          .filter(col("pos") <= prefLen)
-          .select((col("id") +: blocks) ++
-            Seq(col("sz"), col("pos"), col("token")): _*)
-      }
+    val prefix = prefixOf(t, dfreq, head, simNum, simDen, dictApplies, blockCols)
+    candVerify(prefix, prefix, t, t, simNum, simDen, blockCols, selfMode = true)
+  }
 
-    val a = prefix.alias("a")
-    val b = prefix.alias("b")
-    val blockEq = blockCols
-      .map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(lit(true))(_ && _)
-    val overlapNeed = ceilDiv(num * (col("a.sz") + col("b.sz")), num + den)
-    val cand = a.join(b,
-        col("a.token") === col("b.token") && blockEq &&
-          col("a.id") < col("b.id") &&
-          col("a.sz") * den >= num * col("b.sz") &&
-          col("b.sz") * den >= num * col("a.sz") &&
-          lit(1) + least(col("a.sz") - col("a.pos"),
-            col("b.sz") - col("b.pos")) >= overlapNeed)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .distinct()
-
-    cand
-      .join(t.select(col("id").as("id_a"), col("l").as("l_a")), "id_a")
-      .join(t.select(col("id").as("id_b"), col("l").as("l_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("l_a"), col("l_b"))).cast("long"))
-      .filter(col("n_common") * den >= num * (col("sz_a") + col("sz_b") - col("n_common")))
-      .select(col("id_a"), col("id_b"), col("n_common"), col("sz_a"), col("sz_b"))
+  /** R-S (cross-corpus) variant: all pairs (a in `left`, b in `right`)
+    * with Jaccard >= simNum/simDen — the batch-vs-warehouse incremental
+    * dedup shape (is this NEW document a near-dup of anything already
+    * ingested?). The token order is built over the UNION's document
+    * frequencies (any consistent shared order preserves the prefix
+    * principle; the union df gives the best pruning for both sides).
+    * Same regime split, prunes, and integer verification as
+    * [[selfJoin]]; no id constraint — a document present in both inputs
+    * pairs with itself, which is exactly what a contamination probe
+    * wants to see. */
+  def join(left: DataFrame, right: DataFrame, idCol: String,
+           tokensCol: Column, simNum: Int, simDen: Int,
+           blockCols: Seq[String] = Seq.empty,
+           dictMaxTokens: Int = 1 << 20): DataFrame = {
+    require(simNum > 0 && simNum <= simDen,
+      s"similarity threshold $simNum/$simDen out of (0, 1]")
+    val tA = tokenized(left, idCol, tokensCol, blockCols.map(col))
+    val tB = tokenized(right, idCol, tokensCol, blockCols.map(col))
+    val dfreq = tA.select(explode(col("l")).as("token"))
+      .unionByName(tB.select(explode(col("l")).as("token")))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val head =
+      if (dictMaxTokens > 0) dfreq.limit(dictMaxTokens + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val dictApplies = dictMaxTokens > 0 && head.length <= dictMaxTokens
+    val prefA = prefixOf(tA, dfreq, head, simNum, simDen, dictApplies, blockCols)
+    val prefB = prefixOf(tB, dfreq, head, simNum, simDen, dictApplies, blockCols)
+    candVerify(prefA, prefB, tA, tB, simNum, simDen, blockCols, selfMode = false)
   }
 }

@@ -249,8 +249,25 @@ object DedupQueries {
       documents(s, d), "doc_id", TextAnalysis.tokens(col("text")),
       simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
 
+  // Cross-corpus exact set-similarity join (batch-vs-warehouse
+  // incremental near-dup): doc_id % 3 == 0 plays the warehouse, the
+  // rest the incoming batch (the fixture's planted near-dups are
+  // same-parity, so an even/odd split would find zero cross pairs);
+  // every cross pair with J >= 0.9 inside a (lang, source) block. Same
+  // prefix machinery as q134, R-S form (no id ordering constraint —
+  // the sides are disjoint here).
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.SetSimJoin.join(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", TextAnalysis.tokens(col("text")),
+      simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_setsim_join" -> q134 _,
+    "q140_setsim_cross_join" -> q140 _,
     "q121_leakage_safe_split" -> q121 _,
     "q123_substring_spans" -> q123 _,
     "q127_span_removal" -> q127 _,
@@ -566,6 +583,32 @@ object DedupQueries {
         "a.sz AS sz_a, b.sz AS sz_b " +
         "FROM pre a JOIN pre b ON a.token = b.token AND a.lang = b.lang " +
         "AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "AND a.sz * 10 >= 9 * b.sz AND b.sz * 10 >= 9 * a.sz " +
+        "AND 1 + least(a.sz - a.pos, b.sz - b.pos) >= (9*(a.sz+b.sz) + 18) // 19 " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "ver AS (SELECT id_a, id_b, sz_a, sz_b, " +
+        "CAST(len(list_filter(ta.l, x -> list_contains(tb.l, x))) AS BIGINT) AS n_common " +
+        "FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b) " +
+        "SELECT id_a, id_b, n_common, CAST(sz_a AS BIGINT) AS sz_a, " +
+        "CAST(sz_b AS BIGINT) AS sz_b FROM ver " +
+        "WHERE n_common * 10 >= 9 * (sz_a + sz_b - n_common)"),
+    // q140: the R-S form — the mod-3 split partitions the corpus, so
+    // the union df IS the corpus df and the same ranked prefixes serve
+    // both sides; the candidate join crosses sides with no id-order
+    // constraint
+    "q140_setsim_cross_join" ->
+      ("WITH t AS (SELECT doc_id, lang, source, " +
+        "list_distinct(string_split_regex(text, '\\s+')) AS l FROM documents), " +
+        "tok AS (SELECT doc_id, lang, source, len(l) AS sz, unnest(l) AS token FROM t), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1), " +
+        "ord AS (SELECT doc_id, lang, source, sz, token, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS pos " +
+        "FROM tok JOIN dfreq USING (token)), " +
+        "pre AS (SELECT * FROM ord WHERE pos <= sz - ((9*sz + 9) // 10) + 1), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.sz AS sz_a, b.sz AS sz_b " +
+        "FROM pre a JOIN pre b ON a.token = b.token AND a.lang = b.lang " +
+        "AND a.source = b.source AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 " +
         "AND a.sz * 10 >= 9 * b.sz AND b.sz * 10 >= 9 * a.sz " +
         "AND 1 + least(a.sz - a.pos, b.sz - b.pos) >= (9*(a.sz+b.sz) + 18) // 19 " +
         "GROUP BY 1, 2, 3, 4), " +

@@ -76,6 +76,39 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(rows, 1, 1).map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("R-S join matches cross brute force on a random corpus, both prefix paths") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector.tabulate(25)(i => s"v$i")
+    def mk(ids: Range) = ids.map { id =>
+      id.toLong -> Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val left = mk(1 to 40)
+    val right = mk(100 to 140)
+    def bruteCross(num: Int, den: Int) = {
+      def sets(rows: Seq[(Long, String)]) =
+        rows.map { case (id, t) => id -> t.split("\\s+").toSeq.distinct.toSet }
+      (for {
+        (ia, sa) <- sets(left); (ib, sb) <- sets(right)
+        common = (sa & sb).size.toLong
+        if common * den >= num.toLong * (sa.size + sb.size - common)
+      } yield (ia, ib, common, sa.size.toLong, sb.size.toLong)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (7, 10)); dictMax <- Seq(1 << 20, 0)) {
+      val got = SetSimJoin.join(left.toDF("doc_id", "text"), right.toDF("doc_id", "text"),
+          "doc_id", split(col("text"), "\\s+"), num, den, dictMaxTokens = dictMax)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === bruteCross(num, den), s"tau=$num/$den dictMax=$dictMax")
+    }
+  }
+
+  test("R-S join: a document present on both sides pairs with itself") {
+    val l = Seq(1L -> "x y z", 2L -> "a b c").toDF("doc_id", "text")
+    val r = Seq(1L -> "x y z", 3L -> "p q r").toDF("doc_id", "text")
+    val got = SetSimJoin.join(l, r, "doc_id", split(col("text"), "\\s+"), 9, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L)))
+  }
+
   test("no self pairs and no duplicate (a, b) rows") {
     val rows = (1L to 10L).map(i => i -> "same text every row")
     val out = SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
