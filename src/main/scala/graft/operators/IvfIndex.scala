@@ -103,6 +103,89 @@ object IvfIndex {
       partitionBy = Seq("ivf_cell"))
   }
 
+  /** Per-probe-ROW cell ranking: each probe row gets its `nprobe`
+    * nearest cells computed ROW-LOCALLY against the broadcast centroid
+    * literal — no driver round-trip per probe, which is what separates
+    * batch ANN from a loop over [[topK]]. Ranking is (cosine desc,
+    * cell asc) — the negated-sim struct sort reproduces [[rankCells]]'s
+    * driver tie rule exactly. Returns the probe rows exploded to one
+    * row per probed cell with an `ivf_cell` column. */
+  private def probeCellRows(probes: DataFrame, probeVecCol: String,
+                            cents: Array[(Int, Seq[Float])],
+                            nprobe: Int): DataFrame = {
+    val centsLit = typedlit(cents.map(_._2).toSeq)
+    val scoredCells = transform(
+      sequence(lit(0), lit(cents.length - 1)),
+      i => struct(
+        (-call_function("graft_cosine", col(probeVecCol),
+          element_at(centsLit, i + 1))).as("negsim"),
+        i.cast("integer").as("cell")))
+    probes
+      .withColumn("__pc", slice(array_sort(scoredCells), 1, nprobe))
+      .select(probes.columns.map(col) :+ explode(col("__pc")).as("__c"): _*)
+      .withColumn("ivf_cell", col("__c.cell"))
+      .drop("__pc", "__c")
+  }
+
+  /** Batch ANN — top-k per probe ROW (the serving/join shape: "for every
+    * new document, its nearest warehouse neighbours"), not per probe
+    * vector argument. The plan is one cell-keyed equi-join: probes
+    * explode to nprobe cell rows (row-local centroid ranking), join the
+    * cell-assigned corpus on `ivf_cell` (so each probe scans
+    * |corpus|·nprobe/numCells candidate rows), then [[TopK.perGroup]]'s
+    * bounded-heap aggregate keeps k per probe — the shuffle after the
+    * join carries at most k candidates per (probe, map partition),
+    * never the full candidate set. Ranking (sim_e6 desc, id asc)
+    * matches [[SimilaritySearch.topK]]'s tie rule.
+    *
+    * Returns (probeIdCol, rank, sim_e6, corpus payload columns). */
+  def topKBatch(df: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                k: Int, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(df, idCol, vecCol, numCells)
+    batchOverCandidates(assignCells(df, vecCol, cents), cents,
+      df.columns.filterNot(_ == vecCol).toSeq,
+      idCol, vecCol, probes, probeIdCol, probeVecCol, k, nprobe)
+  }
+
+  /** [[topKBatch]] over a PERSISTED index: centroids from the sidecar,
+    * candidates from the cell-partitioned table — no assignment
+    * recompute; the cell join prunes partitions dynamically (DPP) when
+    * the probed-cell set is selective. */
+  def topKBatchIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                       idCol: String, vecCol: String,
+                       probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, table)
+    val candidates = spark.table(table)
+    batchOverCandidates(candidates, cents,
+      candidates.columns.filterNot(c => c == vecCol || c == "ivf_cell").toSeq,
+      idCol, vecCol, probes, probeIdCol, probeVecCol, k, nprobe)
+  }
+
+  private def batchOverCandidates(candidates: DataFrame,
+                                  cents: Array[(Int, Seq[Float])],
+                                  payload: Seq[String],
+                                  idCol: String, vecCol: String,
+                                  probes: DataFrame, probeIdCol: String,
+                                  probeVecCol: String,
+                                  k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe $nprobe out of [1, ${cents.length}]")
+    val pcells = probeCellRows(
+      probes.select(col(probeIdCol), col(probeVecCol)), probeVecCol, cents, nprobe)
+    val scored = pcells.join(candidates, "ivf_cell")
+      .withColumn("sim",
+        call_function("graft_cosine", col(vecCol), col(probeVecCol)))
+      .filter(col("sim") > 0)
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .withColumn("__negid", -col(idCol))
+    TopK.perGroup(scored, keys = Seq(probeIdCol),
+        ordering = Seq("sim_e6", "__negid"),
+        payload = payload, k = k)
+      .drop("__negid")
+  }
+
   /** Rehydrate the centroid sidecar — an O(numCells) driver read. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     table: String): Array[(Int, Seq[Float])] =

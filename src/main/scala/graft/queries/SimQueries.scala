@@ -87,7 +87,25 @@ object SimQueries {
       threshold = 0.2, numPlanes = 6, dim = EmbeddingDim)
       .orderBy(col("id_a"), col("id_b"))
 
+  // Batch ANN (the serving/join shape — many probes in one plan):
+  // vec_id % 100 == 0 rows are the probe batch, the rest the corpus;
+  // per probe, its nprobe=2 IVF cells and exact top-10 inside them.
+  // One cell-keyed join + the bounded-heap grouped top-k; no per-probe
+  // driver round-trips (IvfIndex.topKBatch scaladoc).
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+    graft.operators.IvfIndex.topKBatch(
+      corpus, "vec_id", "embedding", probes, "probe_id", "pvec",
+      k = 10, numCells = 8, nprobe = 2)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"),
+        col("sim_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ivf_batch_topk" -> q141 _,
     "q40_cosine_scores" -> q40 _,
     "q41_cosine_topk" -> q41 _,
     "q42_sim_label_rollup" -> q42 _,
@@ -170,7 +188,37 @@ object SimQueries {
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.2 " +
       "ORDER BY id_a, id_b"
 
+  /** Oracle for q141: the q59 derivation generalized to a probe SET —
+    * per-probe cell ranking and per-probe top-10 windows; centroids and
+    * assignment computed over the corpus (vec_id % 100 <> 0) only. */
+  private def ivfBatchOracle: String =
+    "WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p " +
+      "FROM embeddings WHERE vec_id % 100 = 0), " +
+      "corpus AS (SELECT * FROM embeddings WHERE vec_id % 100 <> 0), " +
+      "cents AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, " +
+      "CAST(embedding AS DOUBLE[]) AS cv FROM corpus " +
+      "QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8), " +
+      "assign AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cell) AS rn " +
+      "FROM corpus e, cents c), " +
+      "pcells AS (SELECT probe_id, cell FROM (" +
+      "SELECT pr.probe_id, c.cell, ROW_NUMBER() OVER (PARTITION BY pr.probe_id " +
+      "ORDER BY list_cosine_similarity(pr.p, c.cv) DESC, c.cell) AS crn " +
+      "FROM probes pr, cents c) WHERE crn <= 2), " +
+      "cand AS (SELECT pc.probe_id, a.vec_id, a.label, a.v FROM assign a " +
+      "JOIN pcells pc ON a.cell = pc.cell AND a.rn = 1), " +
+      "scored AS (SELECT c.probe_id, c.vec_id, c.label, " +
+      "list_cosine_similarity(c.v, pr.p) AS sim FROM cand c " +
+      "JOIN probes pr ON pr.probe_id = c.probe_id) " +
+      "SELECT probe_id, CAST(rnk AS BIGINT) AS rank, vec_id, label, " +
+      "CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id " +
+      "ORDER BY CAST(FLOOR(sim * 1000000.0) AS BIGINT) DESC, vec_id) AS rnk " +
+      "FROM scored WHERE sim > 0) WHERE rnk <= 10"
+
   val oracle: Map[String, String] = Map(
+    "q141_ivf_batch_topk" -> ivfBatchOracle,
     "q43_ann_lsh_topk" -> annLshOracle,
     "q59_ivf_topk" -> ivfOracle,
     "q60_embedding_near_dup" -> nearDupOracle,

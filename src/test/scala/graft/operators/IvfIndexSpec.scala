@@ -54,4 +54,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(pairs.contains((3L, 101L)) || pairs.contains((100L, 101L)),
       s"missing near dup: $pairs")
   }
+
+  test("batch ANN equals a per-probe loop of topK (same cells, same tie rule)") {
+    val probeIds = Seq(0L, 17L, 55L, 99L)
+    val probesDf = corpus.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("probe_id"), col("embedding").as("pvec"))
+    val rest = corpus.filter(!col("id").isin(probeIds: _*))
+    val batch = IvfIndex.topKBatch(rest, "id", "embedding",
+        probesDf, "probe_id", "pvec", k = 5, numCells = 6, nprobe = 3)
+      .select("probe_id", "rank", "id", "sim_e6")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val loop = probeIds.map { pid =>
+      val p = corpus.filter(col("id") === pid).select("embedding").as[Seq[Float]].head()
+      pid -> IvfIndex.topK(rest, "id", "embedding", p, k = 5,
+          numCells = 6, nprobe = 3)
+        .select("id", "sim_e6").as[(Long, Long)].collect().toSeq
+    }.toMap
+    assert(batch === loop)
+  }
+
+  test("batch ANN over the persisted index matches the inline batch") {
+    graft.plans.GraftExtensions.ensure(spark)
+    val probeIds = Seq(0L, 60L)
+    val probesDf = corpus.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("probe_id"), col("embedding").as("pvec"))
+    val rest = corpus.filter(!col("id").isin(probeIds: _*))
+    IvfIndex.build(rest, "id", "embedding", "ivf_batch_spec", numCells = 6)
+    val inline = IvfIndex.topKBatch(rest, "id", "embedding",
+        probesDf, "probe_id", "pvec", k = 5, numCells = 6, nprobe = 3)
+      .select("probe_id", "rank", "id", "sim_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val indexed = IvfIndex.topKBatchIndexed(spark, "ivf_batch_spec",
+        "id", "embedding", probesDf, "probe_id", "pvec", k = 5, nprobe = 3)
+      .select("probe_id", "rank", "id", "sim_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed === inline)
+    // indexed plan must not re-run cell assignment
+    val plan = IvfIndex.topKBatchIndexed(spark, "ivf_batch_spec",
+        "id", "embedding", probesDf, "probe_id", "pvec", k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_argmax_cosine"),
+      s"indexed batch plan recomputes assignment:\n$plan")
+  }
 }
