@@ -103,9 +103,12 @@ object PrefixSum {
     val (cum, total) = withRunningTotal(df, weightCol, cumCol, sortCols: _*)
     require(total > 0, s"total weight $total must be positive")
     // integer floor-div (`div`) — operands non-negative, so both engines
-    // agree; a double `/` would lose exactness once cum*k nears 2^53
-    val nPicks = expr(s"(($cumCol * ${k}L) div ${total}L) - " +
-      s"((($cumCol - CAST($weightCol AS BIGINT)) * ${k}L) div ${total}L)")
+    // agree; a double `/` would lose exactness once cum*k nears 2^53.
+    // Backquoted refs: dotted/spaced column names must not parse as
+    // nesting (same rule as AggState.ref).
+    def bq(c: String) = "`" + c.replace("`", "``") + "`"
+    val nPicks = expr(s"((${bq(cumCol)} * ${k}L) div ${total}L) - " +
+      s"(((${bq(cumCol)} - CAST(${bq(weightCol)} AS BIGINT)) * ${k}L) div ${total}L)")
     cum.withColumn("n_picks", nPicks).filter(col("n_picks") >= 1)
   }
 }

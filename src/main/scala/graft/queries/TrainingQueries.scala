@@ -182,9 +182,30 @@ object TrainingQueries {
       documents(s, d).select(col("doc_id"), col("n_chars")),
       "n_chars", 100, "cum_w", col("doc_id"))
 
+  // PER-SOURCE token-budget fill (the mixture-manifest shape: each
+  // source contributes at most 2k tokens, best docs first). Unlike
+  // q136's GLOBAL budget — which needs the two-pass prefix sum because
+  // a global ordered window serializes through one task — a per-group
+  // budget is exactly what a partitioned window does well: groups are
+  // many, each group's window is one task's work. Knowing which of the
+  // two shapes applies IS the operator knowledge here.
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("cum_tokens")).as("used_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_token_budget_fill" -> q136 _,
     "q137_systematic_pps" -> q137 _,
+    "q142_per_source_budget" -> q142 _,
     "q113_partitioned_bloom" -> q113 _,
     "q116_temperature_resample" -> q116 _,
     "q61_stratified_sample" -> q61 _,
@@ -196,6 +217,16 @@ object TrainingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q142_per_source_budget" ->
+      ("WITH t AS (SELECT doc_id, source, n_chars, " +
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT source, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(MAX(cum_tokens) AS BIGINT) AS used_tokens " +
+        "FROM c WHERE cum_tokens <= 2000 GROUP BY source"),
     "q136_token_budget_fill" ->
       ("WITH t AS (SELECT doc_id, n_chars, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
