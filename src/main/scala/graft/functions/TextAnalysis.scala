@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens — `split(text, "\\s+")` semantics through the
+    * byte-walk kernel (no per-row regex; TokensParitySpec pins the
+    * equivalence, so every string_split_regex oracle twin still holds). */
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
 
   /** BPE-ish subword split: word boundaries, digit runs, punctuation runs
     * kept as separate tokens (regex analog of a GPT-style pre-tokenizer). */

@@ -37,7 +37,7 @@ object Collocations {
   def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount $minCount must be >= 1")
     val text = docs.select(col(textCol).as("__text"))
-    val toks = text.select(explode(split(col("__text"), "\\s+")).as("w"))
+    val toks = text.select(explode(call_function("graft_tokens", col("__text"))).as("w"))
     val un = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     val nt = toks.agg(count(lit(1)).as("n"))
     val big = text.select(

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleCountEntry)
     ext.injectFunction(GraftExtensions.textMetricsEntry)
     ext.injectFunction(GraftExtensions.shinglesEntry)
+    ext.injectFunction(GraftExtensions.tokensEntry)
     ext.injectFunction(GraftExtensions.shingleHashesEntry)
     ext.injectFunction(GraftExtensions.jsonLongEntry)
     ext.injectFunction(GraftExtensions.keywordCountsEntry)
@@ -100,6 +101,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_shingles(text, n) takes two arguments")
       GraftShingles(children(0), children(1)): Expression
+    })
+
+  private[graft] val tokensEntry = (
+    new FunctionIdentifier("graft_tokens"),
+    new ExpressionInfo(classOf[GraftTokens].getName, "graft_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_tokens(text) takes one argument")
+      GraftTokens(children.head): Expression
     })
 
   private[graft] val shingleHashesEntry = (
@@ -215,7 +224,7 @@ object GraftExtensions {
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry, shinglesEntry,
+      shingleCountEntry, textMetricsEntry, shinglesEntry, tokensEntry,
       shingleHashesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,

@@ -166,7 +166,7 @@ object TrainingQueries {
   private def q136(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .withColumn("n_tokens",
-        size(split(col("text"), "\\s+")).cast("long"))
+        size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"))
     graft.operators.PrefixSum.budgetFill(
       toks, "n_tokens", 20000L,
@@ -195,7 +195,7 @@ object TrainingQueries {
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
-      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("n_tokens", size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= 2000)
       .groupBy(col("source"))
