@@ -244,15 +244,56 @@ object ClusterQueries {
       pqChainSql(
         "SELECT vec_id FROM cellof WHERE cell IN (SELECT cell FROM pcells)")
 
+  // ---- q143: SQ8 scalar quantization + MIPS shortlist + exact re-rank --
+
+  /** SQ8 rung of the compression ladder (ScalarQuantizer scaladoc):
+    * per-vector byte codes + scale, integer-dot MIPS shortlist of 100,
+    * exact cosine re-rank to 10 — every arithmetic step replayed by the
+    * oracle (half-up byte quantization, integer dot, fixed multiply
+    * tree; no transcendentals). Probe = vec_id 0, corpus = the rest
+    * (the q40-q43 convention). */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.ScalarQuantizer.sqRerankTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      probe, shortlist = 100, k = 10)
+      .select(col("vec_id"), col("label"), col("sim_e6"))
+  }
+
+  private def q143Sql: String =
+    "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      "q AS (SELECT p, list_max(list_transform(p, x -> abs(x))) AS qm FROM probe), " +
+      "qc AS (SELECT p, CASE WHEN qm = 0 THEN list_transform(p, x -> CAST(0 AS BIGINT)) " +
+      "ELSE list_transform(p, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+      "CAST(floor(x * 127.0 / qm + 0.5) AS BIGINT)))) END AS qcode, qm / 127.0 AS qs FROM q), " +
+      "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE vec_id <> 0), " +
+      "cm AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS m FROM c), " +
+      "codes AS (SELECT vec_id, label, v, CASE WHEN m = 0 THEN " +
+      "list_transform(v, x -> CAST(0 AS BIGINT)) " +
+      "ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+      "CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)))) END AS code, m / 127.0 AS s FROM cm), " +
+      "scored AS (SELECT vec_id, label, v, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(code)), " +
+      "i -> code[i] * qcode[i])) AS DOUBLE) * s * qs AS score FROM codes, qc), " +
+      "short AS (SELECT vec_id, label, v FROM scored ORDER BY score DESC, vec_id LIMIT 100), " +
+      "rr AS (SELECT vec_id, label, list_cosine_similarity(v, p) AS sim FROM short, probe) " +
+      "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
+      "FROM rr WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_kmeans_clusters" -> q118,
     "q119_semantic_dedup" -> q119,
     "q132_pq_adc_topk" -> q132,
-    "q133_ivfpq_topk" -> q133)
+    "q133_ivfpq_topk" -> q133,
+    "q143_sq8_topk" -> q143 _)
 
   val oracle: Map[String, String] = Map(
     "q118_kmeans_clusters" -> q118Sql,
     "q119_semantic_dedup" -> q119Sql,
     "q132_pq_adc_topk" -> q132Sql,
-    "q133_ivfpq_topk" -> q133Sql)
+    "q133_ivfpq_topk" -> q133Sql,
+    "q143_sq8_topk" -> q143Sql)
 }
