@@ -158,6 +158,13 @@ object Bench {
       val mIvfPq = measure("x_ann_ivfpq_index_query",
         force(IvfPq.topKIndexed(spark, "bench_ivfpq_idx", corpus,
           "vec_id", "embedding", probe, k = 10, nprobe = 2, shortlist = 100)))
+      import graft.operators.ScalarQuantizer
+      val atSq = (System.nanoTime() - suiteT0) / 1e9
+      val tSqBuild = time(ScalarQuantizer.buildSqIndex(
+        corpus, "vec_id", "embedding", "bench_sq_idx"))
+      val mSq = measure("x_ann_sq8_index_query",
+        force(ScalarQuantizer.sqRerankTopKIndexed(spark, "bench_sq_idx",
+          corpus, "vec_id", "embedding", probe, shortlist = 100, k = 10)))
       // incremental maintenance: marginal cost of appending a ~14% batch
       // vs the full builds above (no retrain, no partition rewrite)
       val atApp = (System.nanoTime() - suiteT0) / 1e9
@@ -167,6 +174,8 @@ object Bench {
       val tIvfPqApp = time(IvfPq.append(spark, "bench_ivfpq_idx",
         appendBatch, "vec_id", "embedding"))
       Seq(
+        Measure("x_ann_sq8_index_build", tSqBuild, Seq(tSqBuild), 0.0, atSq),
+        mSq,
         Measure("x_ann_ivf_append", tIvfApp, Seq(tIvfApp), 0.0, atApp),
         Measure("x_ann_ivfpq_append", tIvfPqApp, Seq(tIvfPqApp), 0.0, atApp),
         Measure("x_ann_lsh_index_build", tLshBuild, Seq(tLshBuild), 0.0, atLsh),
@@ -182,6 +191,7 @@ object Bench {
         "x_ann_ivf_index_build", "x_ann_ivf_index_query",
         "x_ann_pq_index_build", "x_ann_pq_index_query",
         "x_ann_ivfpq_index_build", "x_ann_ivfpq_index_query",
+        "x_ann_sq8_index_build", "x_ann_sq8_index_query",
         "x_ann_ivf_append", "x_ann_ivfpq_append")
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
     }
