@@ -85,10 +85,16 @@ object AggState {
 
   /** Per-(group, cents-value) counts from a fact slice. One map-side
     * combined shuffle; same sign-aware cents convention as [[build]]. */
-  def buildFreq(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+  def buildFreq(facts: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    buildFreqExpr(facts, keys, cents(ref(valueCol)))
+
+  /** [[buildFreq]] with the grid value given as an arbitrary INTEGRAL
+    * expression (already-long deviations, char counts, ...) — the
+    * cents transform is just the money instance of the discrete grid. */
+  def buildFreqExpr(facts: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     require(keys.nonEmpty, "freq state needs at least one key column")
     facts
-      .groupBy(keys.map(ref) :+ cents(ref(valueCol)).as("v_cents"): _*)
+      .groupBy(keys.map(ref) :+ value.cast("long").as("v_cents"): _*)
       .agg(count(lit(1)).as("n"))
   }
 

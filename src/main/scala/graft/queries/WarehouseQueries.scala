@@ -123,14 +123,70 @@ object WarehouseQueries {
       .withColumnRenamed("q_cents", "median_cents")
   }
 
+  // Robust outlier gate (median + MAD — the quality-filtering shape
+  // that survives heavy tails where mean/stddev z-scores don't): per
+  // priority, the median price, the median absolute deviation from it,
+  // and the count of rows beyond 3 MADs. Exact end to end on the cents
+  // grid: both medians read off freq states (the q135 machinery — MAD
+  // is just a second quantile walk over the DEVIATION grid), the flag
+  // is an integer comparison. DuckDB re-derives with the same integer
+  // rank rule over full-scan windows.
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val keys = Seq("o_orderpriority")
+    val priced = o.select(col("o_orderpriority"),
+      AggState.cents(col("o_totalprice")).as("cents"))
+    val med = AggState
+      .quantileFromFreq(
+        AggState.buildFreqExpr(priced, keys, col("cents")), keys, 1, 2)
+      .select(col("o_orderpriority"), col("n"), col("q_cents").as("median_cents"))
+    val withDev = priced.join(med, keys)
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+    val mad = AggState
+      .quantileFromFreq(
+        AggState.buildFreqExpr(withDev, keys, col("dev")), keys, 1, 2)
+      .select(col("o_orderpriority"), col("q_cents").as("mad_cents"))
+    withDev.join(mad, keys)
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_freq_state_median" -> q135 _,
+    "q144_mad_outliers" -> q144 _,
     "q122_scd2_history" -> q122 _,
     "q124_agg_state_merge" -> q124 _,
     "q126_cdc_apply" -> q126 _,
     "q129_scd2_increment" -> q129 _)
 
   val oracle: Map[String, String] = Map(
+    // q144: medians via the same cum*2 >= total rank rule, MAD as the
+    // median of the absolute-deviation grid, 3-MAD integer flag
+    "q144_mad_outliers" ->
+      ("WITH f AS (SELECT o_orderpriority AS k, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v " +
+        "FROM orders), " +
+        "mw AS (SELECT k, v, sum(count(*)) OVER (PARTITION BY k ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(count(*)) OVER (PARTITION BY k) AS total FROM f GROUP BY k, v), " +
+        "med AS (SELECT k, CAST(max(total) AS BIGINT) AS n, " +
+        "min(v) AS median_cents FROM mw WHERE cum * 2 >= total GROUP BY k), " +
+        "d AS (SELECT f.k, f.v, abs(f.v - med.median_cents) AS dev, " +
+        "med.n, med.median_cents FROM f JOIN med ON f.k = med.k), " +
+        "dw AS (SELECT k, dev, sum(count(*)) OVER (PARTITION BY k ORDER BY dev " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(count(*)) OVER (PARTITION BY k) AS total FROM d GROUP BY k, dev), " +
+        "mad AS (SELECT k, min(dev) AS mad_cents FROM dw " +
+        "WHERE cum * 2 >= total GROUP BY k) " +
+        "SELECT d.k AS o_orderpriority, CAST(max(d.n) AS BIGINT) AS n, " +
+        "max(d.median_cents) AS median_cents, max(mad.mad_cents) AS mad_cents, " +
+        "CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_outliers " +
+        "FROM d JOIN mad ON d.k = mad.k GROUP BY d.k"),
     // q135: full-scan re-derivation of the exact median on the cents
     // grid — same lower-quantile rank rule (cum*2 >= total) the state
     // walk applies, so merge-vs-rebuild equality is cross-engine-checked
