@@ -202,10 +202,37 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_docs"), max(col("cum_tokens")).as("used_tokens"))
   }
 
+  // Round-robin curriculum interleave: a balanced source ordering for
+  // the training stream — doc k of source s lands at position
+  // (k-1)*n_sources + source_ordinal, so consecutive training examples
+  // rotate through sources. The interleave position is a PURE FUNCTION
+  // of per-source rank + a tiny source-ordinal table: no global sort
+  // materializes the curriculum, which is what makes it writable at
+  // 100 TB (contrast: ORDER BY interleave_pos would serialize through
+  // one task; a writer just partitions by pos range instead). First
+  // 100 positions here.
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_ord",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+    val nSrc = srcIdx.count()
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .join(srcIdx, "source")
+      .withColumn("pos", (col("rk") - 1) * lit(nSrc) + col("src_ord"))
+    ranked.filter(col("pos") <= 100)
+      .select(col("pos"), col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_token_budget_fill" -> q136 _,
     "q137_systematic_pps" -> q137 _,
     "q142_per_source_budget" -> q142 _,
+    "q145_curriculum_interleave" -> q145 _,
     "q113_partitioned_bloom" -> q113 _,
     "q116_temperature_resample" -> q116 _,
     "q61_stratified_sample" -> q61 _,
@@ -217,6 +244,17 @@ object TrainingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q145_curriculum_interleave" ->
+      ("WITH si AS (SELECT source, " +
+        "CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_ord " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM si), " +
+        "r AS (SELECT doc_id, source, " +
+        "CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk FROM documents) " +
+        "SELECT (r.rk - 1) * ns.n + si.src_ord AS pos, r.doc_id, r.source " +
+        "FROM r JOIN si ON si.source = r.source, ns " +
+        "WHERE (r.rk - 1) * ns.n + si.src_ord <= 100"),
     "q142_per_source_budget" ->
       ("WITH t AS (SELECT doc_id, source, n_chars, " +
         "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens " +
