@@ -136,7 +136,9 @@ object IvfIndex {
     * bounded-heap aggregate keeps k per probe — the shuffle after the
     * join carries at most k candidates per (probe, map partition),
     * never the full candidate set. Ranking (sim_e6 desc, id asc)
-    * matches [[SimilaritySearch.topK]]'s tie rule.
+    * matches [[SimilaritySearch.topK]]'s tie rule. Caller contract:
+    * probe ids unique (they become the top-k group key — duplicate ids
+    * would merge their candidate pools).
     *
     * Returns (probeIdCol, rank, sim_e6, corpus payload columns). */
   def topKBatch(df: DataFrame, idCol: String, vecCol: String,

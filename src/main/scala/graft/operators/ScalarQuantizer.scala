@@ -34,7 +34,9 @@ object ScalarQuantizer {
 
   /** Adds `sq_code` (array<tinyint>) and `sq_scale` (double). Zero
     * vectors quantize to all-zero codes with scale 0 (they score 0
-    * against everything — same as their true inner product). */
+    * against everything — same as their true inner product). Caller
+    * contract: finite components (a NaN/Inf would poison the max-abs
+    * scale — same contract as every cosine path in the engine). */
   def quantize(df: DataFrame, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val m = array_max(transform(v, x => abs(x)))
