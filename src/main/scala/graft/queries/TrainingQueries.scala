@@ -228,7 +228,41 @@ object TrainingQueries {
       .select(col("pos"), col("doc_id"), col("source"))
   }
 
+  // Round-6 capstone: the corpus-curation path a pretraining mix
+  // actually runs, as ONE query — exact dedup (keep-first) → EXACT
+  // near-dup prune (set-sim join, J >= 0.9 within (lang, source)
+  // blocks; a doc drops when it pairs with ANY lower id — the
+  // conservative dominated-doc rule, deterministic without iterating)
+  // → quality gate → per-source 2k-token budget fill → per-source
+  // rollup. Every stage is an oracle-verified operator; the near-dup
+  // prune is the q134 machinery feeding an anti-join.
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, SetSimJoin}
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val deduped = Dedup.exactDedup(documents(s, d), "text", "doc_id")
+    val dropped = SetSimJoin.selfJoin(deduped, "doc_id",
+        TextAnalysis.tokens(col("text")), 9, 10, Seq("lang", "source"))
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = deduped.join(dropped, Seq("doc_id"), "left_anti")
+    val gated = kept
+      .filter(TextAnalysis.qualityScore(col("text"), Nil) >= 0.5)
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gated
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("cum_tokens")).as("used_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_curation_capstone" -> q146 _,
     "q136_token_budget_fill" -> q136 _,
     "q137_systematic_pps" -> q137 _,
     "q142_per_source_budget" -> q142 _,
@@ -244,6 +278,47 @@ object TrainingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q146: keep-first dedup → the q134 prefix-filtered pair chain on
+    // the deduped set → dominated-doc anti-join → quality gate (split
+    // list WITH duplicates — distinct list only for the set-sim sizes)
+    // → per-source budget window → rollup
+    "q146_curation_capstone" ->
+      ("WITH dd AS (SELECT doc_id, lang, source, n_chars, text FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY " +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "t AS (SELECT doc_id, lang, source, n_chars, " +
+        "string_split_regex(text, '\\s+') AS ls, " +
+        "list_distinct(string_split_regex(text, '\\s+')) AS ld FROM dd), " +
+        "tok AS (SELECT doc_id, lang, source, len(ld) AS sz, unnest(ld) AS token FROM t), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1), " +
+        "ord AS (SELECT doc_id, lang, source, sz, token, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS pos " +
+        "FROM tok JOIN dfreq USING (token)), " +
+        "pre AS (SELECT * FROM ord WHERE pos <= sz - ((9*sz + 9) // 10) + 1), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.sz AS sz_a, b.sz AS sz_b " +
+        "FROM pre a JOIN pre b ON a.token = b.token AND a.lang = b.lang " +
+        "AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "AND a.sz * 10 >= 9 * b.sz AND b.sz * 10 >= 9 * a.sz " +
+        "AND 1 + least(a.sz - a.pos, b.sz - b.pos) >= (9*(a.sz+b.sz) + 18) // 19 " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "dropped AS (SELECT DISTINCT id_b FROM cand " +
+        "JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b " +
+        "WHERE CAST(len(list_filter(ta.ld, x -> list_contains(tb.ld, x))) AS BIGINT) * 10 " +
+        ">= 9 * (sz_a + sz_b - len(list_filter(ta.ld, x -> list_contains(tb.ld, x))))), " +
+        "kept AS (SELECT * FROM t WHERE doc_id NOT IN (SELECT id_b FROM dropped)), " +
+        "g AS (SELECT doc_id, lang, source, n_chars, " +
+        "CAST(len(ls) AS BIGINT) AS n_tokens FROM kept " +
+        "WHERE (LEAST(CAST(len(ls) AS DOUBLE) / 20.0, 1.0) + " +
+        "CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) / 2.0 >= 0.5), " +
+        "c AS (SELECT source, lang, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM g) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(MAX(cum_tokens) AS BIGINT) AS used_tokens " +
+        "FROM c WHERE cum_tokens <= 2000 GROUP BY source"),
     "q145_curriculum_interleave" ->
       ("WITH si AS (SELECT source, " +
         "CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_ord " +
