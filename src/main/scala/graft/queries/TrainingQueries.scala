@@ -240,7 +240,12 @@ object TrainingQueries {
     import graft.operators.{Dedup, SetSimJoin}
     import graft.functions.TextAnalysis
     import org.apache.spark.sql.expressions.Window
+    // the dedup window feeds the set-sim machinery AND the kept join —
+    // pin the (small) surviving set so the window runs once (the q132
+    // localCheckpoint pattern; measured 2.08 -> 1.87 s at sf0.1 — the
+    // remainder is the ~12-job composition floor, see BASELINE)
     val deduped = Dedup.exactDedup(documents(s, d), "text", "doc_id")
+      .localCheckpoint()
     val dropped = SetSimJoin.selfJoin(deduped, "doc_id",
         TextAnalysis.tokens(col("text")), 9, 10, Seq("lang", "source"))
       .select(col("id_b").as("doc_id")).distinct()
