@@ -82,4 +82,46 @@ object RangeJoin {
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-INTERVAL overlap join: every (a, b) pair sharing `keys`
+    * whose half-open intervals overlap (`aStart < bEnd && bStart < aEnd`
+    * — touching intervals do NOT overlap), as an equi-join.
+    *
+    * Same binning trick as [[intervalJoin]], both sides exploded, with
+    * the classic duplicate-free refinement: an overlapping pair shares
+    * every bin their intersection covers, so the join would emit it
+    * once per shared bin — instead the predicate keeps ONLY the bin
+    * containing `max(aStart, bStart)` (the first instant of the
+    * intersection), which each pair matches in EXACTLY one bin. No
+    * distinct, no post-dedup shuffle — the join output IS the answer.
+    *
+    * Contract as [[intervalJoin]] (non-negative longs, shared key
+    * names, otherwise-disjoint columns; empty intervals match nothing).
+    * Fan-out per row is ceil(L/binWidth)+1 bins — pick binWidth near
+    * the median interval length. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn(
+        "__bin",
+        explode(when(col(e) > col(s),
+          sequence(
+            expr(s"$s DIV $binWidth"),
+            expr(s"($e - 1) DIV $binWidth")))
+          .otherwise(array())))
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), keys :+ "__bin")
+      .filter(
+        col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+          // integer DIV — a double division would lose low bits at
+          // epoch-nanos magnitudes (the intervalJoin scaladoc's rule)
+          col("__bin") === expr(s"greatest($leftStart, $rightStart) DIV $binWidth"))
+      .drop("__bin")
+  }
 }

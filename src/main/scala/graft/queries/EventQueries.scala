@@ -85,6 +85,31 @@ object EventQueries {
         payload = Seq("click_id", "click_t"))
   }
 
+  // Interval-INTERVAL overlap join (incident correlation): per user,
+  // every (error 30-min window, click 10-min window) pair that
+  // overlaps, with the overlap length. RangeJoin.intervalOverlapJoin's
+  // binning makes it an equi-join on (user, bin) with the
+  // first-intersection-bin refinement — each pair emits from exactly
+  // ONE bin, so there is no distinct/dedup shuffle (operator scaladoc;
+  // the oracle is DuckDB's native inequality join).
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("t"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("t").as("es"), (col("t") + lit(1800000000000L)).as("ee"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("t").as("cs"), (col("t") + lit(600000000000L)).as("ce"))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+        err, clk, Seq("user_id"), "es", "ee", "cs", "ce",
+        binWidth = 1800000000000L)
+      .select(col("user_id"), col("err_id"), col("click_id"),
+        (least(col("ee"), col("ce")) - greatest(col("es"), col("cs")))
+          .as("overlap_ns"))
+  }
+
   private def q66(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .withColumn("t", (col("ts") - pmod(col("ts"), lit(1000L))).cast("long"))
@@ -448,6 +473,7 @@ object EventQueries {
     "q57_sessionization" -> q57 _,
     "q66_asof_attribution" -> q66 _,
     "q139_asof_via_join" -> q139 _,
+    "q147_interval_overlap" -> q147 _,
     "q67_range_join_activity" -> q67 _,
     "q68_quantile_sketch" -> q68 _,
     "q86_event_funnel" -> q86 _,
@@ -522,6 +548,18 @@ object EventQueries {
         "SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events, " +
         "MAX(n_events) AS max_session_events FROM per_session " +
         "GROUP BY user_id"),
+    // q147: DuckDB's native inequality join is the oracle — the binned
+    // equi-join must produce exactly the theta-join's pairs
+    "q147_interval_overlap" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t FROM events), " +
+        "err AS (SELECT event_id AS err_id, user_id, t AS es, " +
+        "t + 1800000000000 AS ee FROM e WHERE event_type = 'error'), " +
+        "clk AS (SELECT event_id AS click_id, user_id, t AS cs, " +
+        "t + 600000000000 AS ce FROM e WHERE event_type = 'click') " +
+        "SELECT err.user_id, err_id, click_id, " +
+        "least(ee, ce) - greatest(es, cs) AS overlap_ns " +
+        "FROM err JOIN clk ON err.user_id = clk.user_id " +
+        "AND es < ce AND cs < ee"),
     // q139: identical oracle as q66 — the join-based variant must be
     // indistinguishable from the union-window form cross-engine
     "q139_asof_via_join" ->

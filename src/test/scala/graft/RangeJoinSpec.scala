@@ -74,4 +74,40 @@ class RangeJoinSpec extends SparkSpec {
         s"binWidth=$width diverged from theta-join")
     }
   }
+
+  test("interval-overlap join agrees with the theta-join, duplicate-free, across widths") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 100).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${i % 3}", s, s + 1 + rnd.nextInt(120), i.toLong)
+    }.toDF("key", "as", "ae", "aid")
+    val right = (1 to 100).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${i % 4}", s, s + 1 + rnd.nextInt(40), i.toLong)
+    }.toDF("key", "bs", "be", "bid")
+    val naive = left.as("a").join(right.as("b"),
+        $"a.key" === $"b.key" && $"a.as" < $"b.be" && $"b.bs" < $"a.ae")
+      .select($"aid", $"bid").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.nonEmpty && naive.size === naive.distinct.size)
+    for (width <- Seq(1L, 9L, 50L, 4096L)) {
+      val ours = RangeJoin.intervalOverlapJoin(left, right, Seq("key"),
+          "as", "ae", "bs", "be", width)
+        .select("aid", "bid").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      assert(ours.size === ours.distinct.size,
+        s"binWidth=$width emitted duplicate pairs")
+      assert(ours.sorted === naive.sorted, s"binWidth=$width diverged")
+    }
+  }
+
+  test("interval-overlap: touching intervals do not match; empty intervals match nothing") {
+    val l = Seq(("k", 0L, 10L, 1L), ("k", 50L, 50L, 2L)).toDF("key", "as", "ae", "aid")
+    val r = Seq(("k", 10L, 20L, 1L), ("k", 9L, 10L, 2L), ("k", 40L, 60L, 3L))
+      .toDF("key", "bs", "be", "bid")
+    val got = RangeJoin.intervalOverlapJoin(l, r, Seq("key"),
+        "as", "ae", "bs", "be", 8L)
+      .select("aid", "bid").collect().toSeq.map(x => (x.getLong(0), x.getLong(1)))
+    // [0,10) vs [10,20): touch only -> no; vs [9,10): overlap at 9 -> yes;
+    // [50,50) is empty -> nothing, even inside [40,60)
+    assert(got === Seq((1L, 2L)))
+  }
 }
