@@ -307,7 +307,11 @@ object Bench {
       // -> 124k at x10). q135/q137 are state-/sample-bound by design and
       // stay out with q124.
       "q134_setsim_join", "q136_token_budget_fill",
-      "q138_pmi_collocations")
+      "q138_pmi_collocations",
+      // r6-late: R-S set-sim and the curation capstone are corpus-
+      // proportional end to end; interval overlap is event-proportional
+      "q140_setsim_cross_join", "q146_curation_capstone",
+      "q147_interval_overlap")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

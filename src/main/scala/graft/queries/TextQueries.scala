@@ -330,7 +330,22 @@ object TextQueries {
   private def q138(s: SparkSession, d: String): DataFrame =
     graft.operators.Collocations.pmiBigrams(documents(s, d), "text", 10L)
 
+  // Real BPE tokenization stats over the corpus (a small fixed merges
+  // artifact — training it is the external boundary, like embeddings).
+  // The greedy merge loop is not SQL-expressible, so this is a
+  // rows-only driver check; correctness rides BpeTokenizerSpec's
+  // golden walks + the monotonicity property (X20/T1/T2 precedent).
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val merges = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+      ("an", "d"), ("o", "n"), ("r", "e"), ("a", "t"), ("o", "r"))
+    graft.functions.BpeTokenizer
+      .subwordStats(documents(s, d), "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_bpe_subwords" -> q148 _,
     "q138_pmi_collocations" -> q138 _,
     "q117_bm25_scores" -> q117 _,
     "q115_heavy_hitters" -> q115 _,
