@@ -371,8 +371,12 @@ object Bench {
     // names) prints on EARLIER lines; nothing should SUM across lines.
     println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"queries":$qs,"sf":"$sfDir"}""")
+    // 2 decimals: at 147 base queries the 3-decimal line crossed the
+    // 1900-char tail budget (the require below fired in round 6 —
+    // exactly its job). 10 ms resolution is fine for the compact gate
+    // line; full-precision medians stay on the telemetry lines above.
     val shortQs = results
-      .map(m => "\"" + m.name.takeWhile(_ != '_') + "\":" + f"${m.median}%.3f")
+      .map(m => "\"" + m.name.takeWhile(_ != '_') + "\":" + f"${m.median}%.2f")
       .mkString("{", ",", "}")
     val finalLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"queries":$shortQs,"sf":"$sfDir"}"""
