@@ -131,6 +131,12 @@ object WarehouseQueries {
   // is just a second quantile walk over the DEVIATION grid), the flag
   // is an integer comparison. DuckDB re-derives with the same integer
   // rank rule over full-scan windows.
+  //
+  // Measured negative (r6, interleaved ONLY-mode A/B): localCheckpoint
+  // on the 2-column cents projection reads 2.09-2.70 s vs 2.06-2.45 s
+  // plain — the double orders scan is cheaper than materializing it,
+  // so the query keeps the plain shape. The sf0.1 gap vs DuckDB is the
+  // q135-family state-machinery pin (~8 jobs vs two window scans).
   private def q144(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val keys = Seq("o_orderpriority")
