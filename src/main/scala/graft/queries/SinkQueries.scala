@@ -163,7 +163,43 @@ object SinkQueries {
     }
   }
 
+  // Date-partitioned event warehouse: the time-dimension layout every
+  // 100 TB event store runs (the spatial counterpart is q120's
+  // Z-order). The log is written ONCE per (JVM, data dir) partitioned
+  // by event_date; the query reads a 7-day window whose date predicate
+  // becomes a PartitionFilter — non-window directories are never
+  // listed, let alone read (PlanSpec asserts the filter; the write is
+  // fixture setup like q107's tree, so bench-timed runs measure the
+  // pruned READ). The oracle re-derives from the raw events table, so
+  // the partition derivation (UTC nanos -> date) and pruned read are
+  // both hash-gated.
+  private val builtEventWh = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[queries] def eventWarehouseDir(s: SparkSession, d: String): String = {
+    val dir = scopedDir("graft_q149_events", d)
+    if (builtEventWh.putIfAbsent(s"$dir|$d", true).isEmpty) {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      events(s, d)
+        .withColumn("event_date",
+          to_date(timestamp_micros(expr("ts DIV 1000"))))
+        .write.partitionBy("event_date").parquet(dir)
+    }
+    dir
+  }
+
+  private def q149(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(eventWarehouseDir(s, d))
+      .filter(col("event_date") >= to_date(lit("2024-01-08")) &&
+        col("event_date") < to_date(lit("2024-01-15")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_date_partitioned_events" -> q149 _,
     "q103_refresh_queue" -> q103 _,
     "q104_vocab_merge" -> q104 _,
     "q105_json_dump_envelope" -> q105 _,
@@ -244,6 +280,15 @@ object SinkQueries {
       |GROUP BY category ORDER BY category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q149: UTC nanos -> date, the same 7-day window, from raw events
+    "q149_date_partitioned_events" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "CAST(to_timestamp(epoch_ns(ts) // 1000000000) AS DATE) AS event_date " +
+        "FROM events) " +
+        "SELECT event_date, event_type, COUNT(*) AS n, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM e " +
+        "WHERE event_date >= DATE '2024-01-08' AND event_date < DATE '2024-01-15' " +
+        "GROUP BY 1, 2"),
     "q103_refresh_queue" -> refreshQueueOracle,
     "q104_vocab_merge" -> vocabMergeOracle,
     "q105_json_dump_envelope" -> jsonDumpOracle,

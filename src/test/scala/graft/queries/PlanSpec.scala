@@ -150,4 +150,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("regexp_extract_all") && !p.contains("regexp_replace"),
       s"regex passes should be gone:\n$p")
   }
+
+  test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
+    val p = plan("q149_date_partitioned_events")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_date"),
+      s"date predicate must prune partitions, not filter rows:\n$p")
+    // the partition column must NOT appear as a post-scan data filter
+    // (extract the bracket contents — the whole FileScan prints on one line)
+    val dataFilters = "DataFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!dataFilters.contains("event_date"),
+      s"date filter leaked into data filters ($dataFilters):\n$p")
+  }
 }
