@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * the long tail), and the two corpus totals ride single-row broadcasts.
   * Nothing collects to the driver.
   *
-  * Reference shape: vocabulary/phrase analysis over curation text
-  * (/root/reference/src/analysis/tag_vocabulary.py frequency sections
-  * generalized to corpus n-gram statistics).
+  * Beyond-reference (north star): corpus n-gram collocation statistics
+  * for a training-data pipeline, per SURVEY §7.5. The nearest reference
+  * analogue is the tag-vocabulary frequency accounting in
+  * /root/reference/src/ai/refitd_tagger.py:56-257 (frozen vocabulary tables),
+  * generalized here to arbitrary corpus n-gram statistics.
   */
 object Collocations {
 

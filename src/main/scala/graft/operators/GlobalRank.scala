@@ -21,8 +21,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * The caller must pass a TOTAL order (tie-break to a unique column) or
   * ranks within ties are partition-placement-dependent.
   *
-  * Reference shape: ranking/limit passes in the curation stats queries
-  * (/root/reference/src/analysis/product_stats.py top-N sections);
+  * Reference shape: the top-N stats queries in the curation dashboard
+  * (/root/reference/curate.py:7659-7698 top-counts sections);
   * at 100 TB those sorts must not serialize through one task.
   */
 object GlobalRank {

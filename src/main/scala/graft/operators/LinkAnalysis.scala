@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   * counts, where the chained plan is measured faster (see the param doc).
   * Iterations are a fixed count, so no driver-side convergence polling.
   *
-  * Reference shape: similarity-graph authority scoring for curation
-  * ranking (/root/reference/src/analysis/product_stats.py popularity
-  * sections re-expressed as a graph pass).
+  * Beyond-reference (north star): similarity-graph authority scoring
+  * for corpus curation, per SURVEY §7.5. The nearest reference analogue
+  * is the popularity/top-counts ranking in
+  * /root/reference/curate.py:7659-7698, re-expressed as a graph pass.
   */
 object LinkAnalysis {
 

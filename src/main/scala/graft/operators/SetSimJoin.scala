@@ -64,9 +64,11 @@ import org.apache.spark.sql.functions._
   * al. §2); use minHashLsh when approximate recall is acceptable and
   * the data is degenerate.
   *
-  * Reference shape: exact near-dup pass of the curation dedup family
-  * (/root/reference/src/analysis/dedup.py jaccard sections re-expressed
-  * as a complete join rather than per-pair checks).
+  * Beyond-reference (north star): exact set-similarity join for the
+  * training-data dedup family mandated by SURVEY §7.5. The nearest
+  * reference analogue is the per-pair seen-set dedup in
+  * /root/reference/src/tracking/tracker.py:90-126, re-expressed as a complete
+  * subquadratic join rather than per-pair checks.
   */
 object SetSimJoin {
 
