@@ -32,7 +32,20 @@ object BpeTokenizer {
     * first). Returns the subword sequence. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     if (word.isEmpty) return Vector.empty
-    var parts: Vector[String] = word.map(_.toString).toVector
+    // Seed from CODE POINTS, not UTF-16 chars: supplementary characters
+    // (emoji, rare CJK) must enter as one unit, not two unpaired
+    // surrogate halves (GPT-2's encoder, the cited contract, never
+    // produces invalid strings).
+    var parts: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     var done = false
     while (!done && parts.size >= 2) {
       var best = -1
@@ -71,7 +84,9 @@ object BpeTokenizer {
       words.foreach { w =>
         val enc = encodeWord(w, bc.value)
         nSub += enc.length
-        nUnk += enc.count(_.length == 1)
+        // single CODE POINT (not single UTF-16 char): a surrogate-pair
+        // emoji no merge covered is one unknown, not zero
+        nUnk += enc.count(s => s.codePointCount(0, s.length) == 1)
       }
       (id, words.length.toLong, nSub, nUnk)
     }.toDF(idCol, "n_words", "n_subwords", "n_unk_chars")

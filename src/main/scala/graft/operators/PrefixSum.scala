@@ -51,6 +51,9 @@ object PrefixSum {
     require(df.columns.contains(valueCol),
       s"value column '$valueCol' not in ${df.columns.mkString(",")}")
     require(!df.columns.contains("__w"), "reserved column name '__w' in input")
+    require(!df.columns.contains(cumCol),
+      s"cum column '$cumCol' already in input — downstream references " +
+        "would be ambiguous")
     val withV = df.withColumn("__w", col(valueCol).cast(LongType))
     val ranged = withV.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -63,18 +66,20 @@ object PrefixSum {
           if (r.isNullAt(wIdx))
             throw new IllegalArgumentException(
               s"null/non-numeric '$valueCol' in prefix sum")
-          s += r.getLong(wIdx)
+          // addExact: a corpus-scale weight sum past 2^63 must fail
+          // loudly, not wrap into wrong running totals
+          s = Math.addExact(s, r.getLong(wIdx))
         }
         Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
+    val offsets = sums.scanLeft(0L)(Math.addExact)
     val total = offsets.last
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val cum = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = bcOffsets.value(i)
       it.map { row =>
-        s += row.getLong(wIdx)
+        s = Math.addExact(s, row.getLong(wIdx))
         Row.fromSeq(row.toSeq.dropRight(1) :+ s)
       }
     }
@@ -102,6 +107,11 @@ object PrefixSum {
     require(k >= 1, s"sample size $k must be >= 1")
     val (cum, total) = withRunningTotal(df, weightCol, cumCol, sortCols: _*)
     require(total > 0, s"total weight $total must be positive")
+    // cum*k is evaluated in Long SQL arithmetic below: past 2^63 it
+    // would wrap silently and yield wrong multiplicities with no error
+    require(total <= Long.MaxValue / k,
+      s"total weight $total * k=$k would overflow 64-bit multiplicity " +
+        "arithmetic; rescale the weights (divide by a common factor)")
     // integer floor-div (`div`) — operands non-negative, so both engines
     // agree; a double `/` would lose exactness once cum*k nears 2^53.
     // Backquoted refs: dotted/spaced column names must not parse as

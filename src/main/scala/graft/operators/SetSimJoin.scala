@@ -205,7 +205,18 @@ object SetSimJoin {
     val dictApplies = dictMaxTokens > 0 && head.length <= dictMaxTokens
 
     val prefix = prefixOf(t, dfreq, head, simNum, simDen, dictApplies, blockCols)
-    candVerify(prefix, prefix, t, t, simNum, simDen, blockCols, selfMode = true)
+    val verified = candVerify(prefix, prefix, t, t, simNum, simDen, blockCols,
+      selfMode = true)
+    // Eager materialize, then release the tokenized cache: CacheManager
+    // holds persisted entries strongly, so without this every
+    // selfJoin/join call in one session leaks a cached corpus (q134 +
+    // q140 + q146 per bench round). localCheckpoint blocks ARE freed by
+    // the ContextCleaner once the returned frame is unreferenced; the
+    // result (verified pairs) is orders of magnitude smaller than the
+    // tokenized corpus.
+    val out = verified.localCheckpoint(true)
+    t.unpersist()
+    out
   }
 
   /** R-S (cross-corpus) variant: all pairs (a in `left`, b in `right`)
@@ -235,6 +246,12 @@ object SetSimJoin {
     val dictApplies = dictMaxTokens > 0 && head.length <= dictMaxTokens
     val prefA = prefixOf(tA, dfreq, head, simNum, simDen, dictApplies, blockCols)
     val prefB = prefixOf(tB, dfreq, head, simNum, simDen, dictApplies, blockCols)
-    candVerify(prefA, prefB, tA, tB, simNum, simDen, blockCols, selfMode = false)
+    val verified = candVerify(prefA, prefB, tA, tB, simNum, simDen, blockCols,
+      selfMode = false)
+    // Same cache-release contract as selfJoin.
+    val out = verified.localCheckpoint(true)
+    tA.unpersist()
+    tB.unpersist()
+    out
   }
 }

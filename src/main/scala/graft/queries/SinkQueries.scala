@@ -124,14 +124,37 @@ object SinkQueries {
       f"${name}_p${procToken}_${d.hashCode.toLong & 0xffffffffL}%08x")
       .getAbsolutePath
 
-  private def q107(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(scopedDir("graft_q107_tree", d))
-    if (builtTrees.putIfAbsent(s"$root|$d", true).isEmpty) {
-      if (Files.exists(root)) { // fresh tree per JVM (stale-run protection)
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+  /** Delete `p` recursively, closing the walk stream (an unclosed
+    * Files.walk leaks a directory fd per call). */
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  /** Run `build` exactly once per `key`, marking the flag only AFTER the
+    * build succeeds: a failed or concurrent first build must not leave
+    * the flag set with a partial/missing fixture behind it (round-6
+    * ADVICE). Synchronized — fixture builds are rare and tiny, so the
+    * lock never contends on a hot path. */
+  private def buildOnce(flags: scala.collection.concurrent.TrieMap[String, Boolean],
+                        key: String)(build: => Unit): Unit =
+    if (!flags.contains(key)) flags.synchronized {
+      if (!flags.contains(key)) {
+        build
+        flags.put(key, true)
       }
+    }
+
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Paths
+    val root = Paths.get(scopedDir("graft_q107_tree", d))
+    buildOnce(builtTrees, s"$root|$d") {
+      deleteRecursive(root) // fresh tree per JVM (stale-run protection)
       buildTree(s, d, root)
     }
     s.read.format("product-tree").option("path", root.toString).load()
@@ -176,12 +199,8 @@ object SinkQueries {
   private val builtEventWh = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private[queries] def eventWarehouseDir(s: SparkSession, d: String): String = {
     val dir = scopedDir("graft_q149_events", d)
-    if (builtEventWh.putIfAbsent(s"$dir|$d", true).isEmpty) {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-      }
+    buildOnce(builtEventWh, s"$dir|$d") {
+      deleteRecursive(java.nio.file.Paths.get(dir))
       events(s, d)
         .withColumn("event_date",
           to_date(timestamp_micros(expr("ts DIV 1000"))))
