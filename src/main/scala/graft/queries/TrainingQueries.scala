@@ -242,18 +242,30 @@ object TrainingQueries {
     import org.apache.spark.sql.expressions.Window
     // the dedup window feeds the set-sim machinery AND the kept join —
     // pin the (small) surviving set so the window runs once (the q132
-    // localCheckpoint pattern; measured 2.08 -> 1.87 s at sf0.1 — the
-    // remainder is the ~12-job composition floor, see BASELINE)
+    // localCheckpoint pattern; measured 2.08 -> 1.87 s at sf0.1).
+    // r7 (VERDICT item 4): the checkpoint now carries the TOKEN ARRAY,
+    // computed once — the set-sim prune, the quality gate, and the
+    // budget fill all read it instead of each re-running the tokenize
+    // kernel over the corpus text; raw text drops before the pin.
+    // Measured at sf0.1 (interleaved A/B, values equal): NEUTRAL —
+    // old 1.51-1.67 s vs new 1.57-1.66 s; the kernel is not the sf0.1
+    // bottleneck (the composition is selfJoin-floor-bound: q134 alone
+    // reads 1.2-1.5 s in the same mode, so q146's own stages add only
+    // ~0.4 s). Kept anyway: tokenize cost is data-proportional, so at
+    // corpus scale computing it once instead of three times is the
+    // right plan even though the sf0.1 clock cannot see it.
     val deduped = Dedup.exactDedup(documents(s, d), "text", "doc_id")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .drop("text")
       .localCheckpoint()
     val dropped = SetSimJoin.selfJoin(deduped, "doc_id",
-        TextAnalysis.tokens(col("text")), 9, 10, Seq("lang", "source"))
+        col("toks"), 9, 10, Seq("lang", "source"))
       .select(col("id_b").as("doc_id")).distinct()
     val kept = deduped.join(dropped, Seq("doc_id"), "left_anti")
     val gated = kept
-      .filter(TextAnalysis.qualityScore(col("text"), Nil) >= 0.5)
-      .withColumn("n_tokens",
-        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .filter(TextAnalysis.qualityScoreFromTokens(col("toks"), Nil) >= 0.5)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .drop("toks")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

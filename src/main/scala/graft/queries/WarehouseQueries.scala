@@ -132,33 +132,23 @@ object WarehouseQueries {
   // is an integer comparison. DuckDB re-derives with the same integer
   // rank rule over full-scan windows.
   //
-  // Measured negative (r6, interleaved ONLY-mode A/B): localCheckpoint
-  // on the 2-column cents projection reads 2.09-2.70 s vs 2.06-2.45 s
-  // plain — the double orders scan is cheaper than materializing it,
-  // so the query keeps the plain shape. The sf0.1 gap vs DuckDB is the
-  // q135-family state-machinery pin (~8 jobs vs two window scans).
+  // r7 fusion (VERDICT r6 item 4): the old shape ran TWO chained
+  // freq-state pipelines — orders scanned twice, the median joined onto
+  // the full fact table to build a second fact-sized deviation state,
+  // ~12 single-task stages end to end. But the deviation grid is a pure
+  // FUNCTION of the cents freq state (freq_dev(d) = Σ freq(median±d)),
+  // and the state is grid-bounded — so one fact pass builds the state
+  // and everything after is AggState.medianMadOutliers' row-local array
+  // walks. Measured (sf0.1, interleaved A/B, values bit-equal):
+  // old 1.9-2.2 s → 1.1-1.4 s; the A/B dossier incl. the rejected
+  // repartition-first variant is on the operator's scaladoc.
   private def q144(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val keys = Seq("o_orderpriority")
     val priced = o.select(col("o_orderpriority"),
       AggState.cents(col("o_totalprice")).as("cents"))
-    val med = AggState
-      .quantileFromFreq(
-        AggState.buildFreqExpr(priced, keys, col("cents")), keys, 1, 2)
-      .select(col("o_orderpriority"), col("n"), col("q_cents").as("median_cents"))
-    val withDev = priced.join(med, keys)
-      .withColumn("dev", abs(col("cents") - col("median_cents")))
-    val mad = AggState
-      .quantileFromFreq(
-        AggState.buildFreqExpr(withDev, keys, col("dev")), keys, 1, 2)
-      .select(col("o_orderpriority"), col("q_cents").as("mad_cents"))
-    withDev.join(mad, keys)
-      .groupBy(col("o_orderpriority"))
-      .agg(max(col("n")).as("n"),
-        max(col("median_cents")).as("median_cents"),
-        max(col("mad_cents")).as("mad_cents"),
-        sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
-          .as("n_outliers"))
+    AggState.medianMadOutliers(
+      AggState.buildFreqExpr(priced, keys, col("cents")), keys)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

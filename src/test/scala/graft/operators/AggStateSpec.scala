@@ -86,6 +86,40 @@ class AggStateSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("medianMadOutliers equals the two-walk window derivation exactly") {
+    val all = facts(29, 2500).cache()
+    val st = AggState.buildFreq(all, keys, "v")
+    val got = AggState.medianMadOutliers(st, keys)
+      .select(col("g"), col("n"), col("median_cents"), col("mad_cents"),
+        col("n_outliers"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    // reference: driver-side sort per group, same lower-median rule
+    val data = all.as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v => math.round(v._2 * 100)).sorted).toMap
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val rank = (vs.length.toLong + 1) / 2 // ceil(n/2), 1-based
+      vs(rank.toInt - 1)
+    }
+    val want = data.toSeq.map { case (g, vs) =>
+      val med = lowerMedian(vs.toSeq)
+      val devs = vs.map(v => math.abs(v - med)).sorted.toSeq
+      val mad = lowerMedian(devs)
+      (g, vs.length.toLong, med, mad, devs.count(_ > 3 * mad).toLong)
+    }.sorted
+    assert(got === want)
+    all.unpersist()
+  }
+
+  test("medianMadOutliers packs to group arrays in two exchanges") {
+    val st = AggState.buildFreq(facts(31, 500), keys, "v")
+    val plan = AggState.medianMadOutliers(st, keys)
+      .queryExecution.executedPlan.toString
+    // one exchange for the fact->state aggregate, one for the pack;
+    // everything after is row-local array folds
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"compact median/MAD walk re-shuffles:\n$plan")
+  }
+
   test("freq quantile walk shares one exchange over state rows") {
     val st = AggState.buildFreq(facts(5, 500), keys, "v")
     val plan = AggState.quantileFromFreq(st, keys, 1, 2)

@@ -9,7 +9,9 @@ the corpus grows with realistic vocabulary instead of 10× exact
 duplicates — otherwise dedup/LSH workloads would measure a pathological
 duplicate-density explosion, not scale.
 
-Usage: python3 tools/gen_scaled_data.py [factor] [outDir]
+Usage: python3 tools/gen_scaled_data.py [factor] [outDir] [tables]
+  tables: optional comma-separated subset (e.g. "embeddings") — the ANN
+  x100/x250 smoke replicas only need one table, not a full 2 GB copy.
 """
 import os
 import sys
@@ -33,13 +35,16 @@ TABLES = {
 }
 
 
-def main(factor=10, out_dir=None):
+def main(factor=10, out_dir=None, tables=None):
     out_dir = out_dir or os.path.join(
         os.path.dirname(__file__), "..", "benchdata", f"sf1x{factor}")
     os.makedirs(out_dir, exist_ok=True)
+    wanted = set(tables.split(",")) if tables else set(TABLES)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
     for table, keys in TABLES.items():
+        if table not in wanted:
+            continue
         src = f"read_parquet('{SF_DIR}/{table}.parquet')"
         dst = os.path.join(out_dir, f"{table}.parquet")
         # Row groups are Spark's (and DuckDB's) parallelism unit — a
@@ -72,4 +77,5 @@ def main(factor=10, out_dir=None):
 
 if __name__ == "__main__":
     f = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    main(f, sys.argv[2] if len(sys.argv) > 2 else None)
+    main(f, sys.argv[2] if len(sys.argv) > 2 else None,
+         sys.argv[3] if len(sys.argv) > 3 else None)
