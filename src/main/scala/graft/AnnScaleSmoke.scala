@@ -105,7 +105,7 @@ object AnnScaleSmoke {
         corpus, "vec_id", "embedding", probe,
         k = 10, nprobe = Nprobe, shortlist = 100)))
       val (ipqApp, _) = timed(IvfPq.append(spark, "ann_smoke_ivfpq",
-        batch, "vec_id", "embedding"))
+        batch, "vec_id", "embedding", buckets = 1))
 
       val (sqBuild, sqBuildSh) = timed(ScalarQuantizer.buildSqIndex(
         corpus, "vec_id", "embedding", "ann_smoke_sq"))

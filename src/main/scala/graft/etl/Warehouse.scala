@@ -23,11 +23,24 @@ object Warehouse {
 
   /** Write a table bucketed by `key` (and optionally partitioned), as a
     * persistent table in the session catalog (bucketing metadata lives in
-    * the metastore; plain `.parquet()` writes cannot carry it). */
+    * the metastore; plain `.parquet()` writes cannot carry it).
+    *
+    * Partitioned writes CLUSTER on the partition columns first: without
+    * the repartition every write task holds rows of every partition
+    * value and the table explodes into |tasks| × |partitions| tiny
+    * files — the r7 ANN x250 smoke measured it directly (IVF-256 build
+    * at 500k vectors: ~15k files, 22 s, all filesystem overhead;
+    * clustered: |cells| × |buckets| files and the build is
+    * assignment-bound). The extra exchange is data-proportional and is
+    * exactly what a production partitioned-table writer does. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8, partitionBy: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).format("parquet")
+    import org.apache.spark.sql.functions.col
+    val clustered =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df
+    val w = clustered.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(table)

@@ -349,8 +349,53 @@ object TextQueries {
       .subwordStats(documents(s, d), "doc_id", "text", bpeMerges)
       .orderBy(col("doc_id"))
 
+  // Model-based quality filtering (r7): the fasttext-style LINEAR
+  // classifier pass a production corpus pipeline runs over every
+  // document — hashed bag-of-tokens features, integer weight table,
+  // sign-of-score label. The trained model is an external artifact
+  // (like embeddings and the BPE merges); here it is a hash-derived
+  // stand-in with the same inference shape: bucket(token) =
+  // md5-prefix mod 64 (the engine-portable q110 hash), weight(b) =
+  // (b·2654435761 mod 1001) − 500. Row-local featurize + one
+  // map-side-combined aggregate; all integer arithmetic, so the
+  // oracle replays inference bit-for-bit.
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text"))))
+        .as("token"))
+    val bucket = pmod(
+      conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"), lit(64L))
+    val weight = pmod(bucket * lit(2654435761L), lit(1001L)) - lit(500L)
+    tok.withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("score"))
+      .withColumn("label", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // Tokenizer-rollout coverage rollup (r7): per (lang, source), the
+  // subword expansion and unknown-character rate of the q148 merges
+  // artifact — the dashboard a tokenizer rollout watches to find
+  // corpus slices the vocabulary serves badly. Same row-local encode,
+  // different rollup; the oracle reuses the q148 recursive-CTE chain
+  // with a grouped tail.
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.functions.BpeTokenizer
+      .subwordStats(docs, "doc_id", "text", bpeMerges)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_subwords")).as("total_subwords"),
+        sum(col("n_unk_chars")).as("total_unk"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_bpe_subwords" -> q148 _,
+    "q150_linear_quality" -> q150 _,
+    "q151_bpe_coverage" -> q151 _,
     "q138_pmi_collocations" -> q138 _,
     "q117_bm25_scores" -> q117 _,
     "q115_heavy_hitters" -> q115 _,
@@ -399,7 +444,36 @@ object TextQueries {
     * row retires (done) when no pair is ranked. Chains terminate because
     * every step shrinks the list by one. Unknowns = single-code-point
     * subwords (DuckDB length() is code-point count). */
-  private def bpeOracle: String = {
+  private def bpeOracle: String =
+    bpeStatsCte +
+      "SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words, " +
+      "CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords, " +
+      "CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+
+  /** q151 oracle: the q148 chain with a (lang, source) grouped tail. */
+  private def bpeCoverageOracle: String =
+    bpeStatsCte +
+      "SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(COALESCE(a.n_words, 0)) AS BIGINT) AS total_words, " +
+      "CAST(SUM(COALESCE(a.n_subwords, 0)) AS BIGINT) AS total_subwords, " +
+      "CAST(SUM(COALESCE(a.n_unk_chars, 0)) AS BIGINT) AS total_unk " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) " +
+      "GROUP BY d.lang, d.source ORDER BY d.lang, d.source"
+
+  /** q150 oracle: identical hash, bucket, and weight arithmetic — every
+    * operand non-negative, so `%` and pmod agree across engines. */
+  private def linearQualityOracle: String =
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(" +
+      "string_split_regex(text, '\\s+'))) AS token FROM documents), " +
+      "f AS (SELECT doc_id, " +
+      "((('0x' || substr(md5(token), 1, 4))::BIGINT % 64) * 2654435761 % 1001) - 500 AS w " +
+      "FROM tok) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features, " +
+      "CAST(SUM(w) AS BIGINT) AS score, SUM(w) > 0 AS label " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id"
+
+  private def bpeStatsCte: String = {
     val cases = bpeMerges.zipWithIndex.map { case ((a, b), r) =>
       s"WHEN parts[i] = '$a' AND parts[i+1] = '$b' THEN $r"
     }.mkString(" ")
@@ -424,15 +498,13 @@ object TextQueries {
       "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
       "CAST(SUM(len(parts)) AS BIGINT) AS n_subwords, " +
       "CAST(SUM(len(list_filter(parts, p -> length(p) = 1))) AS BIGINT) AS n_unk_chars " +
-      "FROM bpe WHERE done GROUP BY doc_id) " +
-      "SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words, " +
-      "CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords, " +
-      "CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars " +
-      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+      "FROM bpe WHERE done GROUP BY doc_id) "
   }
 
   val oracle: Map[String, String] = Map(
     "q148_bpe_subwords" -> bpeOracle,
+    "q150_linear_quality" -> linearQualityOracle,
+    "q151_bpe_coverage" -> bpeCoverageOracle,
     // q138: same counts, same single-division lift arithmetic
     "q138_pmi_collocations" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +

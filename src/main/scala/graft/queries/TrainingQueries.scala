@@ -278,8 +278,32 @@ object TrainingQueries {
         max(col("cum_tokens")).as("used_tokens"))
   }
 
+  // Per-source quality-quantile gate (r7): keep each source's top
+  // quartile by length — the "select above the Nth percentile OF ITS
+  // OWN source" balancing rule (a global threshold would let one
+  // verbose source crowd out the rest). The per-source P75 reads off a
+  // freq state on the integral n_chars grid (the q135 machinery —
+  // thresholds are |groups|-sized, broadcast back over the corpus), so
+  // the threshold derivation shuffles state rows, never re-sorts
+  // facts. Exact integers end to end; the oracle re-derives the same
+  // cum*4 >= 3*total lower-quantile rank rule from a full scan.
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.AggState
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val p75 = AggState.quantileFromFreq(
+        AggState.buildFreqExpr(docs, Seq("source"), col("n_chars")),
+        Seq("source"), 3, 4)
+      .select(col("source"), col("q_cents").as("p75_chars"))
+    docs.join(broadcast(p75), "source")
+      .filter(col("n_chars") >= col("p75_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("p75_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_curation_capstone" -> q146 _,
+    "q152_source_quantile_gate" -> q152 _,
     "q136_token_budget_fill" -> q136 _,
     "q137_systematic_pps" -> q137 _,
     "q142_per_source_budget" -> q142 _,
@@ -295,6 +319,20 @@ object TrainingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q152: per-source P75 via the same cum*4 >= 3*total lower-quantile
+    // rank rule the freq-state walk applies, then the >= gate
+    "q152_source_quantile_gate" ->
+      ("WITH f AS (SELECT source, n_chars AS v, COUNT(*) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "w AS (SELECT source, v, " +
+        "SUM(n) OVER (PARTITION BY source ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "SUM(n) OVER (PARTITION BY source) AS total FROM f), " +
+        "p AS (SELECT source, MIN(v) AS p75_chars FROM w " +
+        "WHERE cum * 4 >= 3 * total GROUP BY source) " +
+        "SELECT d.doc_id, d.source, d.n_chars, p.p75_chars " +
+        "FROM documents d JOIN p ON d.source = p.source " +
+        "WHERE d.n_chars >= p.p75_chars ORDER BY d.doc_id"),
     // q146: keep-first dedup → the q134 prefix-filtered pair chain on
     // the deduped set → dominated-doc anti-join → quality gate (split
     // list WITH duplicates — distinct list only for the set-sim sizes)
