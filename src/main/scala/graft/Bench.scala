@@ -446,7 +446,7 @@ object Bench {
     // the list entirely if it still would)
     val suspects = rerunEvidence.collect {
       case (n, (orig, fin)) if fin < orig / 1.5 =>
-        if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+        if (n.startsWith("q")) n.takeWhile(_ != '_').drop(1) else n
     }.distinct.take(6)
     val baseNames = results.map(_.name).toSet
     val healedBase = all.filter(m => baseNames(m.name))
@@ -477,8 +477,15 @@ object Bench {
     // 1900-char tail budget (the require below fired in round 6 —
     // exactly its job). 10 ms resolution is fine for the compact gate
     // line; full-precision medians stay on the telemetry lines above.
+    // r7: the leading 'q' drops from qNN keys too (151 queries +
+    // x132/x133 + "suspect" reached 1870/1900) — keys are the bare
+    // number ("05", "152"); the x-prefixed extras keep their prefix.
     val shortQs = healedBase
-      .map(m => "\"" + m.name.takeWhile(_ != '_') + "\":" + f"${m.median}%.2f")
+      .map { m =>
+        val short = m.name.takeWhile(_ != '_')
+        val key = if (short.startsWith("q")) short.drop(1) else short
+        "\"" + key + "\":" + f"${m.median}%.2f"
+      }
       .mkString("{", ",", "}")
     def renderFinal(susp: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"suspect":$susp%s,"queries":$shortQs,"sf":"$sfDir"}"""
