@@ -115,7 +115,36 @@ object AnnScaleSmoke {
       val (sqApp, _) = timed(ScalarQuantizer.appendToSqIndex(spark,
         "ann_smoke_sq", batch, "vec_id", "embedding"))
 
-      println(f"""{"dir":"$dir","n_vec":$n,"ivf256":{"build_sec":$ivfBuild%.2f,"build_shuffle_mb":${ivfBuildSh / 1e6}%.1f,"query_sec":$ivfQ%.3f,"append_sec":$ivfApp%.2f},"ivfpq256":{"build_sec":$ipqBuild%.2f,"build_shuffle_mb":${ipqBuildSh / 1e6}%.1f,"query_sec":$ipqQ%.3f,"append_sec":$ipqApp%.2f},"sq8":{"build_sec":$sqBuild%.2f,"build_shuffle_mb":${sqBuildSh / 1e6}%.1f,"query_sec":$sqQ%.3f,"append_sec":$sqApp%.2f}}""")
+      // recall@10 vs exact brute force, averaged over 8 probe vectors
+      // (the flat-probe claim means nothing if pruning drops the true
+      // neighbors; appended rows are in-index by now, so the ground
+      // truth includes the append batch)
+      import graft.operators.SimilaritySearch
+      val fullCorpus = corpus.unionByName(batch)
+      val probeVecs = (1 to 8).map { i =>
+        emb.filter(col("vec_id") === i * 13)
+          .select("embedding").head().getSeq[Float](0)
+      }
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      def recallOf(f: Seq[Float] => org.apache.spark.sql.DataFrame): Double = {
+        val hits = probeVecs.map { p =>
+          val truth = ids(SimilaritySearch.topK(fullCorpus, "vec_id", "embedding", p, 10))
+          val got = ids(f(p))
+          (got intersect truth).size.toDouble / truth.size
+        }
+        hits.sum / hits.size
+      }
+      val ivfRecall = recallOf(p => IvfIndex.topKIndexed(spark, "ann_smoke_ivf",
+        "vec_id", "embedding", p, k = 10, nprobe = Nprobe))
+      val ipqRecall = recallOf(p => IvfPq.topKIndexed(spark, "ann_smoke_ivfpq",
+        fullCorpus, "vec_id", "embedding", p, k = 10, nprobe = Nprobe,
+        shortlist = 100))
+      val sqRecall = recallOf(p => ScalarQuantizer.sqRerankTopKIndexed(spark,
+        "ann_smoke_sq", fullCorpus, "vec_id", "embedding", p,
+        shortlist = 100, k = 10))
+
+      println(f"""{"dir":"$dir","n_vec":$n,"ivf256":{"build_sec":$ivfBuild%.2f,"build_shuffle_mb":${ivfBuildSh / 1e6}%.1f,"query_sec":$ivfQ%.3f,"append_sec":$ivfApp%.2f,"recall10":$ivfRecall%.3f},"ivfpq256":{"build_sec":$ipqBuild%.2f,"build_shuffle_mb":${ipqBuildSh / 1e6}%.1f,"query_sec":$ipqQ%.3f,"append_sec":$ipqApp%.2f,"recall10":$ipqRecall%.3f},"sq8":{"build_sec":$sqBuild%.2f,"build_shuffle_mb":${sqBuildSh / 1e6}%.1f,"query_sec":$sqQ%.3f,"append_sec":$sqApp%.2f,"recall10":$sqRecall%.3f}}""")
     }
     spark.stop()
   }
