@@ -417,16 +417,15 @@ object Bench {
     // names land in "suspect" — the artifact's number is clean, but the
     // original window was polluted and the telemetry "rerun" map keeps
     // the before/after evidence.
+    // decision rules live in HealPolicy (unit-tested, Spark-free)
     val noRerun = Set("x_ann_ivf_append", "x_ann_ivfpq_append")
     def heal(m: Measure): (Measure, Option[Double]) = {
-      if (m.median < 0 || m.samples.isEmpty || noRerun(m.name)) return (m, None)
+      if (noRerun(m.name) || !HealPolicy.flagged(m.median, m.samples))
+        return (m, None)
       val thunk = thunks.getOrElse(m.name, return (m, None))
-      val bimodal = m.median > 3 * m.samples.min && m.median >= 0.3
-      val heavy = m.median >= 1.0
-      if (!bimodal && !heavy) return (m, None)
-      val remeasure = bimodal || {
+      val remeasure = HealPolicy.bimodal(m.median, m.samples) || {
         val p = try time(thunk()) catch { case _: Throwable => return (m, None) }
-        p < m.median / 1.5
+        HealPolicy.probeConfirms(p, m.median)
       }
       if (!remeasure) return (m, None)
       val again = measure(m.name, thunk())
@@ -445,8 +444,8 @@ object Bench {
     // cannot overflow the 1900-char tail budget (fallback below drops
     // the list entirely if it still would)
     val suspects = rerunEvidence.collect {
-      case (n, (orig, fin)) if fin < orig / 1.5 =>
-        if (n.startsWith("q")) n.takeWhile(_ != '_').drop(1) else n
+      case (n, (orig, fin)) if HealPolicy.suspect(orig, fin) =>
+        HealPolicy.shortName(n)
     }.distinct.take(6)
     val baseNames = results.map(_.name).toSet
     val healedBase = all.filter(m => baseNames(m.name))
@@ -481,11 +480,7 @@ object Bench {
     // x132/x133 + "suspect" reached 1870/1900) — keys are the bare
     // number ("05", "152"); the x-prefixed extras keep their prefix.
     val shortQs = healedBase
-      .map { m =>
-        val short = m.name.takeWhile(_ != '_')
-        val key = if (short.startsWith("q")) short.drop(1) else short
-        "\"" + key + "\":" + f"${m.median}%.2f"
-      }
+      .map(m => "\"" + HealPolicy.shortName(m.name) + "\":" + f"${m.median}%.2f")
       .mkString("{", ",", "}")
     def renderFinal(susp: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"suspect":$susp%s,"queries":$shortQs,"sf":"$sfDir"}"""

@@ -1,0 +1,64 @@
+package graft
+
+/** Pure decision rules for [[Bench]]'s post-suite stall healing
+  * (round 7) — extracted so the policy is unit-testable without a
+  * SparkSession. The flow per measured line, at suite end:
+  *
+  *   1. [[flagged]]: is the line worth a look? Heavy (median >= 1 s —
+  *      the expensive tail is short, so probing it is cheap) or
+  *      intra-run bimodal (median > 3x its own minimum sample, with a
+  *      0.3 s floor so micro-queries never qualify on noise).
+  *   2. Bimodal lines re-measure directly (the clean minimum is
+  *      already evidence). Heavy lines get ONE probe run first;
+  *      [[probeConfirms]] says whether the probe (median/1.5 or
+  *      better) justifies a full re-measure.
+  *   3. The SMALLER median wins — an external stall only inflates, so
+  *      min is safe; a genuinely slow query re-measures the same and
+  *      keeps its number.
+  *   4. [[suspect]]: when the healed number is >1.5x below the
+  *      original, the original window was polluted — the name goes in
+  *      the compact line's "suspect" list and the telemetry line's
+  *      "rerun" map keeps the before/after pair.
+  *
+  * Why a median alone cannot self-clear: a box stall spanning all 3
+  * samples (the r6 artifact's q83/q84, 4.3-4.4 s vs clean 0.4-1.0)
+  * leaves no clean sample to vote it down. The probe runs in the
+  * post-suite window, which is the quietest point of the run.
+  */
+object HealPolicy {
+
+  val HeavySec = 1.0
+  val BimodalRatio = 3.0
+  val BimodalFloorSec = 0.3
+  val ConfirmRatio = 1.5
+
+  /** Intra-run bimodality: the median sits far above the line's own
+    * best sample — a mid-measure disturbance. */
+  def bimodal(median: Double, samples: Seq[Double]): Boolean =
+    samples.nonEmpty &&
+      median > BimodalRatio * samples.min && median >= BimodalFloorSec
+
+  /** Heavy lines are always worth one probe: a stall spanning every
+    * sample is invisible to intra-run checks. */
+  def heavy(median: Double): Boolean = median >= HeavySec
+
+  def flagged(median: Double, samples: Seq[Double]): Boolean =
+    median >= 0 && samples.nonEmpty &&
+      (bimodal(median, samples) || heavy(median))
+
+  /** After the probe run: re-measure in full only when the probe lands
+    * clearly under the recorded median (stalls only inflate). */
+  def probeConfirms(probe: Double, median: Double): Boolean =
+    probe < median / ConfirmRatio
+
+  /** The healed number is far enough below the original that the
+    * original window was polluted — record the name as suspect. */
+  def suspect(orig: Double, healed: Double): Boolean =
+    healed < orig / ConfirmRatio
+
+  /** Compact-line key for a measured line: qNN names shorten to the
+    * bare number (the compact map's own keys); extras keep their
+    * full name. */
+  def shortName(n: String): String =
+    if (n.startsWith("q")) n.takeWhile(_ != '_').drop(1) else n
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stall-healing decision table, pinned. The scenarios mirror the
+  * real incidents the policy exists for: the r6 q83/q84 stall spanned
+  * every sample (only the heavy+probe path can catch it), while a
+  * mid-suite disturbance leaves one clean sample (the bimodal path
+  * catches it without paying a probe).
+  */
+class HealPolicySpec extends AnyFunSuite {
+
+  test("light flat line is never flagged") {
+    assert(!HealPolicy.flagged(0.2, Seq(0.19, 0.2, 0.21)))
+  }
+
+  test("failed measures (sentinel -1, no samples) are never flagged") {
+    assert(!HealPolicy.flagged(-1.0, Seq()))
+    assert(!HealPolicy.flagged(0.5, Seq()))
+  }
+
+  test("r6-style stall spanning all samples: heavy, probe confirms") {
+    val samples = Seq(4.1, 4.3, 4.4) // no clean sample left
+    assert(HealPolicy.flagged(4.3, samples))
+    assert(!HealPolicy.bimodal(4.3, samples)) // intra-run check is blind here
+    assert(HealPolicy.probeConfirms(probe = 0.43, median = 4.3))
+  }
+
+  test("genuinely slow line: flagged heavy, but the probe refuses") {
+    assert(HealPolicy.flagged(2.3, Seq(2.2, 2.3, 2.4)))
+    assert(!HealPolicy.probeConfirms(probe = 2.2, median = 2.3))
+  }
+
+  test("mid-suite disturbance: bimodal catches it without a probe") {
+    val samples = Seq(0.4, 2.0, 2.1) // one clean sample survived
+    assert(HealPolicy.bimodal(2.0, samples))
+    assert(HealPolicy.flagged(2.0, samples))
+  }
+
+  test("micro-query noise never reads as bimodal (0.3 s floor)") {
+    assert(!HealPolicy.bimodal(0.09, Seq(0.02, 0.09, 0.1)))
+  }
+
+  test("heavy threshold boundary: 1.0 in, 0.99 out (flat samples)") {
+    assert(HealPolicy.flagged(1.0, Seq(0.99, 1.0, 1.01)))
+    assert(!HealPolicy.flagged(0.99, Seq(0.98, 0.99, 1.0)))
+  }
+
+  test("suspect requires the healed number >1.5x below the original") {
+    assert(HealPolicy.suspect(orig = 4.3, healed = 0.43))
+    assert(!HealPolicy.suspect(orig = 2.3, healed = 2.0)) // modest drift
+  }
+
+  test("compact keys: bare number for qNN, full name for extras") {
+    assert(HealPolicy.shortName("q144_mad_outliers") == "144")
+    assert(HealPolicy.shortName("q05_group_summary") == "05")
+    assert(HealPolicy.shortName("x132_pq_train") == "x132_pq_train")
+    assert(HealPolicy.shortName("x10_ann_ivf256_index_build") ==
+      "x10_ann_ivf256_index_build")
+  }
+}

@@ -110,6 +110,36 @@ class AggStateSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("medianMadOutliers edge cases: singleton, all-equal, even split") {
+    val df = Seq(
+      ("one", 5.0), // singleton group: med=500, MAD=0, outliers=0
+      ("eq", 2.0), ("eq", 2.0), ("eq", 2.0), // all equal: MAD=0, outliers=0
+      ("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 4.0)
+      // even n: lower median = 200; devs sorted = 100,100,100,200 ->
+      // MAD = lower median of devs = 100; outliers: dev > 300 -> none
+    ).toDF("g", "v")
+    val got = AggState
+      .medianMadOutliers(AggState.buildFreq(df, keys, "v"), keys)
+      .select(col("g"), col("n"), col("median_cents"), col("mad_cents"),
+        col("n_outliers"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      ("eq", 3L, 200L, 0L, 0L),
+      ("even", 4L, 200L, 100L, 0L),
+      ("one", 1L, 500L, 0L, 0L)))
+  }
+
+  test("medianMadOutliers flags a far outlier through the 3-MAD gate") {
+    // 5 values at 100, one at 10000: med=100, devs={0 x5, 9900},
+    // MAD=0 -> gate is dev > 0 -> exactly the far point flags
+    val df = (Seq.fill(5)(("g", 1.0)) :+ (("g", 100.0))).toDF("g", "v")
+    val got = AggState
+      .medianMadOutliers(AggState.buildFreq(df, keys, "v"), keys)
+      .select(col("n"), col("median_cents"), col("mad_cents"), col("n_outliers"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((6L, 100L, 0L, 1L)))
+  }
+
   test("medianMadOutliers packs to group arrays in two exchanges") {
     val st = AggState.buildFreq(facts(31, 500), keys, "v")
     val plan = AggState.medianMadOutliers(st, keys)
