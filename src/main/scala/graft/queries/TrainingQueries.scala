@@ -135,6 +135,27 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // GPT-3-style 13-gram decontamination (r7): the published benchmark
+  // cleanup rule — an eval document is DIRTY if any of its distinct
+  // 13-gram shingles appears anywhere in the train split (a binary
+  // kill, unlike q71's 3-gram containment FRACTION). Output is the
+  // dirty list with its overlap count; clean docs never leave the
+  // join. Same kernel shingles, same deterministic doc_id-mod split;
+  // at corpus scale the distinct-13-gram train side is the bloom/
+  // semi-join shape q113 already demonstrates.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(call_function("graft_shingles", col("text"), lit(13))).as("shingle"))
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .join(trainSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dirty_13grams"))
+      .orderBy(col("doc_id"))
+  }
+
   // q71's exact semantics THROUGH the partitioned-bloom pruner: per-part
   // bitmaps aggregated over the train shingles, probes co-partitioned to
   // their bitmap (zipPartitions, never a driver literal), survivors
@@ -304,6 +325,7 @@ object TrainingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_curation_capstone" -> q146 _,
     "q152_source_quantile_gate" -> q152 _,
+    "q153_decontaminate_13gram" -> q153 _,
     "q136_token_budget_fill" -> q136 _,
     "q137_systematic_pps" -> q137 _,
     "q142_per_source_budget" -> q142 _,
@@ -333,6 +355,18 @@ object TrainingQueries {
         "SELECT d.doc_id, d.source, d.n_chars, p.p75_chars " +
         "FROM documents d JOIN p ON d.source = p.source " +
         "WHERE d.n_chars >= p.p75_chars ORDER BY d.doc_id"),
+    // q153: same 13-gram construction (space-joined token windows, the
+    // q34 shingle convention at n=13), distinct on both sides
+    "q153_decontaminate_13gram" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(l) - 12), " +
+        "i -> array_to_string(l[i:i+12], ' '))) AS ss FROM t), " +
+        "e AS (SELECT doc_id, unnest(ss) AS shingle FROM sh WHERE doc_id % 10 = 0), " +
+        "tr AS (SELECT DISTINCT unnest(ss) AS shingle FROM sh WHERE doc_id % 10 <> 0) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dirty_13grams " +
+        "FROM e JOIN tr USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
     // q146: keep-first dedup → the q134 prefix-filtered pair chain on
     // the deduped set → dominated-doc anti-join → quality gate (split
     // list WITH duplicates — distinct list only for the set-sim sizes)

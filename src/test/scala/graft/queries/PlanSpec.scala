@@ -151,6 +151,26 @@ class PlanSpec extends SparkSpec {
       s"regex passes should be gone:\n$p")
   }
 
+  test("q150 linear inference: one partial-agg shuffle, no join, no window") {
+    val p = plan("q150_linear_quality")
+    assert(!p.contains("Join"), s"the weight table is arithmetic, not a join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"per-doc score must combine map-side:\n$p")
+    // featurize shuffle + output sort — nothing else may exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"featurize + sort only:\n$p")
+  }
+
+  test("q152 quantile gate broadcasts the per-source thresholds") {
+    val p = plan("q152_source_quantile_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"P75 thresholds are |sources|-sized and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SinglePartition") || p.contains("Window"),
+      p) // the freq-state walk windows per source, never one task for facts
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
