@@ -118,18 +118,19 @@ object AggState {
     * grid-bounded (that is the freq-state contract — |distinct values|
     * is a property of the value DOMAIN, not the fact count), so each
     * group's state packs into one sorted array row and everything
-    * after the pack is row-local: the median is a fold over the
-    * (value, count) array, the deviation grid is a transform+sort of
-    * the SAME array (|v−med| merges ±d implicitly — equal deviations
-    * sort adjacent and the fold only reads the crossing value), the
-    * MAD is the same fold again, and the outlier count is a counting
-    * fold. Two exchanges total (facts→state with map-side combine,
-    * state→group arrays); the old two-chained-quantileFromFreq shape
-    * ran ~12 single-task stages. Measured (sf0.1, interleaved A/B):
-    * 1.9-2.2 s → 1.1-1.4 s. A repartition(keys)-first variant that
-    * fuses the two exchanges into one reads another ~0.1 s faster but
-    * shuffles RAW FACTS to |groups| partitions — scale-dishonest for
-    * few groups, rejected.
+    * after the pack is one row-local kernel call
+    * ([[graft.plans.GraftFreqStats]]: median walk, two-pointer
+    * merge of the monotone deviation runs — no second sort — and the
+    * k·MAD counting pass, all over primitive long arrays). Two
+    * exchanges total (facts→state with map-side combine, state→group
+    * arrays); the old two-chained-quantileFromFreq shape ran ~12
+    * single-task stages. Measured (sf0.1, interleaved A/B): 1.9-2.2 s
+    * → 1.1-1.4 s with interpreted HOF folds, → kernel replaces the
+    * three folds + dev sort (same A/B protocol, numbers in
+    * BASELINE.md). A repartition(keys)-first variant that fuses the
+    * two exchanges into one reads another ~0.1 s faster but shuffles
+    * RAW FACTS to |groups| partitions — scale-dishonest for few
+    * groups, rejected.
     *
     * Regime note: this packs each group's grid into one row — right
     * whenever the grid fits a row (the same boundedness the freq-state
@@ -144,35 +145,18 @@ object AggState {
     * n_outliers). */
   def medianMadOutliers(state: DataFrame, keys: Seq[String],
                         madK: Long = 3L): DataFrame = {
-    val fold = (fs: Column, total: Column) =>
-      aggregate(fs,
-        struct(lit(0L).as("cum"), lit(null).cast("long").as("med")),
-        (acc, s) => {
-          val cum2 = acc.getField("cum") + s.getField("n")
-          struct(cum2.as("cum"),
-            when(acc.getField("med").isNull && cum2 * 2 >= total,
-              s.getField("v_cents")).otherwise(acc.getField("med")).as("med"))
-        },
-        acc => acc.getField("med"))
-    val packed = state.groupBy(keys.map(ref): _*)
+    graft.plans.GraftExtensions.ensure(state.sparkSession)
+    state.groupBy(keys.map(ref): _*)
       .agg(array_sort(collect_list(struct(col("v_cents"), col("n")))).as("fs"),
         sum(col("n")).as("total"))
-    val withMed = packed
-      .withColumn("median_cents", fold(col("fs"), col("total")))
-    val withDev = withMed.withColumn("dfs",
-      array_sort(transform(col("fs"), s =>
-        struct(abs(s.getField("v_cents") - col("median_cents")).as("v_cents"),
-          s.getField("n").as("n")))))
-    val withMad = withDev
-      .withColumn("mad_cents", fold(col("dfs"), col("total")))
-    withMad.select(
-      keys.map(ref) ++ Seq(
-        col("total").as("n"),
-        col("median_cents"),
-        col("mad_cents"),
-        aggregate(col("dfs"), lit(0L), (acc, s) =>
-          acc + when(s.getField("v_cents") > lit(madK) * col("mad_cents"),
-            s.getField("n")).otherwise(0L)).as("n_outliers")): _*)
+      .withColumn("__s", call_function("graft_freq_stats",
+        col("fs"), col("total"), lit(madK)))
+      .select(
+        keys.map(ref) ++ Seq(
+          col("total").as("n"),
+          element_at(col("__s"), 1).as("median_cents"),
+          element_at(col("__s"), 2).as("mad_cents"),
+          element_at(col("__s"), 3).as("n_outliers")): _*)
   }
 
   /** The qNum/qDen quantile (lower/disc convention: smallest value whose

@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.argminL2Entry)
     ext.injectFunction(GraftExtensions.tsNanosEntry)
     ext.injectFunction(GraftExtensions.topKEntry)
+    ext.injectFunction(GraftExtensions.freqStatsEntry)
   }
 }
 
@@ -210,6 +211,15 @@ object GraftExtensions {
         children(0), children(1), children(2)): Expression
     })
 
+  private[graft] val freqStatsEntry = (
+    new FunctionIdentifier("graft_freq_stats"),
+    new ExpressionInfo(classOf[GraftFreqStats].getName, "graft_freq_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_freq_stats(fs, total, madK) takes three arguments")
+      GraftFreqStats(children(0), children(1), children(2)): Expression
+    })
+
   private[graft] val tsNanosEntry = (
     new FunctionIdentifier("graft_ts_nanos"),
     new ExpressionInfo(classOf[GraftTsNanos].getName, "graft_ts_nanos"),
@@ -228,7 +238,7 @@ object GraftExtensions {
       shingleHashesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
-      tsNanosEntry, topKEntry).foreach { e =>
+      tsNanosEntry, topKEntry, freqStatsEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }
