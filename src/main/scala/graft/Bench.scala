@@ -133,37 +133,59 @@ object Bench {
     // so the DuckDB comparison (whose oracle twins train inline) stays
     // apples-to-apples: total = train line + steady line, same work.
     type QueryFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    // Each train line is gated on ITS OWN steady query being selected
+    // (r7 ADVICE: ONLY=q132_pq_adc_topk used to measure BOTH trains).
+    val want132 = only.forall(_.contains("q132_pq_adc_topk"))
+    val want133 = only.forall(_.contains("q133_ivfpq_topk"))
+    // The indexed override must answer exactly what the oracle-gated
+    // inline query fn answers (r7 ADVICE: the bench would otherwise
+    // report an oracle-green label for a path that was never verified).
+    // One-time assert per bench run: collect both, compare sorted rows.
+    def assertMatchesInline(name: String, indexed: QueryFn): QueryFn = {
+      val inline = SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(_.toString).sorted.toSeq
+      val idx = indexed(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      require(idx == inline,
+        s"$name indexed bench path diverges from the oracle-verified inline path")
+      indexed
+    }
     val splitPrep: Option[(Seq[Measure], Map[String, QueryFn])] =
-      if (!(only.isEmpty ||
-            only.exists(o => o("q132_pq_adc_topk") || o("q133_ivfpq_topk")))) None
+      if (!want132 && !want133) None
       else try {
         import org.apache.spark.sql.functions.col
         import graft.operators.{IvfPq, ProductQuantizer}
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        // q132 contract: corpus = ALL vectors, query = MIN(vec_id)'s
-        val q132Probe = emb.orderBy(col("vec_id").asc)
-          .select(col("embedding")).head().getSeq[Float](0)
-        val mTrainPq = measure("x132_pq_train", {
-          ProductQuantizer.buildPqIndex(emb, "vec_id", "embedding",
-            "bench_q132_pq", m = 8, k = 64, iters = 1)
-          ()
-        })
-        // q133 contract: probe = vec_id 0's vector, corpus excludes it
-        val probe0 = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val mTrainIvfPq = measure("x133_ivfpq_train",
-          IvfPq.build(corpus, "vec_id", "embedding", "bench_q133_ivfpq",
-            numCells = 8, m = 8, codesK = 64, iters = 1))
-        val overrides: Map[String, QueryFn] = Map(
-          "q132_pq_adc_topk" -> ((s: SparkSession, _: String) =>
-            ProductQuantizer.adcRerankTopKIndexed(s, "bench_q132_pq", emb,
-              "vec_id", "embedding", q132Probe, shortlist = 100, k = 10)),
-          "q133_ivfpq_topk" -> ((s: SparkSession, _: String) =>
-            IvfPq.topKIndexed(s, "bench_q133_ivfpq", corpus,
-              "vec_id", "embedding", probe0, k = 10, nprobe = 2,
-              shortlist = 100)))
-        Some((Seq(mTrainPq, mTrainIvfPq), overrides))
+        val trains = Seq.newBuilder[Measure]
+        val over = Map.newBuilder[String, QueryFn]
+        if (want132) {
+          // q132 contract: corpus = ALL vectors, query = MIN(vec_id)'s
+          val q132Probe = emb.orderBy(col("vec_id").asc)
+            .select(col("embedding")).head().getSeq[Float](0)
+          trains += measure("x132_pq_train", {
+            ProductQuantizer.buildPqIndex(emb, "vec_id", "embedding",
+              "bench_q132_pq", m = 8, k = 64, iters = 1)
+            ()
+          })
+          over += "q132_pq_adc_topk" -> assertMatchesInline("q132_pq_adc_topk",
+            (s: SparkSession, _: String) =>
+              ProductQuantizer.adcRerankTopKIndexed(s, "bench_q132_pq", emb,
+                "vec_id", "embedding", q132Probe, shortlist = 100, k = 10))
+        }
+        if (want133) {
+          // q133 contract: probe = vec_id 0's vector, corpus excludes it
+          val probe0 = emb.filter(col("vec_id") === 0)
+            .select("embedding").head().getSeq[Float](0)
+          val corpus = emb.filter(col("vec_id") =!= 0)
+          trains += measure("x133_ivfpq_train",
+            IvfPq.build(corpus, "vec_id", "embedding", "bench_q133_ivfpq",
+              numCells = 8, m = 8, codesK = 64, iters = 1))
+          over += "q133_ivfpq_topk" -> assertMatchesInline("q133_ivfpq_topk",
+            (s: SparkSession, _: String) =>
+              IvfPq.topKIndexed(s, "bench_q133_ivfpq", corpus,
+                "vec_id", "embedding", probe0, k = 10, nprobe = 2,
+                shortlist = 100))
+        }
+        Some((trains.result(), over.result()))
       } catch { case _: Throwable => None }
     val steadyOverride = splitPrep.map(_._2).getOrElse(Map.empty[String, QueryFn])
 
@@ -419,8 +441,52 @@ object Bench {
     // the before/after evidence.
     // decision rules live in HealPolicy (unit-tested, Spark-free)
     val noRerun = Set("x_ann_ivf_append", "x_ann_ivfpq_append")
+    // Cross-round regression probes (r7 VERDICT item 1): the previous
+    // round's compact medians are the third flagging signal. Source:
+    // SPARK_GRAFT_PRIOR_BENCH (path to a driver BENCH_r{N}.json
+    // envelope or a raw compact line), default = the highest-numbered
+    // BENCH_r*.json in the repo root. Absent/unparsable => no cross-
+    // round flags (first round, foreign box) — never an error.
+    val priorMedians: Map[String, Double] = try {
+      val path = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").orElse {
+        val repo = new java.io.File("/root/repo")
+        Option(repo.listFiles()).map(_.toSeq).getOrElse(Seq())
+          .map(_.getName)
+          .flatMap { n =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+              .map(m2 => (m2.group(1).toInt, s"/root/repo/$n"))
+          }
+          .sortBy(-_._1).headOption.map(_._2)
+      }
+      path match {
+        case None => Map.empty[String, Double]
+        case Some(p) =>
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val root = JsonMethods.parse(txt)
+          val qs = (root \ "parsed" \ "queries") match {
+            case o: JObject => o
+            case _ => (root \ "queries") match {
+              case o: JObject => o
+              case _ => JObject()
+            }
+          }
+          qs.obj.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
     def heal(m: Measure): (Measure, Option[Double]) = {
-      if (noRerun(m.name) || !HealPolicy.flagged(m.median, m.samples))
+      if (noRerun(m.name)) return (m, None)
+      val prior = priorMedians.get(HealPolicy.shortName(m.name))
+      if (!HealPolicy.flagged(m.median, m.samples) &&
+          !HealPolicy.regressed(m.median, prior))
         return (m, None)
       val thunk = thunks.getOrElse(m.name, return (m, None))
       val remeasure = HealPolicy.bimodal(m.median, m.samples) || {

@@ -7,7 +7,10 @@ package graft
   *   1. [[flagged]]: is the line worth a look? Heavy (median >= 1 s —
   *      the expensive tail is short, so probing it is cheap) or
   *      intra-run bimodal (median > 3x its own minimum sample, with a
-  *      0.3 s floor so micro-queries never qualify on noise).
+  *      0.3 s floor so micro-queries never qualify on noise). Round 8
+  *      adds [[regressed]]: >1.4x the previous round's compact-line
+  *      median for the same key — the signal that would have caught
+  *      both r7 regressions that sat under the other two checks.
   *   2. Bimodal lines re-measure directly (the clean minimum is
   *      already evidence). Heavy lines get ONE probe run first;
   *      [[probeConfirms]] says whether the probe (median/1.5 or
@@ -31,6 +34,12 @@ object HealPolicy {
   val BimodalRatio = 3.0
   val BimodalFloorSec = 0.3
   val ConfirmRatio = 1.5
+  // 1.4, not the 1.5 of ConfirmRatio: r7's q134 regression was 0.95 ->
+  // 1.38 = 1.45x — a 1.5x gate would have missed the very incident this
+  // check exists for. The cost of the lower bar is one extra probe run
+  // per falsely-flagged line, bounded by the 0.3 s floor.
+  val RegressRatio = 1.4
+  val RegressFloorSec = 0.3
 
   /** Intra-run bimodality: the median sits far above the line's own
     * best sample — a mid-measure disturbance. */
@@ -45,6 +54,19 @@ object HealPolicy {
   def flagged(median: Double, samples: Seq[Double]): Boolean =
     median >= 0 && samples.nonEmpty &&
       (bimodal(median, samples) || heavy(median))
+
+  /** Cross-round regression (round 8 — the r7 blind spot): both r7
+    * regressions (q93 0.33→0.73, q134 0.95→1.38) sat under the 1 s
+    * heavy threshold and were not intra-run bimodal, so healing never
+    * probed them — yet the prior round's median was right there. A
+    * line whose new median exceeds [[RegressRatio]]× its prior-round
+    * median (and the [[RegressFloorSec]] floor, so micro-lines never
+    * flag on noise) gets the same probe-then-re-measure treatment as
+    * heavy lines. A genuine regression probes at the new number and
+    * keeps it; a polluted window probes low and heals. */
+  def regressed(median: Double, prior: Option[Double]): Boolean =
+    median >= RegressFloorSec &&
+      prior.exists(p => p > 0 && median > RegressRatio * p)
 
   /** After the probe run: re-measure in full only when the probe lands
     * clearly under the recorded median (stalls only inflate). */

@@ -77,15 +77,17 @@ object SetSimJoin {
   private def ceilDiv(a: Column, b: Column): Column =
     floor((a + b - lit(1)) / b).cast("long")
 
-  /** Tokenized, persisted input: (id, blocks..., l, sz). See the persist
-    * rationale at the [[selfJoin]] call site. */
+  /** Tokenized input: (id, blocks..., l, sz), persisted when `cache`
+    * (see the persist rationale at the [[selfJoin]] call site). */
   private def tokenized(df: DataFrame, idCol: String, tokensCol: Column,
-                        blocks: Seq[Column]): DataFrame =
-    df.select(
+                        blocks: Seq[Column], cache: Boolean): DataFrame = {
+    val t = df.select(
         (col(idCol).cast("long").as("id") +: blocks) :+
           array_distinct(tokensCol).as("l"): _*)
       .withColumn("sz", size(col("l")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cache) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else t
+  }
 
   /** Prefix rows (id, blocks..., sz, pos, token) for `t` under the
     * (df asc, token asc) order, regime-split on vocabulary size. `head`
@@ -175,12 +177,29 @@ object SetSimJoin {
     * @param dictMaxTokens vocabulary-size ceiling for the
     *                  dictionary-broadcast prefix path; 0 forces the
     *                  shuffled path (the spec uses this to pin both)
+    * @param eager     EXECUTION CONTRACT (default true): the full
+    *                  candidate+verify join runs AT CALL TIME
+    *                  (`localCheckpoint(true)`) so the tokenized-corpus
+    *                  cache can be released before returning — callers
+    *                  that loop this operator in one session would
+    *                  otherwise leak a persisted corpus per call
+    *                  (CacheManager holds entries strongly). The
+    *                  returned frame's lineage is truncated: it is NOT
+    *                  recomputable if its checkpoint blocks are lost.
+    *                  Pass `eager = false` for plan-only/composition
+    *                  use: fully lazy, nothing persisted, nothing
+    *                  checkpointed — the plan recomputes tokenization
+    *                  per job (slower when executed repeatedly, free
+    *                  when never executed). Either way one small
+    *                  dictionary-head job (<= dictMaxTokens+1 rows)
+    *                  runs at call time to pick the prefix regime.
     * @return (id_a, id_b, n_common, sz_a, sz_b) — all LongType
     */
   def selfJoin(df: DataFrame, idCol: String, tokensCol: Column,
                simNum: Int, simDen: Int,
                blockCols: Seq[String] = Seq.empty,
-               dictMaxTokens: Int = 1 << 20): DataFrame = {
+               dictMaxTokens: Int = 1 << 20,
+               eager: Boolean = true): DataFrame = {
     require(simNum > 0 && simNum <= simDen,
       s"similarity threshold $simNum/$simDen out of (0, 1]")
     // The tokenized corpus feeds THREE consumers (df aggregate, prefix
@@ -190,7 +209,7 @@ object SetSimJoin {
     // Memory cost is the tokenized corpus itself (spillable);
     // materializing the tokenization once is also what a 100 TB
     // pipeline does.
-    val t = tokenized(df, idCol, tokensCol, blockCols.map(col))
+    val t = tokenized(df, idCol, tokensCol, blockCols.map(col), cache = eager)
 
     // Global df per token — the ordering only needs to be SOME total
     // order shared by all sets, so block-local dfs are unnecessary.
@@ -214,9 +233,12 @@ object SetSimJoin {
     // the ContextCleaner once the returned frame is unreferenced; the
     // result (verified pairs) is orders of magnitude smaller than the
     // tokenized corpus.
-    val out = verified.localCheckpoint(true)
-    t.unpersist()
-    out
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      t.unpersist()
+      out
+    }
   }
 
   /** R-S (cross-corpus) variant: all pairs (a in `left`, b in `right`)
@@ -228,15 +250,18 @@ object SetSimJoin {
     * Same regime split, prunes, and integer verification as
     * [[selfJoin]]; no id constraint — a document present in both inputs
     * pairs with itself, which is exactly what a contamination probe
-    * wants to see. */
+    * wants to see. `eager` carries [[selfJoin]]'s execution contract:
+    * default true runs the join at call time (lineage-truncated result,
+    * caches released); false is fully lazy and persists nothing. */
   def join(left: DataFrame, right: DataFrame, idCol: String,
            tokensCol: Column, simNum: Int, simDen: Int,
            blockCols: Seq[String] = Seq.empty,
-           dictMaxTokens: Int = 1 << 20): DataFrame = {
+           dictMaxTokens: Int = 1 << 20,
+           eager: Boolean = true): DataFrame = {
     require(simNum > 0 && simNum <= simDen,
       s"similarity threshold $simNum/$simDen out of (0, 1]")
-    val tA = tokenized(left, idCol, tokensCol, blockCols.map(col))
-    val tB = tokenized(right, idCol, tokensCol, blockCols.map(col))
+    val tA = tokenized(left, idCol, tokensCol, blockCols.map(col), cache = eager)
+    val tB = tokenized(right, idCol, tokensCol, blockCols.map(col), cache = eager)
     val dfreq = tA.select(explode(col("l")).as("token"))
       .unionByName(tB.select(explode(col("l")).as("token")))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -249,9 +274,12 @@ object SetSimJoin {
     val verified = candVerify(prefA, prefB, tA, tB, simNum, simDen, blockCols,
       selfMode = false)
     // Same cache-release contract as selfJoin.
-    val out = verified.localCheckpoint(true)
-    tA.unpersist()
-    tB.unpersist()
-    out
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      tA.unpersist()
+      tB.unpersist()
+      out
+    }
   }
 }

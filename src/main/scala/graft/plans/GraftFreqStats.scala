@@ -67,13 +67,23 @@ object GraftFreqStats {
       return new GenericArrayData(Array[Any](0L, 0L, 0L))
     val vs = new Array[Long](n)
     val cs = new Array[Long](n)
+    var sum = 0L
     var i = 0
     while (i < n) {
       val row = fs.getStruct(i, 2)
       vs(i) = row.getLong(0)
       cs(i) = row.getLong(1)
+      sum += cs(i)
       i += 1
     }
+    // Defensive contract check: both quantile walks below terminate only
+    // when the cumulative count reaches total/2. A caller passing a
+    // `total` larger than 2x the grid's actual count sum (the function is
+    // SQL-registered, so any session query can) would otherwise exhaust
+    // both pointers and index cs(-1). Return the zero sentinel instead of
+    // crashing the task.
+    if (2L * sum < total)
+      return new GenericArrayData(Array[Any](0L, 0L, 0L))
     // median: smallest grid value with cum*2 >= total
     var cum = 0L
     var mi = 0

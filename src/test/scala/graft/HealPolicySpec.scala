@@ -51,6 +51,38 @@ class HealPolicySpec extends AnyFunSuite {
     assert(!HealPolicy.suspect(orig = 2.3, healed = 2.0)) // modest drift
   }
 
+  // ---- cross-round regression probes (round 8) ----
+
+  test("r7 q93 shape: 0.33 -> 0.73 flags cross-round, not heavy/bimodal") {
+    val samples = Seq(0.71, 0.73, 0.74)
+    assert(!HealPolicy.flagged(0.73, samples))
+    assert(HealPolicy.regressed(0.73, prior = Some(0.33)))
+  }
+
+  test("r7 q134 shape: 0.95 -> 1.38 (1.45x) flags cross-round") {
+    // this pair is WHY the ratio is 1.4 and not 1.5
+    assert(HealPolicy.regressed(1.38, prior = Some(0.95)))
+    assert(HealPolicy.flagged(1.38, Seq(1.35, 1.38, 1.4))) // heavy too
+  }
+
+  test("modest drift under 1.4x prior is not a regression") {
+    assert(!HealPolicy.regressed(0.45, prior = Some(0.33)))
+  }
+
+  test("regression floor: micro-lines never flag vs prior") {
+    // 0.05 -> 0.2 is 4x but under the 0.3 s floor — pure noise regime
+    assert(!HealPolicy.regressed(0.2, prior = Some(0.05)))
+  }
+
+  test("no prior data (first round / foreign box) never flags") {
+    assert(!HealPolicy.regressed(5.0, prior = None))
+    assert(!HealPolicy.regressed(5.0, prior = Some(0.0))) // degenerate prior
+  }
+
+  test("failed sentinel never flags vs prior") {
+    assert(!HealPolicy.regressed(-1.0, prior = Some(0.5)))
+  }
+
   test("compact keys: bare number for qNN, full name for extras") {
     assert(HealPolicy.shortName("q144_mad_outliers") == "144")
     assert(HealPolicy.shortName("q05_group_summary") == "05")

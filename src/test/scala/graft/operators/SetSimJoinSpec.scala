@@ -25,6 +25,20 @@ class SetSimJoinSpec extends SparkSpec {
         split(col("text"), "\\s+"), num, den, dictMaxTokens = dictMax)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
 
+  test("eager=false is lazy (no cached corpus), same result as eager") {
+    val rows = Seq(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z",
+      4L -> "x y z")
+    val cached0 = spark.sparkContext.getPersistentRDDs.size
+    val lazyDf = SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
+      split(col("text"), "\\s+"), 1, 2, eager = false)
+    assert(spark.sparkContext.getPersistentRDDs.size === cached0,
+      "eager=false must not persist anything at call time")
+    val got = lazyDf.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === brute(rows, 1, 2))
+    assert(spark.sparkContext.getPersistentRDDs.size === cached0,
+      "eager=false must not leak a cache entry after execution")
+  }
+
   test("matches brute force on a crafted corpus (tau = 1/2)") {
     val rows = Seq(
       1L -> "a b c d",
