@@ -386,7 +386,10 @@ object Bench {
       // r6-late: R-S set-sim and the curation capstone are corpus-
       // proportional end to end; interval overlap is event-proportional
       "q140_setsim_cross_join", "q146_curation_capstone",
-      "q147_interval_overlap")
+      "q147_interval_overlap",
+      // r8: BPE training is corpus-proportional through its one
+      // word-histogram pass (the merge rounds are vocabulary-bounded)
+      "q154_bpe_train")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * LOWEST merge rank (leftmost occurrence on rank ties) and fuse it;
   * stop when no adjacent pair has a rank. This is exactly the greedy
   * loop GPT-2's encoder runs per word; the merges table is the trained
-  * artifact (an external input here, like embeddings — the engine
-  * applies it, training it is the reference's Python/external boundary).
+  * artifact — either an external input (like embeddings) or learned
+  * in-engine by [[train]] (round 8).
   *
   * Not SQL-expressible (data-dependent loop), so no DuckDB oracle: the
   * driver records the rows-only check and correctness rides
@@ -28,24 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object BpeTokenizer {
 
+  /** A word as its code-point sequence — NOT UTF-16 chars:
+    * supplementary characters (emoji, rare CJK) must enter as one unit,
+    * not two unpaired surrogate halves (GPT-2's encoder, the cited
+    * contract, never produces invalid strings). */
+  def codePoints(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
   /** Encode one word under `ranks` (pair -> priority; lower fuses
     * first). Returns the subword sequence. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     if (word.isEmpty) return Vector.empty
-    // Seed from CODE POINTS, not UTF-16 chars: supplementary characters
-    // (emoji, rare CJK) must enter as one unit, not two unpaired
-    // surrogate halves (GPT-2's encoder, the cited contract, never
-    // produces invalid strings).
-    var parts: Vector[String] = {
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        b += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      b.result()
-    }
+    var parts: Vector[String] = codePoints(word)
     var done = false
     while (!done && parts.size >= 2) {
       var best = -1
@@ -90,5 +92,138 @@ object BpeTokenizer {
       }
       (id, words.length.toLong, nSub, nUnk)
     }.toDF(idCol, "n_words", "n_subwords", "n_unk_chars")
+  }
+
+  /** Fuse every LEFT-TO-RIGHT NON-OVERLAPPING occurrence of the
+    * adjacent pair (a, b) in one pass — the classic BPE training
+    * step (and provably what k single-leftmost fuses of the same pair
+    * produce; tools/gen_bpe_golden.py makes that argument executable
+    * for the encode side). */
+  def fusePair(parts: Seq[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < parts.length) {
+      if (i < parts.length - 1 && parts(i) == a && parts(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += parts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** LEARN a BPE merge table from a corpus — the training half of the
+    * tokenizer story (encode/subwordStats apply a given table; a real
+    * pipeline must first produce one). Classic BPE (Sennrich et al.
+    * 2016; the same loop GPT-2's tables were trained with): repeat
+    * `numMerges` times — count every adjacent part pair across the
+    * corpus (instance-weighted, adjacency overlap counted), fuse the
+    * most frequent pair everywhere (ties: lexicographically smallest
+    * (a, b), deterministic across engines — UTF-8 byte order equals
+    * code-point order), stop early if no pair remains.
+    *
+    * Scale shape (the part that matters at 100 TB): the corpus is
+    * touched EXACTLY ONCE — a map-side-combined distinct-word
+    * histogram (`groupBy(word).count`). Training then runs over the
+    * histogram, which is vocabulary-bounded (natural-language vocab
+    * ~10^7 no matter the corpus size), in one of two regimes, the
+    * [[graft.operators.SetSimJoin]] dictionary pattern:
+    *
+    *  - **Local** (histogram <= `localVocabMax` rows — one bounded
+    *    `limit(max+1).collect()` decides): the k merge rounds run
+    *    driver-side over the collected histogram, zero jobs per round
+    *    (the Hugging-Face-tokenizers shape). O(k · Σ|word|) worst
+    *    case.
+    *  - **Distributed** (histogram too large, or `localVocabMax = 0`
+    *    to force it — the spec pins both paths equal): per round ONE
+    *    map-side-combined pair-count aggregate over the (parts, freq)
+    *    table + a 1-row argmax collect + a row-local re-encode map;
+    *    k merges = k bounded rounds, lineage truncated per round via
+    *    `localCheckpoint` so round r never re-plans rounds 0..r-1.
+    *
+    * @return the learned merges, rank order (earliest = rank 0) */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            localVocabMax: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges < 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val head =
+      if (localVocabMax > 0) hist.limit(localVocabMax + 1)
+        .as[(String, Long)].collect()
+      else Array.empty[(String, Long)]
+    if (localVocabMax > 0 && head.length <= localVocabMax)
+      trainLocal(head, numMerges)
+    else trainDistributed(hist, numMerges)
+  }
+
+  private def trainLocal(hist: Array[(String, Long)],
+                         numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      hist.map { case (w, f) => (codePoints(w), f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ps, f) =>
+        var i = 0
+        while (i < ps.length - 1) {
+          val k = (ps(i), ps(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count, ties by lexicographically smallest (a, b)
+        val (a, b) = counts.toSeq
+          .minBy { case ((pa, pb), n) => (-n, pa, pb) }._1
+        merges += ((a, b))
+        words = words.map { case (ps, f) => (fusePair(ps, a, b), f) }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  private def trainDistributed(hist: DataFrame,
+                               numMerges: Int): Seq[(String, String)] = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    var words = hist.as[(String, Long)]
+      .map { case (w, f) => (codePoints(w), f) }
+      .toDF("parts", "freq")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("parts"), lit(1), size(col("parts")) - 1),
+          slice(col("parts"), lit(2), size(col("parts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((a, b))
+        val next = words.as[(Seq[String], Long)]
+          .map { case (ps, f) => (fusePair(ps, a, b), f) }
+          .toDF("parts", "freq")
+          .localCheckpoint(true)
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    merges.result()
   }
 }

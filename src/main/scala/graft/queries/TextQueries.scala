@@ -392,7 +392,68 @@ object TextQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  // BPE merge TRAINING (r8, the r7 verdict's item 2 — the missing half
+  // of the tokenizer story: q148/q151 encode with a GIVEN table; a real
+  // pipeline must learn it). q154 learns the first 20 merges over the
+  // documents corpus with BpeTokenizer.train (one corpus-proportional
+  // word-histogram pass, then vocabulary-bounded rounds). The oracle
+  // replays training as 20 UNROLLED MATERIALIZED CTE rounds (the q118
+  // k-means precedent): per round, pair counts from the parts lists,
+  // argmax by (n DESC, a, b), and the fuse step as a delimiter-string
+  // replace — parts held as chr(31)-wrapped strings ("\x1f a \x1f\x1f
+  // b \x1f"), so SQL replace() IS the left-to-right non-overlapping
+  // batch fuse, with part boundaries unfakeable (words never contain
+  // \x1f — they come from a \s+ split). MATERIALIZED is load-bearing:
+  // DuckDB inlines plain CTEs, and each round references its
+  // predecessor several times, which inflates the inlined plan
+  // exponentially (measured: the 6-round plain form did not finish in
+  // 120 s; the 20-round materialized form runs in 0.4 s).
+  private val bpeTrainK = 20
+
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.BpeTokenizer.train(documents(s, d), "text", bpeTrainK)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_rank", "a", "b")
+      .orderBy(col("merge_rank"))
+  }
+
+  private def bpeTrainOracle: String = {
+    val sep = "chr(31)"
+    val partsOf = s"string_split(substr(rep, 2, length(rep) - 2), $sep || $sep)"
+    val ctes = Seq.newBuilder[String]
+    ctes += ("w AS MATERIALIZED (SELECT u.word AS word FROM (SELECT " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(word))")
+    ctes += ("wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM w GROUP BY word)")
+    ctes += (s"r0 AS MATERIALIZED (SELECT $sep || " +
+      s"array_to_string(regexp_extract_all(word, '.'), $sep || $sep) || $sep AS rep, " +
+      "freq FROM wf)")
+    (0 until bpeTrainK).foreach { i =>
+      ctes += (s"p$i AS MATERIALIZED (SELECT z.a AS a, z.b AS b, " +
+        "CAST(SUM(freq) AS BIGINT) AS n FROM (" +
+        "SELECT unnest(list_transform(generate_series(1, len(ps) - 1), " +
+        "j -> struct_pack(a := ps[j], b := ps[j+1]))) AS z, freq " +
+        s"FROM (SELECT $partsOf AS ps, freq FROM r$i)) GROUP BY 1, 2)")
+      ctes += (s"b$i AS MATERIALIZED (SELECT a, b FROM p$i " +
+        "ORDER BY n DESC, a, b LIMIT 1)")
+      if (i < bpeTrainK - 1)
+        ctes += (s"r${i + 1} AS MATERIALIZED (SELECT replace(rep, " +
+          s"$sep || (SELECT a FROM b$i) || $sep || $sep || (SELECT b FROM b$i) || $sep, " +
+          s"$sep || (SELECT a FROM b$i) || (SELECT b FROM b$i) || $sep) AS rep, " +
+          s"freq FROM r$i)")
+    }
+    val unions = (0 until bpeTrainK)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.result().mkString(", ") +
+      s" SELECT * FROM ($unions) ORDER BY merge_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_bpe_train" -> q154 _,
     "q148_bpe_subwords" -> q148 _,
     "q150_linear_quality" -> q150 _,
     "q151_bpe_coverage" -> q151 _,
@@ -502,6 +563,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q154_bpe_train" -> bpeTrainOracle,
     "q148_bpe_subwords" -> bpeOracle,
     "q150_linear_quality" -> linearQualityOracle,
     "q151_bpe_coverage" -> bpeCoverageOracle,

@@ -36,7 +36,8 @@ class BpeGoldenSpec extends AnyFunSuite {
   test("452 independently-generated GPT-2 cases match encodeWord exactly") {
     val lines = loadLines()
     val tables: Map[String, Map[(String, String), Int]] = lines.collect {
-      case o: JObject if (o \ "merges") != JNothing =>
+      // "table" records only — train goldens (r8) also carry "merges"
+      case o: JObject if (o \ "merges") != JNothing && (o \ "table") != JNothing =>
         val name = (o \ "table").values.toString
         val merges = (o \ "merges") match {
           case JArray(ps) => ps.map { case JArray(List(JString(a), JString(b))) => (a, b)

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.SparkSpec
+
+/** [[BpeTokenizer.train]] pinned against the INDEPENDENT trainer in
+  * `tools/gen_bpe_golden.py` (classic BPE: fuse the globally most
+  * frequent adjacent pair, ties lexicographic, instance-weighted) on
+  * four corpora: English text with natural word repeats, overlap-heavy
+  * repeats, supplementary-character words, and a 300-word randomized
+  * corpus. Both training regimes are pinned: the local (collected
+  * histogram) path on every corpus and the distributed per-round
+  * aggregate path (forced with `localVocabMax = 0`) on two of them —
+  * the SetSimJoin both-paths convention.
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class TrainGolden(name: String, corpus: Seq[String], n: Int,
+                                 merges: Seq[(String, String)])
+
+  private def goldens(): Seq[TrainGolden] = {
+    val in = getClass.getResourceAsStream("/golden/bpe_golden.jsonl")
+    require(in != null, "missing fixture — run tools/gen_bpe_golden.py")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty)
+      .map(JsonMethods.parse(_)).toList finally src.close()
+    lines.collect {
+      case o: JObject if (o \ "train") != JNothing =>
+        val corpus = (o \ "corpus") match {
+          case JArray(ws) => ws.map { case JString(s) => s
+            case other => sys.error(s"non-string $other") }
+          case other => sys.error(s"bad corpus $other")
+        }
+        val merges = (o \ "merges") match {
+          case JArray(ps) => ps.map {
+            case JArray(List(JString(a), JString(b))) => (a, b)
+            case other => sys.error(s"bad pair $other") }
+          case other => sys.error(s"bad merges $other")
+        }
+        TrainGolden((o \ "train").values.toString, corpus,
+          (o \ "n").values.toString.toInt, merges)
+    }
+  }
+
+  test("local path matches the independent trainer on all four corpora") {
+    val gs = goldens()
+    assert(gs.size === 4)
+    gs.foreach { g =>
+      val df = g.corpus.toDF("text")
+      val got = BpeTokenizer.train(df, "text", g.n)
+      assert(got === g.merges, s"corpus ${g.name}")
+    }
+  }
+
+  test("distributed path (forced) matches the golden tables") {
+    // the two short tables keep the per-round job count test-friendly
+    goldens().filter(g => g.name == "train_repeats" || g.name == "train_emoji")
+      .foreach { g =>
+        val got = BpeTokenizer.train(g.corpus.toDF("text"), "text", g.n,
+          localVocabMax = 0)
+        assert(got === g.merges, s"corpus ${g.name} (distributed)")
+      }
+  }
+
+  test("training stops early when pairs are exhausted") {
+    val merges = BpeTokenizer.train(Seq("ab", "ab").toDF("text"), "text", 10)
+    assert(merges === Seq(("a", "b")))
+    assert(BpeTokenizer.train(Seq("x").toDF("text"), "text", 5) === Seq())
+  }
+
+  test("instance weighting: a repeated word outvotes a longer unique one") {
+    // 'zz' appears 3 times (3 votes for (z,z)); 'qrs' once (1 vote each)
+    val merges = BpeTokenizer.train(
+      Seq("zz", "zz", "zz", "qrs").toDF("text"), "text", 1)
+    assert(merges === Seq(("z", "z")))
+  }
+
+  test("learned table round-trips through encodeWord to full words") {
+    // after enough merges, every corpus word encodes to a single token
+    val corpus = Seq("alpha", "beta", "alpha", "gamma")
+    val merges = BpeTokenizer.train(corpus.toDF("text"), "text", 50)
+    val ranks = merges.zipWithIndex.toMap
+    corpus.distinct.foreach { w =>
+      assert(BpeTokenizer.encodeWord(w, ranks) === Vector(w), w)
+    }
+  }
+}

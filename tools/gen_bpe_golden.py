@@ -24,10 +24,15 @@ construction; an adversarial invalid table would diverge and is
 deliberately out of contract (the scaladoc cites GPT-2, whose trained
 artifacts are always valid).
 
-Output: src/test/resources/golden/bpe_golden.jsonl with two record
+Output: src/test/resources/golden/bpe_golden.jsonl with three record
 types:
   {"table": name, "merges": [[a, b], ...]}
   {"word": w, "table": name, "expected": [...]}
+  {"train": name, "corpus": [...], "n": k, "merges": [[a, b], ...]}
+    — TRAINING goldens (round 8): the corpus (with duplicates — the
+    trainer is instance-weighted) plus the merge table this
+    independent train_merges implementation learns from it, for
+    BpeTrainSpec to pin BpeTokenizer.train against.
 
 Usage: python3 tools/gen_bpe_golden.py   (regenerates in place)
 """
@@ -176,6 +181,21 @@ def main():
         assert exp == bpe_single(w, ranks_en)
         cases.append({"word": w, "table": "english50", "expected": exp})
 
+    # training goldens: corpora WITH duplicates (instance weighting must
+    # matter — 'the' repeats in english), including a randomized one
+    rand_corpus = ["".join(rng.choice("abcdest") for _ in range(rng.randint(1, 9)))
+                   for _ in range(300)]
+    train_specs = {
+        "train_english": (english, 50),
+        "train_repeats": (repeats, 12),
+        "train_emoji": (emoji, 8),
+        "train_random": (rand_corpus, 30),
+    }
+    train_records = []
+    for name, (corpus, k) in train_specs.items():
+        train_records.append({"train": name, "corpus": corpus, "n": k,
+                              "merges": [list(p) for p in train_merges(corpus, k)]})
+
     out = os.path.join(os.path.dirname(__file__), "..",
                        "src", "test", "resources", "golden",
                        "bpe_golden.jsonl")
@@ -186,7 +206,10 @@ def main():
                 ensure_ascii=False) + "\n")
         for c in cases:
             f.write(json.dumps(c, ensure_ascii=False) + "\n")
-    print(f"wrote {len(cases)} cases over {len(tables)} tables to {out}")
+        for r in train_records:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    print(f"wrote {len(cases)} cases over {len(tables)} tables and "
+          f"{len(train_records)} train goldens to {out}")
 
 
 if __name__ == "__main__":
