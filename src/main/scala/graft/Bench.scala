@@ -470,24 +470,31 @@ object Bench {
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
             java.nio.charset.StandardCharsets.UTF_8)
           val root = JsonMethods.parse(txt)
-          val qs = (root \ "parsed" \ "queries") match {
+          val parsed =
+            if ((root \ "parsed") != JNothing) root \ "parsed" else root
+          val qs = (parsed \ "queries") match {
             case o: JObject => o
-            case _ => (root \ "queries") match {
-              case o: JObject => o
-              case _ => JObject()
-            }
+            case _ => JObject()
           }
+          // a prior artifact written at the base-36 degradation level
+          // declares "kf":"b36" — decode its keys back to decimal
+          val kf = (parsed \ "kf") match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          def key(k: String) = HealPolicy.canonKey(HealPolicy.decodeKey(k, kf))
           qs.obj.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-            case (k, JDecimal(v)) => k -> v.toDouble
+            case (k, JDouble(v)) => key(k) -> v
+            case (k, JInt(v)) => key(k) -> v.toDouble
+            case (k, JDecimal(v)) => key(k) -> v.toDouble
           }.toMap
       }
     } catch { case _: Throwable => Map.empty[String, Double] }
 
     def heal(m: Measure): (Measure, Option[Double]) = {
       if (noRerun(m.name)) return (m, None)
-      val prior = priorMedians.get(HealPolicy.shortName(m.name))
+      val prior =
+        priorMedians.get(HealPolicy.canonKey(HealPolicy.shortName(m.name)))
       if (!HealPolicy.flagged(m.median, m.samples) &&
           !HealPolicy.regressed(m.median, prior))
         return (m, None)
@@ -548,15 +555,27 @@ object Bench {
     // r7: the leading 'q' drops from qNN keys too (151 queries +
     // x132/x133 + "suspect" reached 1870/1900) — keys are the bare
     // number ("05", "152"); the x-prefixed extras keep their prefix.
-    val shortQs = healedBase
-      .map(m => "\"" + HealPolicy.shortName(m.name) + "\":" + f"${m.median}%.2f")
+    // Degradation ladder (r8, VERDICT item 6 — decided BEFORE the
+    // guard fires): 1) decimal keys + suspect list; 2) drop the
+    // suspect list; 3) base-36 keys ("134"->"3q", marked "kf":"b36" so
+    // the cross-round prior-median loader can decode — ~1 char per
+    // 3-digit key, ~2 per future 4-digit key). The require bar stays.
+    def renderQs(keyOf: String => String): String = healedBase
+      .map(m => "\"" + keyOf(HealPolicy.shortName(m.name)) + "\":" +
+        f"${m.median}%.2f")
       .mkString("{", ",", "}")
-    def renderFinal(susp: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"suspect":$susp%s,"queries":$shortQs,"sf":"$sfDir"}"""
-    val finalLine = {
-      val withSusp = renderFinal(suspectJson)
-      if (withSusp.length < 1900) withSusp else renderFinal("[]")
+    def renderFinal(susp: String, b36: Boolean): String = {
+      val kf = if (b36) "\"kf\":\"b36\"," else ""
+      val qs2 = if (b36) renderQs(HealPolicy.b36Key) else renderQs(identity)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,$kf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
+    val finalLine = Seq(
+      renderFinal(suspectJson, b36 = false),
+      renderFinal("[]", b36 = false),
+      renderFinal(suspectJson, b36 = true),
+      renderFinal("[]", b36 = true))
+      .find(_.length < 1900)
+      .getOrElse(renderFinal("[]", b36 = true))
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

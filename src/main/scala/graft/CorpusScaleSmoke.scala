@@ -51,22 +51,82 @@ object CorpusScaleSmoke {
 
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
 
+    // Forced through the noop sink, NOT count() (r8 fix): a count over
+    // a query ending in a cardinality-preserving left join (spanReport,
+    // removeSpans — right side aggregated on the join key) lets
+    // Catalyst eliminate the whole operator subtree, and the smoke
+    // "measures" a documents scan (observed: q123/q127 flat at 0.3-0.5s
+    // with 0 shuffle across 100x data). The rows count runs after the
+    // byte window closes so it pollutes nothing.
     def runq(name: String): (Double, Long, Long, Long) = {
       Thread.sleep(1000)
       val w0 = shufWrite.get(); val r0 = shufRead.get()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      Bench.force(SparkEntry.queries(name)(spark, dir))
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000)
-      (sec, shufWrite.get() - w0, shufRead.get() - r0, rows)
+      val w = shufWrite.get() - w0
+      val r = shufRead.get() - r0
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      (sec, w, r, rows)
     }
 
     val lines = Seq("q134_setsim_join", "q136_token_budget_fill",
-      "q138_pmi_collocations").map { name =>
+      "q138_pmi_collocations",
+      // r8 (r7 VERDICT item 3): the span/contamination family — exact
+      // substring-span dedup (q123 detect / q127 remove: hashed-shingle
+      // shuffles) and the 13-gram decontamination kill rule (q153:
+      // distinct train shingles + semi-join)
+      "q123_substring_spans", "q127_span_removal",
+      "q153_decontaminate_13gram").map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }
-    println(s"""{"dir":"$dir","n_docs":$n,${lines.mkString(",")}}""")
+
+    // q153 THROUGH the partitioned-bloom pruner (the composition the
+    // q153 scaladoc points at q113 for): bitmap-prune the eval
+    // shingles before the exact semi-join. Same dirty list (asserted);
+    // what changes is the byte profile — the full eval-shingle stream
+    // never reaches the distinct-join exchange, only survivors do.
+    // Bloom sized for the x100 point (~10^7 distinct train 13-grams /
+    // 64 parts); at smaller corpora it is over-sized, which only
+    // wastes bitmap bytes, never correctness.
+    val bloomLine = {
+      import org.apache.spark.sql.functions._
+      Thread.sleep(1000)
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
+      val t0 = System.nanoTime()
+      val sh = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"), lit(13)))
+            .as("shingle"))
+      val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("shingle")).distinct()
+      val evalSh = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("shingle")).distinct()
+      val survivors = graft.operators.BloomFilters.mightContainPartitioned(
+        trainSh, evalSh, "doc_id", "shingle",
+        expectedItemsPerPart = 262144L, numBitsPerPart = 262144L * 16,
+        numPartitions = 64)
+      val dirty = survivors
+        .join(trainSh, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dirty_13grams"))
+      val rows = dirty.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      // byte deltas captured BEFORE the plain-twin equality check so its
+      // shuffle never pollutes this line
+      val wMb = (shufWrite.get() - w0) / 1e6
+      val rMb = (shufRead.get() - r0) / 1e6
+      val plainRows = SparkEntry.queries("q153_decontaminate_13gram")(spark, dir)
+        .count()
+      require(rows == plainRows,
+        s"bloom-pruned q153 produced $rows dirty docs, plain join $plainRows")
+      f""""q153bloom":{"sec":$sec%.2f,"shuffle_write_mb":$wMb%.1f,"shuffle_read_mb":$rMb%.1f,"rows":$rows}"""
+    }
+
+    println(s"""{"dir":"$dir","n_docs":$n,${(lines :+ bloomLine).mkString(",")}}""")
     spark.stop()
   }
 }

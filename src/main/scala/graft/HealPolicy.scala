@@ -83,4 +83,28 @@ object HealPolicy {
     * full name. */
   def shortName(n: String): String =
     if (n.startsWith("q")) n.takeWhile(_ != '_').drop(1) else n
+
+  /** Base-36 form of a bare-number compact key ("134" -> "3q") — the
+    * next compression level when the compact line outgrows its budget
+    * (the line then carries `"kf":"b36"`). Non-numeric keys (the
+    * x-prefixed extras) pass through unchanged. */
+  def b36Key(k: String): String =
+    if (k.nonEmpty && k.forall(_.isDigit))
+      java.lang.Long.toString(k.toLong, 36)
+    else k
+
+  /** Decode a compact-artifact key back to the decimal form, given the
+    * artifact's declared key format ("b36" or absent/decimal) — lets
+    * the cross-round prior-median lookup read either generation. */
+  def decodeKey(k: String, keyFormat: Option[String]): String =
+    if (keyFormat.contains("b36") &&
+        k.nonEmpty && k.forall(c => c.isDigit || (c >= 'a' && c <= 'z')))
+      java.lang.Long.parseLong(k, 36).toString
+    else k
+
+  /** Canonical match key for cross-round lookups: numeric keys lose
+    * their zero padding ("05" and the b36 round-trip "5" must meet),
+    * everything else passes through. */
+  def canonKey(k: String): String =
+    if (k.nonEmpty && k.forall(_.isDigit)) k.toLong.toString else k
 }

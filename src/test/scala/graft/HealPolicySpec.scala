@@ -90,4 +90,25 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.shortName("x10_ann_ivf256_index_build") ==
       "x10_ann_ivf256_index_build")
   }
+
+  test("base-36 degradation keys round-trip through decodeKey") {
+    assert(HealPolicy.b36Key("134") == "3q")
+    assert(HealPolicy.b36Key("05") == "5")
+    assert(HealPolicy.b36Key("153") == "49") // all-digit b36 is legal
+    assert(HealPolicy.b36Key("x132_pq_train") == "x132_pq_train")
+    for (k <- Seq("01", "05", "82", "134", "153", "999")) {
+      assert(HealPolicy.decodeKey(HealPolicy.b36Key(k), Some("b36")) ==
+        k.toLong.toString, k)
+    }
+    // decimal artifacts (no kf) pass through untouched
+    assert(HealPolicy.decodeKey("134", None) == "134")
+    assert(HealPolicy.decodeKey("x132_pq_train", Some("b36")) ==
+      "x132_pq_train")
+    // canonical match keys: zero padding never breaks a prior lookup
+    assert(HealPolicy.canonKey("05") == "5")
+    assert(HealPolicy.canonKey(
+      HealPolicy.decodeKey(HealPolicy.b36Key("05"), Some("b36"))) ==
+      HealPolicy.canonKey("05"))
+    assert(HealPolicy.canonKey("x132_pq_train") == "x132_pq_train")
+  }
 }
