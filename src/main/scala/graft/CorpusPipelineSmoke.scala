@@ -1,0 +1,167 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-pipeline capstone (round 8, r7 VERDICT item 4):
+  * the full training-data preparation chain as ONE artifact —
+  *
+  *   ingest → exact dedup → set-sim near-dup prune → 13-gram
+  *   decontaminate → quality gate → token-budget fill → sequence
+  *   packing → JSONL export
+  *
+  * — with per-stage wall time, shuffle bytes, and row counts at any
+  * corpus size (`tools/run_class.sh graft.CorpusPipelineSmoke <dir>`;
+  * the x100 point uses `benchdata/docs_x100`, 500k docs). q146
+  * composes similar stages as one query at sf0.1; this main is the
+  * scale artifact: each stage materializes to parquet at its boundary
+  * (what a production pipeline does between retryable stages), so the
+  * byte attribution per stage is exact and the input of stage N+1 is
+  * a clean columnar read, not a fused lineage.
+  *
+  * Stage choices follow the measured regime calls recorded in
+  * BASELINE.md: the decontamination join is the PLAIN distinct
+  * semi-join (the one-shot bloom composition measured 2.3× worse at
+  * every scale — the bloom shape is for amortized/streaming reuse);
+  * the near-dup prune keeps the lowest doc_id of each verified pair
+  * (greedy survivor — the connected-components survivor pass q80
+  * demonstrates exists for when group-consistent survivors matter);
+  * the budget is half the post-gate token mass so the prefix-sum
+  * machinery is exercised over every row at every scale rather than
+  * degenerating to a constant-row head.
+  */
+object CorpusPipelineSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", 8 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shufWrite = new AtomicLong(0L)
+    val shufRead = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val lines = Seq.newBuilder[String]
+
+    /** Run one stage: build `out`, write it to the stage's parquet
+      * boundary (timed, byte-attributed), read the boundary back as the
+      * next stage's input. The row count reads parquet metadata after
+      * the byte window closes. */
+    def stage(name: String, json: Boolean = false)(out: DataFrame): DataFrame = {
+      Thread.sleep(500)
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
+      val t0 = System.nanoTime()
+      val path = s"$tmp/$name"
+      if (json) out.write.mode("overwrite").json(path)
+      else out.write.mode("overwrite").parquet(path)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val w = shufWrite.get() - w0
+      val r = shufRead.get() - r0
+      val back = if (json) spark.read.json(path) else spark.read.parquet(path)
+      val rows = back.count()
+      lines += f""""$name":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
+      back
+    }
+
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+
+    // 1. ingest: schema'd read, whitespace normalization, token counts
+    val ingested = stage("s1_ingest") {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+        .withColumn("n_tokens",
+          size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long"))
+    }
+
+    // 2. exact dedup: one hash shuffle on the 256-bit content hash
+    val exact = stage("s2_exact_dedup") {
+      graft.operators.Dedup.exactDedup(ingested, "text", "doc_id")
+    }
+
+    // 3. near-dup prune: every J >= 0.9 pair within (lang, source)
+    // blocks; survivor = lowest doc_id (greedy drop of id_b)
+    val pruned = stage("s3_setsim_prune") {
+      val pairs = graft.operators.SetSimJoin.selfJoin(
+        exact, "doc_id", graft.functions.TextAnalysis.tokens(col("text")),
+        simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
+      exact.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+
+    // 4. decontaminate: doc_id % 10 == 0 plays the held-out eval
+    // benchmark; drop it from train entirely plus any train doc
+    // sharing a distinct 13-gram with it (GPT-3 kill rule, plain
+    // distinct semi-join per the r8 bloom dossier)
+    val decontaminated = stage("s4_decontaminate") {
+      val sh = pruned.select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(13)))
+          .as("shingle"))
+      val evalSh = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(explode(call_function("graft_shingles", col("text"), lit(13)))
+          .as("shingle")).distinct()
+      val dirty = sh.join(evalSh, Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct()
+      pruned.filter(col("doc_id") % 10 =!= 0)
+        .join(dirty, Seq("doc_id"), "left_anti")
+    }
+
+    // 5. quality gate: composite score threshold (row-local)
+    val gated = stage("s5_quality_gate") {
+      decontaminated
+        .withColumn("quality",
+          graft.functions.TextAnalysis.qualityScore(col("text"), Nil))
+        .filter(col("quality") >= 0.5)
+    }
+
+    // 6. token-budget fill: best-quality-first under half the surviving
+    // token mass — the two-pass distributed prefix sum, never a
+    // single-partition window
+    val budget = math.max(1L,
+      gated.agg(sum(col("n_tokens"))).head().getLong(0) / 2)
+    val filled = stage("s6_budget_fill") {
+      graft.operators.PrefixSum.budgetFill(
+        gated, "n_tokens", budget,
+        col("quality").desc, col("doc_id").asc)
+    }
+
+    // 7. sequence packing: first-fit greedy into 2048-token bins,
+    // sharded for parallelism
+    val packed = stage("s7_pack") {
+      graft.operators.SequencePacking
+        .greedyPack(filled, "doc_id", "text", capacity = 2048, shards = 64)
+        .withColumnRenamed("id", "doc_id")
+        .join(filled.select(col("doc_id"), col("text")), Seq("doc_id"))
+    }
+
+    // 8. JSONL export: one training example per line
+    stage("s8_export_jsonl", json = true) {
+      packed.select(col("doc_id"), col("shard"), col("bin"), col("text"))
+    }
+
+    println(s"""{"dir":"$dir","n_docs":$nDocs,"budget_tokens":$budget,${lines.result().mkString(",")}}""")
+    spark.stop()
+  }
+}
