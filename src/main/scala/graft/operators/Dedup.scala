@@ -28,7 +28,18 @@ object Dedup {
 
   /** Exact dedup: keep one row per distinct normalized text (first by
     * `tieBreak` — deterministic). Scale: one hash-partitioned shuffle on the
-    * 256-bit content hash; no skew (hash keys are uniform). */
+    * 256-bit content hash; no skew (hash keys are uniform).
+    *
+    * Why the window and not a `min_by(struct(*))` aggregate (r8 A/B,
+    * measured negative and kept as a pin): the aggregate form would
+    * combine map-side — a win on a dup-HEAVY corpus — but it packs
+    * every column into a struct value, which drops the aggregate out
+    * of the vectorized hash path, and on this (nearly dup-free)
+    * corpus it measured strictly worse: q36 0.38/0.45 → 0.45/0.45,
+    * q146 2.05/2.13 → 2.27/2.34 s (interleaved ONLY-mode at sf0.1,
+    * window re-confirmed after revert). Revisit only for corpora with
+    * high exact-dup rates, where map-side combine shrinks the
+    * exchange itself. */
   def exactDedup(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(sha2(normalized(col(textCol)), 256))
       .orderBy(col(tieBreak))
