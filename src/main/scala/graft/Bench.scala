@@ -388,8 +388,10 @@ object Bench {
       "q140_setsim_cross_join", "q146_curation_capstone",
       "q147_interval_overlap",
       // r8: BPE training is corpus-proportional through its one
-      // word-histogram pass (the merge rounds are vocabulary-bounded)
-      "q154_bpe_train")
+      // word-histogram pass (the merge rounds are vocabulary-bounded);
+      // LM scoring joins every corpus bigram against the count tables;
+      // hybrid RRF scans both retrieval legs corpus-wide
+      "q154_bpe_train", "q155_ngram_lm_score", "q156_hybrid_rrf")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

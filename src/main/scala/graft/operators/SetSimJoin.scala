@@ -131,6 +131,11 @@ object SetSimJoin {
     retained = Map.empty
   }
 
+  /** Test observability (the spec must not count the session-global
+    * persistent-RDD set — other suites persist concurrently). */
+  private[operators] def retainedFrames: Seq[DataFrame] =
+    synchronized(retained.values.toSeq)
+
   /** Prefix rows (id, blocks..., sz, pos, token) for `t` under the
     * (df asc, token asc) order, regime-split on vocabulary size. `head`
     * is the collected dictionary when the dictionary-broadcast regime

@@ -285,7 +285,15 @@ object TextQueries {
   // by the floored integer.
   private val bm25Terms = Seq("spark", "query", "stream")
 
-  private def q117(s: SparkSession, d: String): DataFrame = {
+  private def q117(s: SparkSession, d: String): DataFrame =
+    bm25ScoredAll(s, d)
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(100)
+
+  /** The q117 scoring core without the final top-k — shared with the
+    * q156 hybrid-retrieval lexical leg. Output: (doc_id, dl, tf_*,
+    * bm25_e6) for every document matching at least one term. */
+  private def bm25ScoredAll(s: SparkSession, d: String): DataFrame = {
     val vocabLit = array(bm25Terms.map(t => array(lit(t))): _*)
     // localCheckpoint: stats + scoring both consume `base`; without it
     // each pass re-runs both text kernels over the corpus. The pinned
@@ -318,8 +326,47 @@ object TextQueries {
         bm25Terms.map(t => col(s"tf_$t")) :+
         floor(bm25Terms.map(term).reduce(_ + _) * lit(1000000.0))
           .cast("long").as("bm25_e6"): _*)
-      .orderBy(col("bm25_e6").desc, col("doc_id"))
-      .limit(100)
+  }
+
+  // Hybrid retrieval with reciprocal-rank fusion (r8): fuse the BM25
+  // lexical leg (q117 scoring core, top-50) with the embedding-cosine
+  // dense leg (q40/q41 machinery, probe = vec_id 0, top-50) by
+  //   rrf = Σ_legs 1/(60 + rank)     (Cormack et al. 2009, k = 60)
+  // computed as the INTEGER 1000000 div (60 + rank) per leg — RRF
+  // ranks are small integers, so the fused score needs no floats at
+  // all and is hash-exact cross-engine. Documents are aligned to
+  // vectors by doc_id = vec_id (the fixture's row-paired convention).
+  // The rank windows run over 50-row post-top-k relations — bounded,
+  // the benign-unpartitioned-window convention the plan audit allows.
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25ScoredAll(s, d)
+      .select(col("doc_id"), col("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("bm25_e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val probe = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val dense = graft.operators.SimilaritySearch
+      .scoreAll(embeddings(s, d), "embedding", probe)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), col("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("doc_id")).limit(50)
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("sim_e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0)).cast("long").as("rank_dense"))
+      .withColumn("rrf_e6",
+        when(col("rank_lex") > 0,
+          expr("1000000 div (60 + rank_lex)")).otherwise(lit(0L)) +
+        when(col("rank_dense") > 0,
+          expr("1000000 div (60 + rank_dense)")).otherwise(lit(0L)))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(20)
   }
 
   // PMI collocation mining (phrase detection for tokenizer vocab):
@@ -452,7 +499,46 @@ object TextQueries {
       s" SELECT * FROM ($unions) ORDER BY merge_rank"
   }
 
+  // Smoothed bigram LM quality score (r8): train add-one bigram
+  // likelihoods on the doc_id % 10 != 0 split, score EVERY document
+  // by mean fixed-point likelihood + OOV-bigram count — the
+  // CCNet-style statistical quality gate beside q150's hashed linear
+  // classifier. Integer end to end (one IEEE division per bigram,
+  // floored); train docs have n_oov = 0 by construction.
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.NgramLm
+      .scoreDocs(docs.filter(col("doc_id") % 10 =!= 0), docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private def ngramLmOracle: String =
+    "WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0), " +
+      "uni AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM tr), " +
+      "un AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1), " +
+      "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM un), " +
+      "bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (" +
+      "SELECT unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) AS bg " +
+      "FROM (SELECT string_split_regex(text, '\\s+') AS l FROM tr)) GROUP BY 1), " +
+      "db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) AS bg " +
+      "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents))), " +
+      "sc AS (SELECT d.doc_id, b.c12, " +
+      "CAST(FLOOR((1000000000.0 * (COALESCE(b.c12, 0) + 1)) / " +
+      "(COALESCE(u.c1, 0) + vv.v)) AS BIGINT) AS p_e9 " +
+      "FROM db d LEFT JOIN bi b USING (bg) LEFT JOIN un u ON u.w = d.w1 " +
+      "CROSS JOIN vv) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(SUM(p_e9) AS BIGINT) AS sum_p_e9, " +
+      "CAST(SUM(p_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
+      "FROM sc GROUP BY doc_id ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_hybrid_rrf" -> q156 _,
+    "q155_ngram_lm_score" -> q155 _,
     "q154_bpe_train" -> q154 _,
     "q148_bpe_subwords" -> q148 _,
     "q150_linear_quality" -> q150 _,
@@ -478,7 +564,9 @@ object TextQueries {
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** q117 oracle: the identical arithmetic, parenthesized identically. */
-  private def bm25Oracle: String = {
+  /** BM25 scoring CTE chain ending in a `bm` relation of (doc_id, dl,
+    * tf_*, bm25_e6) — shared by the q117 oracle and q156's lexical leg. */
+  private def bm25Cte: String = {
     val tfs = bm25Terms.map(t =>
       s"CAST(len(list_filter(l, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
     val dfs = bm25Terms.map(t =>
@@ -490,12 +578,38 @@ object TextQueries {
     }.mkString(" + ")
     s"WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
       s"b AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, $tfs FROM t), " +
-      s"g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens, $dfs FROM b) " +
-      s"SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, " +
+      s"g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens, $dfs FROM b), " +
+      s"bm AS (SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, " +
       s"CAST(FLOOR(($terms) * 1000000.0) AS BIGINT) AS bm25_e6 " +
-      s"FROM b, g WHERE ${bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")} " +
-      s"ORDER BY bm25_e6 DESC, doc_id LIMIT 100"
+      s"FROM b, g WHERE ${bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")}) "
   }
+
+  private def bm25Oracle: String =
+    bm25Cte +
+      s"SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, bm25_e6 " +
+      "FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 100"
+
+  /** q156 oracle: the bm25 chain's top-50 ranks full-outer-joined with
+    * the q40-convention cosine top-50 ranks, fused by integer
+    * reciprocal rank (1000000 // (60 + rank)). */
+  private def hybridRrfOracle: String =
+    bm25Cte +
+      ", lex AS (SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rank_lex " +
+      "FROM (SELECT doc_id, bm25_e6 FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50)), " +
+      "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      "scored AS (SELECT vec_id AS doc_id, " +
+      "CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) * 1000000.0) AS BIGINT) AS sim_e6 " +
+      "FROM embeddings, probe WHERE vec_id <> 0), " +
+      "dense AS (SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY sim_e6 DESC, doc_id) AS BIGINT) AS rank_dense " +
+      "FROM (SELECT doc_id, sim_e6 FROM scored ORDER BY sim_e6 DESC, doc_id LIMIT 50)) " +
+      "SELECT doc_id, COALESCE(rank_lex, 0) AS rank_lex, " +
+      "COALESCE(rank_dense, 0) AS rank_dense, " +
+      "(CASE WHEN rank_lex IS NULL THEN 0 ELSE 1000000 // (60 + rank_lex) END + " +
+      "CASE WHEN rank_dense IS NULL THEN 0 ELSE 1000000 // (60 + rank_dense) END) AS rrf_e6 " +
+      "FROM lex FULL OUTER JOIN dense USING (doc_id) " +
+      "ORDER BY rrf_e6 DESC, doc_id LIMIT 20"
 
   /** q148 oracle: the exact greedy loop as a recursive CTE. Each word
     * seeds as its code-point list (RE2 '.' = one code point, matching
@@ -563,6 +677,8 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q156_hybrid_rrf" -> hybridRrfOracle,
+    "q155_ngram_lm_score" -> ngramLmOracle,
     "q154_bpe_train" -> bpeTrainOracle,
     "q148_bpe_subwords" -> bpeOracle,
     "q150_linear_quality" -> linearQualityOracle,

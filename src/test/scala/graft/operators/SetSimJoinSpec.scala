@@ -29,41 +29,40 @@ class SetSimJoinSpec extends SparkSpec {
     SetSimJoin.releaseCache()
     val rows = Seq(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z",
       4L -> "x y z")
-    val cached0 = spark.sparkContext.getPersistentRDDs.size
     val lazyDf = SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
       split(col("text"), "\\s+"), 1, 2, cache = false)
-    assert(spark.sparkContext.getPersistentRDDs.size === cached0,
-      "cache=false must not persist anything at call time")
+    assert(SetSimJoin.retainedFrames.isEmpty,
+      "cache=false must not retain anything at call time")
     val got = lazyDf.as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got === brute(rows, 1, 2))
-    assert(spark.sparkContext.getPersistentRDDs.size === cached0,
-      "cache=false must not leak a cache entry after execution")
+    assert(SetSimJoin.retainedFrames.isEmpty,
+      "cache=false must not retain a cache entry after execution")
   }
 
   test("cache registry is bounded: repeated distinct calls retain only the last call's corpora") {
     SetSimJoin.releaseCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
     // 4 distinct corpora in sequence — the r6 leak shape
     (1 to 4).foreach { i =>
       val rows = Seq((1L, s"a$i b$i c$i"), (2L, s"a$i b$i d$i"))
       SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
         split(col("text"), "\\s+"), 1, 2).collect()
+      assert(SetSimJoin.retainedFrames.size <= 1,
+        "the one-call registry must cap at 1 corpus for self-joins")
     }
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 1,
-      s"retained ${after - before} corpora — the one-call registry must cap at 1 for self-joins")
     // repeated IDENTICAL calls keep (not churn) the cache entry
     val rows = Seq((1L, "p q r"), (2L, "p q s"))
     val r1 = SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
       split(col("text"), "\\s+"), 1, 2).collect().toSet
-    val n1 = spark.sparkContext.getPersistentRDDs.size
+    val f1 = SetSimJoin.retainedFrames
     val r2 = SetSimJoin.selfJoin(rows.toDF("doc_id", "text"), "doc_id",
       split(col("text"), "\\s+"), 1, 2).collect().toSet
-    assert(spark.sparkContext.getPersistentRDDs.size === n1,
-      "an identical repeated call must reuse the retained cache, not add to it")
+    val f2 = SetSimJoin.retainedFrames
+    assert(f1.size === 1 && f2.size === 1)
+    assert(f1.head eq f2.head,
+      "an identical repeated call must reuse the retained frame, not churn it")
     assert(r1 === r2)
     SetSimJoin.releaseCache()
-    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    assert(SetSimJoin.retainedFrames.isEmpty)
   }
 
   test("matches brute force on a crafted corpus (tau = 1/2)") {
