@@ -391,7 +391,8 @@ object Bench {
       // word-histogram pass (the merge rounds are vocabulary-bounded);
       // LM scoring joins every corpus bigram against the count tables;
       // hybrid RRF scans both retrieval legs corpus-wide
-      "q154_bpe_train", "q155_ngram_lm_score", "q156_hybrid_rrf")
+      "q154_bpe_train", "q155_ngram_lm_score", "q156_hybrid_rrf",
+      "q157_dsir_importance")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -48,6 +48,74 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document under a TARGET-domain bigram LM and a SOURCE (general)
+    * bigram LM; documents whose target likelihood exceeds their source
+    * likelihood are the ones importance resampling up-weights. The
+    * published weight is the probability ratio (log-ratio in
+    * practice); the engine-exact variant here is the integer
+    * DIFFERENCE of the two fixed-point mean likelihoods
+    * (`importance_e9 = score_target_e9 - score_source_e9`) — same
+    * up/down-weight direction, hash-exact cross-engine, no
+    * transcendentals (the [[scoreDocs]] ruleset). Selection composes
+    * with the existing machinery: top-k by weight, or
+    * [[Sampling]]/[[PrefixSum]] for PPS-by-weight.
+    *
+    * One row-local bigram explode over `docs`, each model's count
+    * tables joined by key — the doc side is touched once, not twice.
+    *
+    * Output: (idCol, n_bigrams, sum_p_target_e9, sum_p_source_e9,
+    * score_target_e9, score_source_e9, importance_e9), one row per
+    * document with >= 1 bigram. */
+  def importanceWeights(target: DataFrame, source: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val (biT, unT, vT) = model(target, textCol, "t")
+    val (biS, unS, vS) = model(source, textCol, "s")
+    val docBg = docs
+      .select(col(idCol),
+        explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    docBg
+      .join(biT, Seq("bg"), "left").join(biS, Seq("bg"), "left")
+      .join(unT, Seq("w1"), "left").join(unS, Seq("w1"), "left")
+      .crossJoin(broadcast(vT)).crossJoin(broadcast(vS))
+      .withColumn("p_t_e9", pE9(col("c12_t"), col("c1_t"), col("v_t")))
+      .withColumn("p_s_e9", pE9(col("c12_s"), col("c1_s"), col("v_s")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_t_e9")).as("sum_p_target_e9"),
+        sum(col("p_s_e9")).as("sum_p_source_e9"))
+      .withColumn("score_target_e9", expr("sum_p_target_e9 div n_bigrams"))
+      .withColumn("score_source_e9", expr("sum_p_source_e9 div n_bigrams"))
+      .withColumn("importance_e9",
+        col("score_target_e9") - col("score_source_e9"))
+  }
+
+  /** Count tables for one training split, suffixed so two models can
+    * join side by side: bigram counts (bg, c12_sfx), unigram counts
+    * (w1, c1_sfx), vocab size (v_sfx). */
+  private def model(train: DataFrame, textCol: String, sfx: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val text = train.select(col(textCol).as("__text"))
+    val uni = text
+      .select(explode(call_function("graft_tokens", col("__text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as(s"c1_$sfx"))
+    val bi = text
+      .select(explode(call_function("graft_shingles", col("__text"), lit(2)))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as(s"c12_$sfx"))
+    (bi, uni.withColumnRenamed("w", "w1"), uni.agg(count(lit(1)).as(s"v_$sfx")))
+  }
+
+  /** floor((1e9 * (c12+1)) / (c1+V)) with null counts as 0 — the one
+    * multiply + one IEEE division + floor fixed-point rule. */
+  private def pE9(c12: org.apache.spark.sql.Column,
+                  c1: org.apache.spark.sql.Column,
+                  v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor((lit(1000000000.0) * (coalesce(c12, lit(0L)) + lit(1L)).cast("double")) /
+      (coalesce(c1, lit(0L)) + v).cast("double")).cast("long")
+
   /** Score `docs` under a bigram LM counted on `train`. Output:
     * (idCol, n_bigrams, n_oov, sum_p_e9, score_e9) — one row per
     * document with at least one bigram (single-token documents have no
@@ -72,9 +140,7 @@ object NgramLm {
       .join(bi, Seq("bg"), "left")
       .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("p_e9", floor(
-        (lit(1000000000.0) * (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).cast("long"))
+      .withColumn("p_e9", pE9(col("c12"), col("c1"), col("v")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),

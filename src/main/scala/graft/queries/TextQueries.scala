@@ -536,7 +536,61 @@ object TextQueries {
       "CAST(SUM(p_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
       "FROM sc GROUP BY doc_id ORDER BY doc_id"
 
+  // DSIR-style importance weighting (r8): target model = the 'en'
+  // slice, source model = every other language; importance = integer
+  // difference of the two fixed-point mean bigram likelihoods (the
+  // NgramLm ruleset — same up/down-weight direction as the published
+  // probability ratio, hash-exact). Top-50 by weight: the selection a
+  // domain-matching resample keeps.
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.NgramLm.importanceWeights(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        docs, "doc_id", "text")
+      .orderBy(col("importance_e9").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private def importanceOracle: String = {
+    def modelCtes(sfx: String, filt: String): String =
+      s"tr_$sfx AS (SELECT text FROM documents WHERE $filt), " +
+        s"un_$sfx AS (SELECT w, CAST(count(*) AS BIGINT) AS c1_$sfx FROM (" +
+        s"SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM tr_$sfx) GROUP BY 1), " +
+        s"vv_$sfx AS (SELECT CAST(count(*) AS BIGINT) AS v_$sfx FROM un_$sfx), " +
+        s"bi_$sfx AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12_$sfx FROM (" +
+        "SELECT unnest(list_transform(generate_series(1, len(l) - 1), " +
+        "i -> l[i] || ' ' || l[i+1])) AS bg " +
+        s"FROM (SELECT string_split_regex(text, '\\s+') AS l FROM tr_$sfx)) GROUP BY 1), "
+    def p(sfx: String): String =
+      s"CAST(FLOOR((1000000000.0 * (COALESCE(c12_$sfx, 0) + 1)) / " +
+        s"(COALESCE(c1_$sfx, 0) + v_$sfx)) AS BIGINT)"
+    "WITH " +
+      modelCtes("t", "lang = 'en'") +
+      modelCtes("s", "lang <> 'en'") +
+      "db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) AS bg " +
+      "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents))), " +
+      "sc AS (SELECT d.doc_id, " +
+      s"${p("t")} AS p_t_e9, ${p("s")} AS p_s_e9 " +
+      "FROM db d " +
+      "LEFT JOIN bi_t USING (bg) LEFT JOIN bi_s USING (bg) " +
+      "LEFT JOIN un_t ON un_t.w = d.w1 LEFT JOIN un_s ON un_s.w = d.w1 " +
+      "CROSS JOIN vv_t CROSS JOIN vv_s), " +
+      "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(SUM(p_t_e9) AS BIGINT) AS sum_p_target_e9, " +
+      "CAST(SUM(p_s_e9) AS BIGINT) AS sum_p_source_e9 " +
+      "FROM sc GROUP BY doc_id) " +
+      "SELECT doc_id, n_bigrams, sum_p_target_e9, sum_p_source_e9, " +
+      "CAST(sum_p_target_e9 // n_bigrams AS BIGINT) AS score_target_e9, " +
+      "CAST(sum_p_source_e9 // n_bigrams AS BIGINT) AS score_source_e9, " +
+      "CAST(sum_p_target_e9 // n_bigrams - sum_p_source_e9 // n_bigrams AS BIGINT) AS importance_e9 " +
+      "FROM agg ORDER BY importance_e9 DESC, doc_id LIMIT 50"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_dsir_importance" -> q157 _,
     "q156_hybrid_rrf" -> q156 _,
     "q155_ngram_lm_score" -> q155 _,
     "q154_bpe_train" -> q154 _,
@@ -677,6 +731,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q157_dsir_importance" -> importanceOracle,
     "q156_hybrid_rrf" -> hybridRrfOracle,
     "q155_ngram_lm_score" -> ngramLmOracle,
     "q154_bpe_train" -> bpeTrainOracle,

@@ -67,6 +67,35 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  // ---- DSIR-style importance weighting ----
+
+  test("importance weights agree with two independent scoreDocs-style references") {
+    val target = Seq("alpha beta gamma", "alpha beta delta", "beta gamma eps")
+    val source = Seq("one two three", "two three four", "alpha one two")
+    val ds: Seq[(Long, String)] = Seq(
+      10L -> "alpha beta gamma",  // target-ish
+      20L -> "one two three",     // source-ish
+      30L -> "alpha one two")     // mixed
+    val got = NgramLm.importanceWeights(
+        target.toDF("text"), source.toDF("text"), ds.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val refT = reference(target, ds)
+    val refS = reference(source, ds)
+    ds.foreach { case (id, _) =>
+      val (nT, _, sumT, scT) = refT(id)
+      val (nS, _, sumS, scS) = refS(id)
+      assert(nT === nS)
+      val (_, n, spt, sps, sct, scs, imp) = got(id)
+      assert((n, spt, sps, sct, scs) === ((nT, sumT, sumS, scT, scS)), s"doc $id")
+      assert(imp === scT - scS, s"doc $id importance")
+    }
+    // direction: the target-domain doc up-weights, the source-domain down
+    assert(got(10L)._7 > 0L)
+    assert(got(20L)._7 < 0L)
+  }
+
   test("matches the reference on a random corpus (weighted repeats)") {
     val rnd = new scala.util.Random(155)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
