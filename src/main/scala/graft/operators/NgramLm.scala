@@ -116,35 +116,58 @@ object NgramLm {
     floor((lit(1000000000.0) * (coalesce(c12, lit(0L)) + lit(1L)).cast("double")) /
       (coalesce(c1, lit(0L)) + v).cast("double")).cast("long")
 
-  /** Score `docs` under a bigram LM counted on `train`. Output:
-    * (idCol, n_bigrams, n_oov, sum_p_e9, score_e9) — one row per
-    * document with at least one bigram (single-token documents have no
-    * bigram evidence and do not appear); `n_oov` counts bigrams never
-    * seen in train; `score_e9` in [0, 1e9]. */
-  def scoreDocs(train: DataFrame, docs: DataFrame,
-                idCol: String, textCol: String): DataFrame = {
-    val trainText = train.select(col(textCol).as("__text"))
-    val uni = trainText
+  /** The trained model as warehouse tables: bigram counts (bg, c12),
+    * unigram counts (w1, c1), and the vocabulary size — the artifact a
+    * deployment materializes once and every scoring pass (batch OR the
+    * [[graft.streaming.StreamingLmScore]] stream-static twin) joins
+    * against. The vocabulary size is a bounded 1-row collect. */
+  def modelTables(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, Long) = {
+    val text = train.select(col(textCol).as("__text"))
+    val uni = text
       .select(explode(call_function("graft_tokens", col("__text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = trainText
+      .withColumnRenamed("w", "w1")
+    val bi = text
       .select(explode(call_function("graft_shingles", col("__text"), lit(2)))
         .as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val docBg = docs
-      .select(col(idCol),
-        explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    (bi, uni, uni.count())
+  }
+
+  /** Scoring tail over pre-exploded document bigrams (idCol, bg, w1) —
+    * shared verbatim by the batch path and the streaming twin, so the
+    * twin cannot drift. */
+  private[graft] def scoreExploded(docBg: DataFrame, idCol: String,
+                                   bi: DataFrame, uni: DataFrame,
+                                   vocabSize: Long): DataFrame =
     docBg
       .join(bi, Seq("bg"), "left")
-      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("p_e9", pE9(col("c12"), col("c1"), col("v")))
+      .join(uni, Seq("w1"), "left")
+      .withColumn("p_e9", pE9(col("c12"), col("c1"), lit(vocabSize)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(col("p_e9")).as("sum_p_e9"))
       .withColumn("score_e9", expr("sum_p_e9 div n_bigrams"))
+
+  /** Pre-exploded bigram rows (idCol, bg, w1) for `docs` — row-local. */
+  private[graft] def explodeBigrams(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+
+  /** Score `docs` under a bigram LM counted on `train`. Output:
+    * (idCol, n_bigrams, n_oov, sum_p_e9, score_e9) — one row per
+    * document with at least one bigram (single-token documents have no
+    * bigram evidence and do not appear); `n_oov` counts bigrams never
+    * seen in train; `score_e9` in [0, 1e9]. One bounded 1-row job runs
+    * at call time (the vocabulary size). */
+  def scoreDocs(train: DataFrame, docs: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val (bi, uni, v) = modelTables(train, textCol)
+    scoreExploded(explodeBigrams(docs, idCol, textCol), idCol, bi, uni, v)
   }
 }
