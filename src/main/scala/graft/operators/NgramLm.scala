@@ -116,13 +116,10 @@ object NgramLm {
     floor((lit(1000000000.0) * (coalesce(c12, lit(0L)) + lit(1L)).cast("double")) /
       (coalesce(c1, lit(0L)) + v).cast("double")).cast("long")
 
-  /** The trained model as warehouse tables: bigram counts (bg, c12),
-    * unigram counts (w1, c1), and the vocabulary size — the artifact a
-    * deployment materializes once and every scoring pass (batch OR the
-    * [[graft.streaming.StreamingLmScore]] stream-static twin) joins
-    * against. The vocabulary size is a bounded 1-row collect. */
-  def modelTables(train: DataFrame, textCol: String)
-      : (DataFrame, DataFrame, Long) = {
+  /** Model relations: bigram counts (bg, c12), unigram counts (w1,
+    * c1), vocabulary size as a 1-row frame (v) — all lazy. */
+  private def modelFrames(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val text = train.select(col(textCol).as("__text"))
     val uni = text
       .select(explode(call_function("graft_tokens", col("__text"))).as("w"))
@@ -132,24 +129,43 @@ object NgramLm {
       .select(explode(call_function("graft_shingles", col("__text"), lit(2)))
         .as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    (bi, uni, uni.count())
+    (bi, uni, uni.agg(count(lit(1)).as("v")))
+  }
+
+  /** The trained model as warehouse tables: bigram counts (bg, c12),
+    * unigram counts (w1, c1), and the vocabulary size — the artifact a
+    * deployment materializes once and every scoring pass (batch OR the
+    * [[graft.streaming.StreamingLmScore]] stream-static twin) joins
+    * against. The vocabulary size is a bounded 1-row collect. */
+  def modelTables(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, Long) = {
+    val (bi, uni, vd) = modelFrames(train, textCol)
+    (bi, uni, vd.head().getLong(0))
   }
 
   /** Scoring tail over pre-exploded document bigrams (idCol, bg, w1) —
     * shared verbatim by the batch path and the streaming twin, so the
-    * twin cannot drift. */
+    * twin cannot drift. `v` is either `col("v")` with `vocab` supplied
+    * (batch: the vocabulary count rides the SAME job as a 1-row
+    * broadcast — no separate count job per construction) or a literal
+    * from [[modelTables]] (streaming: computed once at setup). */
   private[graft] def scoreExploded(docBg: DataFrame, idCol: String,
                                    bi: DataFrame, uni: DataFrame,
-                                   vocabSize: Long): DataFrame =
-    docBg
+                                   v: org.apache.spark.sql.Column,
+                                   vocab: Option[DataFrame] = None): DataFrame = {
+    val joined0 = docBg
       .join(bi, Seq("bg"), "left")
       .join(uni, Seq("w1"), "left")
-      .withColumn("p_e9", pE9(col("c12"), col("c1"), lit(vocabSize)))
+    val joined = vocab.map(vd => joined0.crossJoin(broadcast(vd)))
+      .getOrElse(joined0)
+    joined
+      .withColumn("p_e9", pE9(col("c12"), col("c1"), v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(col("p_e9")).as("sum_p_e9"))
       .withColumn("score_e9", expr("sum_p_e9 div n_bigrams"))
+  }
 
   /** Pre-exploded bigram rows (idCol, bg, w1) for `docs` — row-local. */
   private[graft] def explodeBigrams(docs: DataFrame, idCol: String,
@@ -163,11 +179,12 @@ object NgramLm {
     * (idCol, n_bigrams, n_oov, sum_p_e9, score_e9) — one row per
     * document with at least one bigram (single-token documents have no
     * bigram evidence and do not appear); `n_oov` counts bigrams never
-    * seen in train; `score_e9` in [0, 1e9]. One bounded 1-row job runs
-    * at call time (the vocabulary size). */
+    * seen in train; `score_e9` in [0, 1e9]. Fully lazy — one job end
+    * to end when executed. */
   def scoreDocs(train: DataFrame, docs: DataFrame,
                 idCol: String, textCol: String): DataFrame = {
-    val (bi, uni, v) = modelTables(train, textCol)
-    scoreExploded(explodeBigrams(docs, idCol, textCol), idCol, bi, uni, v)
+    val (bi, uni, vd) = modelFrames(train, textCol)
+    scoreExploded(explodeBigrams(docs, idCol, textCol), idCol, bi, uni,
+      col("v"), Some(vd))
   }
 }

@@ -31,5 +31,5 @@ object StreamingLmScore {
       docs.select(idCol.as("doc_id"),
           explode(call_function("graft_shingles", textCol, lit(2))).as("bg"))
         .withColumn("w1", split(col("bg"), " ").getItem(0)),
-      "doc_id", bi, uni, vocabSize)
+      "doc_id", bi, uni, lit(vocabSize))
 }
