@@ -78,7 +78,12 @@ object CorpusScaleSmoke {
       // shuffles) and the 13-gram decontamination kill rule (q153:
       // distinct train shingles + semi-join)
       "q123_substring_spans", "q127_span_removal",
-      "q153_decontaminate_13gram").map { name =>
+      "q153_decontaminate_13gram",
+      // r8 new family: BPE training (corpus-proportional histogram,
+      // vocab-bounded rounds), LM scoring (corpus-linear bigram join),
+      // DSIR weighting (one explode, two models)
+      "q154_bpe_train", "q155_ngram_lm_score",
+      "q157_dsir_importance").map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }
