@@ -100,17 +100,43 @@ object BloomFilters {
   def mightContainPartitioned(trainKeys: DataFrame, probes: DataFrame,
                               idCol: String, keyCol: String,
                               expectedItemsPerPart: Long, numBitsPerPart: Long,
+                              numPartitions: Int = 64): DataFrame =
+    probePartitionedBitmaps(
+      buildPartitionedBitmaps(trainKeys, keyCol, expectedItemsPerPart,
+        numBitsPerPart, numPartitions),
+      probes, idCol, keyCol, numPartitions)
+
+  /** The per-partition bitmap table (__part, __bloom) as a standalone
+    * relation — the WAREHOUSE ARTIFACT of the partitioned-bloom path:
+    * build it once over the train keys, write it (it is tiny — P ×
+    * bits/8 bytes), and amortize it across every future probe batch
+    * via [[probePartitionedBitmaps]]. One-shot callers keep using
+    * [[mightContainPartitioned]], which composes the two. */
+  def buildPartitionedBitmaps(trainKeys: DataFrame, keyCol: String,
+                              expectedItemsPerPart: Long, numBitsPerPart: Long,
                               numPartitions: Int = 64): DataFrame = {
     requireWithinCaps(trainKeys, expectedItemsPerPart, numBitsPerPart)
     require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
-    val spark = trainKeys.sparkSession
-    import spark.implicits._
-    val p = lit(numPartitions.toLong)
-    val blooms = trainKeys
+    trainKeys
       .select(col(keyCol).cast("string").as("__key"))
-      .withColumn("__part", pmod(xxhash64(col("__key")), p))
+      .withColumn("__part",
+        pmod(xxhash64(col("__key")), lit(numPartitions.toLong)))
       .groupBy(col("__part"))
       .agg(bloomAgg(col("__key"), expectedItemsPerPart, numBitsPerPart).as("__bloom"))
+  }
+
+  /** Probe a (possibly persisted) bitmap table from
+    * [[buildPartitionedBitmaps]]: co-partition probes with their
+    * bitmap and keep the might-contain survivors. `numPartitions` must
+    * match the build. */
+  def probePartitionedBitmaps(bitmaps: DataFrame, probes: DataFrame,
+                              idCol: String, keyCol: String,
+                              numPartitions: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val p = lit(numPartitions.toLong)
+    val blooms = bitmaps
+      .select(col("__part").cast("long"), col("__bloom"))
       .repartition(numPartitions, col("__part"))
     val probesP = probes
       .select(col(idCol).cast("long").as("__id"),

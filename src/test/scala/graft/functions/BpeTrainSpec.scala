@@ -77,6 +77,41 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges === Seq(("z", "z")))
   }
 
+  test("learned tables are VALID and encode-consistent on random corpora") {
+    // Validity (each merge's parts are single code points or tokens
+    // formed by earlier merges) is the precondition under which the
+    // batch fuse and encodeWord's greedy lowest-rank loop are provably
+    // equivalent — the property tools/gen_bpe_golden.py asserts in
+    // Python for its tables, re-asserted here in Scala for tables the
+    // ENGINE learns, across seeds.
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabChars = "abcdefgh"
+      val corpus = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(9))(vocabChars(rnd.nextInt(vocabChars.size)))
+          .mkString)
+      val merges = BpeTokenizer.train(corpus.toDF("text"), "text", 25)
+      // validity: grow the token set in rank order
+      val tokens = scala.collection.mutable.Set[String](
+        corpus.flatMap(BpeTokenizer.codePoints(_)): _*)
+      merges.foreach { case (a, b) =>
+        assert(tokens(a) && tokens(b),
+          s"seed $seed: merge ($a, $b) uses a token never formed")
+        tokens += (a + b)
+      }
+      assert(merges.distinct === merges, s"seed $seed: duplicate merge")
+      // equivalence: rank-ordered batch fuse == greedy encodeWord
+      val ranks = merges.zipWithIndex.toMap
+      corpus.distinct.foreach { w =>
+        val batch = merges.foldLeft(BpeTokenizer.codePoints(w)) {
+          case (ps, (a, b)) => BpeTokenizer.fusePair(ps, a, b)
+        }
+        assert(BpeTokenizer.encodeWord(w, ranks) === batch,
+          s"seed $seed word $w")
+      }
+    }
+  }
+
   test("learned table round-trips through encodeWord to full words") {
     // after enough merges, every corpus word encodes to a single token
     val corpus = Seq("alpha", "beta", "alpha", "gamma")
