@@ -322,7 +322,38 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q153's kill rule THROUGH the persisted-bitmap pruner (r8): build
+  // the 64-part bloom table once, co-partition the eval shingles
+  // against it, verify survivors exactly. Output is hash-identical to
+  // q153 (false positives cost verify work, never output bits) — so
+  // the oracle IS the q153 SQL, making the pruned composition's
+  // exactness a gated fact rather than a scaladoc claim. Bloom sizing
+  // matches the x100 smoke (over-sized at sf0.01 — wasted bitmap
+  // zeros, never correctness). The amortized byte profile is
+  // DecontamWarehouseSmoke's table in BASELINE.md.
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(call_function("graft_shingles", col("text"), lit(13)))
+        .as("shingle"))
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle")).distinct()
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val bitmaps = graft.operators.BloomFilters.buildPartitionedBitmaps(
+      trainSh, "shingle",
+      expectedItemsPerPart = 262144L, numBitsPerPart = 262144L * 16,
+      numPartitions = 64)
+    graft.operators.BloomFilters
+      .probePartitionedBitmaps(bitmaps, evalSh, "doc_id", "shingle",
+        numPartitions = 64)
+      .join(trainSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dirty_13grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_decontaminate_bloom" -> q158 _,
     "q146_curation_capstone" -> q146 _,
     "q152_source_quantile_gate" -> q152 _,
     "q153_decontaminate_13gram" -> q153 _,
@@ -355,6 +386,18 @@ object TrainingQueries {
         "SELECT d.doc_id, d.source, d.n_chars, p.p75_chars " +
         "FROM documents d JOIN p ON d.source = p.source " +
         "WHERE d.n_chars >= p.p75_chars ORDER BY d.doc_id"),
+    // q158: the bloom-pruned composition is output-identical to q153
+    // by construction (exact verify), so its oracle is the same SQL
+    "q158_decontaminate_bloom" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(l) - 12), " +
+        "i -> array_to_string(l[i:i+12], ' '))) AS ss FROM t), " +
+        "e AS (SELECT doc_id, unnest(ss) AS shingle FROM sh WHERE doc_id % 10 = 0), " +
+        "tr AS (SELECT DISTINCT unnest(ss) AS shingle FROM sh WHERE doc_id % 10 <> 0) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dirty_13grams " +
+        "FROM e JOIN tr USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
     // q153: same 13-gram construction (space-joined token windows, the
     // q34 shingle convention at n=13), distinct on both sides
     "q153_decontaminate_13gram" ->
