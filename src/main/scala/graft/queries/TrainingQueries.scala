@@ -328,9 +328,9 @@ object TrainingQueries {
   // q153 (false positives cost verify work, never output bits) — so
   // the oracle IS the q153 SQL, making the pruned composition's
   // exactness a gated fact rather than a scaladoc claim. Bloom sizing
-  // matches the x100 smoke (over-sized at sf0.01 — wasted bitmap
-  // zeros, never correctness). The amortized byte profile is
-  // DecontamWarehouseSmoke's table in BASELINE.md.
+  // is the q113 bench-scale convention (exactness holds at ANY sizing
+  // — only the pruning rate varies); the x100 sizing and the amortized
+  // byte profile live in DecontamWarehouseSmoke (BASELINE.md).
   private def q158(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d).select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(13)))
@@ -341,11 +341,11 @@ object TrainingQueries {
       .select(col("doc_id"), col("shingle")).distinct()
     val bitmaps = graft.operators.BloomFilters.buildPartitionedBitmaps(
       trainSh, "shingle",
-      expectedItemsPerPart = 262144L, numBitsPerPart = 262144L * 16,
-      numPartitions = 64)
+      expectedItemsPerPart = 16384L, numBitsPerPart = 16384L * 16,
+      numPartitions = 16)
     graft.operators.BloomFilters
       .probePartitionedBitmaps(bitmaps, evalSh, "doc_id", "shingle",
-        numPartitions = 64)
+        numPartitions = 16)
       .join(trainSh, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dirty_13grams"))
