@@ -164,6 +164,27 @@ object BloomFilters {
     survivors.toDF(idCol, keyCol)
   }
 
+  /** One-call registry for the twice-consumed train-key corpus: every
+    * pruned-verify composition below reads `trainKeys` once to
+    * aggregate the bitmaps and once to verify survivors, and the RDD
+    * boundary inside [[probePartitionedBitmaps]] (zipPartitions) hides
+    * the first subtree from Catalyst's ReusedExchange matching — so
+    * without a cache the train explode+distinct runs twice per action.
+    * Same lifecycle contract as SetSimJoin's (see [[CacheRegistry]]):
+    * bounded at one call's corpus, lazy, repeated identical calls —
+    * the bench shape and the production batch-probe loop — reuse the
+    * blocks. At warehouse scale the same role is played by the
+    * PERSISTED train-shingle table (DecontamWarehouseSmoke); the
+    * registry is the in-session equivalent for one-shot callers. */
+  private val registry = new CacheRegistry
+
+  /** Release the retained train-key cache (idempotent). */
+  def releaseCache(): Unit = registry.release()
+
+  /** Test observability (BloomFiltersSpec pins the one-corpus bound). */
+  private[operators] def retainedFrames: Seq[DataFrame] =
+    registry.retainedFrames
+
   /** Exact contamination through the partitioned-bloom pruner: the
     * bitmap drops definite-miss keys (the bulk, at any real dup rate),
     * the survivors are verified by the exact semi-join, and the report
@@ -175,13 +196,14 @@ object BloomFilters {
                                idCol: String, keyCol: String,
                                expectedItemsPerPart: Long, numBitsPerPart: Long,
                                numPartitions: Int = 64): DataFrame = {
+    val Seq(train) = registry.retainAll(Seq(trainKeys))
     val totals = evalKeyed
       .select(col(idCol).cast("long").as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val candidates = mightContainPartitioned(trainKeys, evalKeyed,
+    val candidates = mightContainPartitioned(train, evalKeyed,
       idCol, keyCol, expectedItemsPerPart, numBitsPerPart, numPartitions)
     val hits = candidates
-      .join(trainKeys.select(col(keyCol).cast("string").as(keyCol)).distinct(),
+      .join(train.select(col(keyCol).cast("string").as(keyCol)).distinct(),
         Seq(keyCol), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq(idCol), "left")
@@ -189,5 +211,35 @@ object BloomFilters {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contamination",
         col("n_hit").cast("double") / col("n_shingles"))
+  }
+
+  /** Verified probe hits through the partitioned-bloom pruner — the
+    * kill-rule composition (q153/q158's shape): prune the probe pairs
+    * against the bitmaps, then verify survivors EXACTLY against the
+    * train keys. Returns the verified (`idCol`, `keyCol`) pairs —
+    * output-identical to the plain `probes JOIN trainKeys` at ANY
+    * bloom sizing (false positives cost verify work, never output
+    * bits), so callers' oracles stay the plain-join SQL.
+    *
+    * `trainKeys` must be distinct on `keyCol` (the kill rule counts
+    * each dirty key once). The verify join broadcasts the SURVIVORS
+    * side explicitly: they are miss-pruned to near the true-hit count
+    * — the structural guarantee the bitmap buys — and the hint is what
+    * keeps the train side un-shuffled (AQE alone converts to broadcast
+    * only AFTER the train shuffle is written; DecontamWarehouseSmoke
+    * measured 872 MB/batch with AQE's late conversion vs batch-sized
+    * with the hint). Callers whose probe batches are too large to
+    * promise small survivorship should size the bitmaps up, not drop
+    * the hint — an honest bitmap IS the smallness promise. */
+  def verifiedHitsBloomPruned(trainKeys: DataFrame, probes: DataFrame,
+                              idCol: String, keyCol: String,
+                              expectedItemsPerPart: Long, numBitsPerPart: Long,
+                              numPartitions: Int = 64): DataFrame = {
+    val Seq(train) = registry.retainAll(Seq(trainKeys))
+    val survivors = mightContainPartitioned(train, probes,
+      idCol, keyCol, expectedItemsPerPart, numBitsPerPart, numPartitions)
+    train.select(col(keyCol).cast("string").as(keyCol))
+      .join(broadcast(survivors), Seq(keyCol))
+      .select(col(idCol), col(keyCol))
   }
 }

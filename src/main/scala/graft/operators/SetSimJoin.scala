@@ -87,54 +87,27 @@ object SetSimJoin {
       .withColumn("sz", size(col("l")).cast("long"))
 
   /** One-call cache registry (round 8, replacing r7's eager
-    * localCheckpoint+unpersist). The r7 shape fixed the r6 leak
-    * (CacheManager holds persisted corpora strongly, so looping calls
-    * in one session accumulated them) but destroyed cross-call cache
-    * reuse — each bench/production re-run of the SAME join re-paid the
-    * full tokenize+distinct pass, and it made the operator eager
-    * (plan-only callers paid full execution). Measured at sf0.1
-    * ONLY-mode: q134 1.66-1.72 s eager vs 0.95 s in the r6 cached
-    * artifact.
-    *
-    * This registry keeps the live corpus caches of the MOST RECENT
-    * call only (<= 2 entries — an R-S join's two sides): each call
-    * unpersists every previously-retained corpus whose canonicalized
-    * plan is not among the new call's, then persists (or re-uses, when
-    * the plan is identical — CacheManager matches canonicalized plans,
-    * so a repeated call hits the existing blocks) the new ones. Bounded
-    * memory (the r6 leak cannot re-form), lazy results (nothing
-    * executes at call time beyond the dictionary-head job), and
-    * repeated identical calls — the bench shape, and the production
-    * dedup-loop shape — keep their tokenization cache. */
-  private var retained: Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame] =
-    Map.empty
+    * localCheckpoint+unpersist — the r7 shape fixed the r6 leak but
+    * destroyed cross-call cache reuse and made the operator eager;
+    * measured at sf0.1 ONLY-mode: q134 1.66-1.72 s eager vs 0.95 s in
+    * the r6 cached artifact). Holds the MOST RECENT call's corpora
+    * only (<= 2 entries — an R-S join's two sides); mechanics and
+    * rationale in [[CacheRegistry]], extracted for the other
+    * twice-consumed-corpus operators (BloomFilters' verify path). */
+  private val registry = new CacheRegistry
 
-  private def retainAll(ts: Seq[DataFrame]): Seq[DataFrame] = synchronized {
-    val keyed = ts.map(t => t.queryExecution.analyzed.canonicalized -> t)
-    val keep = keyed.map(_._1).toSet
-    retained.foreach { case (k, df) => if (!keep(k)) df.unpersist() }
-    val next = keyed.map { case (k, t) =>
-      k -> retained.getOrElse(k, {
-        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        t
-      })
-    }
-    retained = next.toMap
-    next.map(_._2)
-  }
+  private def retainAll(ts: Seq[DataFrame]): Seq[DataFrame] =
+    registry.retainAll(ts)
 
   /** Release every corpus cache this operator retained (idempotent).
     * Results stay correct afterwards — lineage is intact, plans
     * recompute. */
-  def releaseCache(): Unit = synchronized {
-    retained.foreach(_._2.unpersist())
-    retained = Map.empty
-  }
+  def releaseCache(): Unit = registry.release()
 
   /** Test observability (the spec must not count the session-global
     * persistent-RDD set — other suites persist concurrently). */
   private[operators] def retainedFrames: Seq[DataFrame] =
-    synchronized(retained.values.toSeq)
+    registry.retainedFrames
 
   /** Prefix rows (id, blocks..., sz, pos, token) for `t` under the
     * (df asc, token asc) order, regime-split on vocabulary size. `head`

@@ -323,14 +323,17 @@ object TrainingQueries {
   }
 
   // q153's kill rule THROUGH the persisted-bitmap pruner (r8): build
-  // the 64-part bloom table once, co-partition the eval shingles
-  // against it, verify survivors exactly. Output is hash-identical to
-  // q153 (false positives cost verify work, never output bits) — so
-  // the oracle IS the q153 SQL, making the pruned composition's
-  // exactness a gated fact rather than a scaladoc claim. Bloom sizing
-  // is the q113 bench-scale convention (exactness holds at ANY sizing
-  // — only the pruning rate varies); the x100 sizing and the amortized
-  // byte profile live in DecontamWarehouseSmoke (BASELINE.md).
+  // the bloom table, co-partition the eval shingles against it, verify
+  // survivors exactly. Output is hash-identical to q153 (false
+  // positives cost verify work, never output bits) — so the oracle IS
+  // the q153 SQL, making the pruned composition's exactness a gated
+  // fact rather than a scaladoc claim. Bloom sizing is the q113
+  // bench-scale convention (exactness holds at ANY sizing — only the
+  // pruning rate varies); the x100 sizing and the amortized byte
+  // profile live in DecontamWarehouseSmoke (BASELINE.md). The operator
+  // retains the train-shingle corpus for the call (CacheRegistry) and
+  // broadcast-verifies the pruned survivors — the smoke's measured
+  // steady-batch shape.
   private def q158(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d).select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(13)))
@@ -339,14 +342,10 @@ object TrainingQueries {
       .select(col("shingle")).distinct()
     val evalSh = sh.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("shingle")).distinct()
-    val bitmaps = graft.operators.BloomFilters.buildPartitionedBitmaps(
-      trainSh, "shingle",
-      expectedItemsPerPart = 16384L, numBitsPerPart = 16384L * 16,
-      numPartitions = 16)
     graft.operators.BloomFilters
-      .probePartitionedBitmaps(bitmaps, evalSh, "doc_id", "shingle",
+      .verifiedHitsBloomPruned(trainSh, evalSh, "doc_id", "shingle",
+        expectedItemsPerPart = 16384L, numBitsPerPart = 16384L * 16,
         numPartitions = 16)
-      .join(trainSh, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dirty_13grams"))
       .orderBy(col("doc_id"))

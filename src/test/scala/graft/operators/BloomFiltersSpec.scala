@@ -87,6 +87,53 @@ class BloomFiltersSpec extends SparkSpec {
     assert(prunedMap === Map(1L -> 20L, 2L -> 10L, 3L -> 0L))
   }
 
+  test("verifiedHitsBloomPruned equals the plain join at ANY sizing, honest or adversarial") {
+    val train = (0 until 2000).map(i => s"t$i").toDF("shingle")
+    val eval_ = (
+      (1 to 20).map(i => (1L, s"t$i")) ++
+        (1 to 10).map(i => (2L, s"t$i")) ++ (1 to 10).map(i => (2L, s"x$i")) ++
+        (1 to 20).map(i => (3L, s"y$i"))).toDF("doc_id", "shingle")
+    val plain = eval_.join(train, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"))
+      .as[(Long, String)].collect().sorted.toSeq
+    Seq((2000L, 2000L * 16), (8L, 16L)).foreach { case (items, bits) =>
+      val pruned = BloomFilters.verifiedHitsBloomPruned(train, eval_,
+        "doc_id", "shingle", expectedItemsPerPart = items,
+        numBitsPerPart = bits, numPartitions = 4)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(pruned === plain, s"sizing ($items, $bits) diverged from plain join")
+    }
+    BloomFilters.releaseCache()
+  }
+
+  test("cache registry: bounded at one call's corpus, release empties it") {
+    BloomFilters.releaseCache()
+    assert(BloomFilters.retainedFrames.isEmpty)
+    val eval_ = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "shingle")
+    (0 until 3).foreach { i =>
+      val train = (0 until 100).map(j => s"t$i-$j").toDF("shingle")
+      BloomFilters.verifiedHitsBloomPruned(train, eval_, "doc_id", "shingle",
+        expectedItemsPerPart = 100L, numBitsPerPart = 1600L,
+        numPartitions = 2).count()
+      assert(BloomFilters.retainedFrames.size <= 1,
+        s"call $i retained ${BloomFilters.retainedFrames.size} corpora — leak")
+    }
+    // a repeated identical call re-uses the retained frame, not a new one
+    val train = (0 until 100).map(j => s"t$j").toDF("shingle")
+    BloomFilters.contaminationBloomPruned(train, eval_, "doc_id", "shingle",
+      expectedItemsPerPart = 100L, numBitsPerPart = 1600L,
+      numPartitions = 2).count()
+    val f1 = BloomFilters.retainedFrames
+    BloomFilters.contaminationBloomPruned(train, eval_, "doc_id", "shingle",
+      expectedItemsPerPart = 100L, numBitsPerPart = 1600L,
+      numPartitions = 2).count()
+    val f2 = BloomFilters.retainedFrames
+    assert(f1.size === 1 && f2.size === 1)
+    assert(f1.head eq f2.head, "identical call must re-use the retained frame")
+    BloomFilters.releaseCache()
+    assert(BloomFilters.retainedFrames.isEmpty)
+  }
+
   test("approxContamination upper-bounds the exact q71-style join") {
     // train shingles t0..t999; eval docs: doc 1 fully contained, doc 2
     // half contained, doc 3 disjoint
