@@ -26,6 +26,19 @@ object SimilaritySearch {
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
   }
 
+  /** [[scoreAll]] against a ONE-ROW probe relation, fully lazy: the
+    * probe rides a broadcast cross join instead of an eager `head()`
+    * collect, so the probe fetch fuses into the scoring job rather
+    * than paying its own job floor (a whole scheduler round trip for
+    * one row). Caller promises `probe` is a single row — the cross
+    * join would otherwise multiply the corpus. */
+  def scoreAllVs(df: DataFrame, vecCol: String,
+                 probe: DataFrame, probeVecCol: String): DataFrame =
+    df.crossJoin(broadcast(probe.select(col(probeVecCol).as("__probe"))))
+      .withColumn("sim", call_function("graft_cosine", col(vecCol), col("__probe")))
+      .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
+      .drop("__probe")
+
   /** Exact top-k by cosine with threshold (M3 semantics: threshold → sort
     * desc → limit; deterministic via id tie-break). The sort is a global
     * top-k (TakeOrderedAndProject) — no full sort materialization. */

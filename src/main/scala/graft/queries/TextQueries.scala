@@ -346,10 +346,11 @@ object TextQueries {
       .withColumn("rank_lex", row_number().over(
         Window.orderBy(col("bm25_e6").desc, col("doc_id"))))
       .select(col("doc_id"), col("rank_lex"))
-    val probe = embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    // probe rides a broadcast cross join (scoreAllVs) — the eager
+    // head() fetch paid a whole job floor for one row
     val dense = graft.operators.SimilaritySearch
-      .scoreAll(embeddings(s, d), "embedding", probe)
+      .scoreAllVs(embeddings(s, d), "embedding",
+        embeddings(s, d).filter(col("vec_id") === 0), "embedding")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id").as("doc_id"), col("sim_e6"))
       .orderBy(col("sim_e6").desc, col("doc_id")).limit(50)

@@ -36,6 +36,15 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(!top.contains(4L) || top.last == 4L) // opposite ranks last if present
   }
 
+  test("scoreAllVs (broadcast probe row) is bit-identical to scoreAll (literal probe)") {
+    val probe = vecs.filter(col("id") === 1L)
+    val viaLit = SimilaritySearch.scoreAll(vecs, "embedding", Seq(1.0f, 0.0f, 0.0f))
+      .select(col("id"), col("sim_e6")).as[(Long, Long)].collect().sorted.toSeq
+    val viaRow = SimilaritySearch.scoreAllVs(vecs, "embedding", probe, "embedding")
+      .select(col("id"), col("sim_e6")).as[(Long, Long)].collect().sorted.toSeq
+    assert(viaRow === viaLit)
+  }
+
   test("annTopK recall matches brute force on clustered data") {
     // deterministic clustered corpus: 100 vectors in 4 tight clusters
     val dim = 16
