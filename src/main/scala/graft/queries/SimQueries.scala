@@ -18,16 +18,23 @@ object SimQueries {
     embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
 
+  // the probe rides a broadcast cross join (scoreAllVs) — an eager
+  // head() fetch pays a whole job floor for one row
+  private def probeRow(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") === 0)
+
   // M2: cosine against the probe for every row (self excluded — J9).
   private def q40(s: SparkSession, d: String): DataFrame =
-    SimilaritySearch.scoreAll(embeddings(s, d), "embedding", probeVec(s, d))
+    SimilaritySearch.scoreAllVs(embeddings(s, d), "embedding",
+        probeRow(s, d), "embedding")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("vec_id"))
 
   // M3: threshold + top-k, ordered on the exact integer score.
   private def q41(s: SparkSession, d: String): DataFrame =
-    SimilaritySearch.scoreAll(embeddings(s, d), "embedding", probeVec(s, d))
+    SimilaritySearch.scoreAllVs(embeddings(s, d), "embedding",
+        probeRow(s, d), "embedding")
       .filter(col("vec_id") =!= 0 && col("sim_e6") > 0)
       .orderBy(col("sim_e6").desc, col("vec_id"))
       .limit(20)
