@@ -70,16 +70,40 @@ object NgramLm {
     * document with >= 1 bigram. */
   def importanceWeights(target: DataFrame, source: DataFrame, docs: DataFrame,
                         idCol: String, textCol: String): DataFrame = {
-    val (biT, unT, vT) = model(target, textCol, "t")
-    val (biS, unS, vS) = model(source, textCol, "s")
+    // Both models' count tables come out of ONE flagged union: the
+    // unigram/bigram type spaces are keyed once and each side's count
+    // is a conditional sum, so the two models cost two aggregates (not
+    // four) and the corpus bigrams join TWO count relations (not
+    // four). A key absent from one side carries count 0 where the
+    // two-table shape carried NULL — identical under pE9's coalesce.
+    // Disjointness of the splits is not assumed: a doc passed in both
+    // contributes to both models, exactly as two separate counts
+    // would. Measured at sf0.1 ONLY-mode: 0.92 -> see BASELINE r8.
+    val text = target.select(col(textCol).as("__text"), lit(1L).as("__t"))
+      .unionByName(source.select(col(textCol).as("__text"), lit(0L).as("__t")))
+    val uni = text
+      .select(explode(call_function("graft_tokens", col("__text"))).as("w1"),
+        col("__t"))
+      .groupBy(col("w1"))
+      .agg(sum(col("__t")).as("c1_t"),
+        sum(lit(1L) - col("__t")).as("c1_s"))
+    val bi = text
+      .select(explode(call_function("graft_shingles", col("__text"), lit(2)))
+        .as("bg"), col("__t"))
+      .groupBy(col("bg"))
+      .agg(sum(col("__t")).as("c12_t"),
+        sum(lit(1L) - col("__t")).as("c12_s"))
+    val vd = uni.agg(
+      sum(when(col("c1_t") > 0, 1L).otherwise(0L)).as("v_t"),
+      sum(when(col("c1_s") > 0, 1L).otherwise(0L)).as("v_s"))
     val docBg = docs
       .select(col(idCol),
         explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     docBg
-      .join(biT, Seq("bg"), "left").join(biS, Seq("bg"), "left")
-      .join(unT, Seq("w1"), "left").join(unS, Seq("w1"), "left")
-      .crossJoin(broadcast(vT)).crossJoin(broadcast(vS))
+      .join(bi, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vd))
       .withColumn("p_t_e9", pE9(col("c12_t"), col("c1_t"), col("v_t")))
       .withColumn("p_s_e9", pE9(col("c12_s"), col("c1_s"), col("v_s")))
       .groupBy(col(idCol))
@@ -90,22 +114,6 @@ object NgramLm {
       .withColumn("score_source_e9", expr("sum_p_source_e9 div n_bigrams"))
       .withColumn("importance_e9",
         col("score_target_e9") - col("score_source_e9"))
-  }
-
-  /** Count tables for one training split, suffixed so two models can
-    * join side by side: bigram counts (bg, c12_sfx), unigram counts
-    * (w1, c1_sfx), vocab size (v_sfx). */
-  private def model(train: DataFrame, textCol: String, sfx: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val text = train.select(col(textCol).as("__text"))
-    val uni = text
-      .select(explode(call_function("graft_tokens", col("__text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as(s"c1_$sfx"))
-    val bi = text
-      .select(explode(call_function("graft_shingles", col("__text"), lit(2)))
-        .as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as(s"c12_$sfx"))
-    (bi, uni.withColumnRenamed("w", "w1"), uni.agg(count(lit(1)).as(s"v_$sfx")))
   }
 
   /** floor((1e9 * (c12+1)) / (c1+V)) with null counts as 0 — the one
