@@ -40,11 +40,21 @@ object ProductQuantizer {
     val d = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(m >= 1 && d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
-    val books = (0 until m).map { i =>
-      KMeans.fit(
-        df.withColumn("__sub", slice(col(vecCol), i * sub + 1, sub)),
-        idCol, "__sub", k, iters, "__pqc")._2
-    }.toArray
+    // The m sub-quantizers are independent (PQ's defining property), so
+    // their Lloyd jobs run CONCURRENTLY — each fit's assignment jobs are
+    // small (one slice of the corpus), and sequential fits left most of
+    // the scheduler idle. Results are deterministic regardless of
+    // scheduling (each fit is a pure function of its slice); measured
+    // at sf0.1: x132 train 2.6 -> see BASELINE r8.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val books = Await.result(
+      Future.sequence((0 until m).map { i =>
+        Future(KMeans.fit(
+          df.withColumn("__sub", slice(col(vecCol), i * sub + 1, sub)),
+          idCol, "__sub", k, iters, "__pqc")._2)
+      }), Duration.Inf).toArray
     Model(m, sub, books)
   }
 
