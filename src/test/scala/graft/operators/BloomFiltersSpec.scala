@@ -106,6 +106,23 @@ class BloomFiltersSpec extends SparkSpec {
     BloomFilters.releaseCache()
   }
 
+  test("verifiedHitsBloomPruned verify join broadcasts the survivors side") {
+    // the perf contract behind the q158 shape: the train side is
+    // scanned but never shuffled in the verify — the survivors ride a
+    // BroadcastHashJoin build side (AQE's own conversion would land
+    // only after the train shuffle is written; DecontamWarehouseSmoke
+    // measured 872 MB/batch that way)
+    val train = (0 until 500).map(i => s"t$i").toDF("shingle")
+    val eval_ = (1 to 20).map(i => (1L, s"t$i")).toDF("doc_id", "shingle")
+    val plan = BloomFilters.verifiedHitsBloomPruned(train, eval_,
+      "doc_id", "shingle", expectedItemsPerPart = 500L,
+      numBitsPerPart = 8000L, numPartitions = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"verify join must broadcast the survivors side, got:\n$plan")
+    BloomFilters.releaseCache()
+  }
+
   test("cache registry: bounded at one call's corpus, release empties it") {
     BloomFilters.releaseCache()
     assert(BloomFilters.retainedFrames.isEmpty)

@@ -67,11 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("round("), s"no BigDecimal-boxing round in the hot path:\n$p")
   }
 
-  test("q40 cosine scoring: probe inlined as literal, no join, single output sort") {
+  test("q40 cosine scoring: probe rides a 1-row broadcast, single output shuffle") {
+    // r8: the probe is a broadcast cross join of the one probe row
+    // (scoreAllVs) instead of an eagerly-collected literal — same
+    // scoring kernel, one fewer driver job. The only joins allowed are
+    // broadcast builds of that row; the corpus side must never shuffle
+    // except for the deterministic output sort.
     val p = plan("q40_cosine_scores")
-    assert(!p.contains("Join"), s"probe should be a literal, not a join:\n$p")
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"only the deterministic output sort may shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe row must ride a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the corpus side must never shuffle for the probe:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"only the deterministic output sort may shuffle:\n$p")
   }
 
   test("q66 as-of join: no join operator at all — union + one window shuffle") {
