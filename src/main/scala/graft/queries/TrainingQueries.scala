@@ -351,7 +351,52 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Cross-source overlap matrix (r8): for every source pair, how many
+  // distinct 13-grams they share — the corpus-provenance audit a
+  // curation pass runs to find sources that copy from each other
+  // (mirror sites, scraped re-posts) before mixture weighting trusts
+  // per-source counts. Emits integers only (n_shared, n_a, n_b); the
+  // Jaccard/containment division is the consumer's monotone transform
+  // (the q117/q138 convention). Scale shape: distinct (source,
+  // shingle) is one corpus-linear aggregate; the self-join fans out
+  // per shingle by (sources containing it choose 2) <= S² — bounded
+  // by the SOURCE count, not the corpus, the set-sim prefix argument
+  // in miniature. Output <= S(S-1)/2 rows; per-source totals ride
+  // broadcast joins.
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    // The distinct and the self-join ride md5(shingle), not the
+    // ~100-byte 13-gram string (the q123/q127 hashed-shuffle-key
+    // lesson) — BOTH engines replay the same md5, so any collision is
+    // seen identically and the compare stays hash-exact. Two shapes
+    // measured ONLY-mode at sf0.1 before this one: raw-string
+    // self-join 1.53 s; collect_set-by-shingle + row-local pair
+    // explode 1.88 s (ObjectHashAggregate — set aggregation leaves
+    // codegen, losing more than the saved shuffle; the local-shuffle/
+    // page-cache lesson).
+    val sh = documents(s, d)
+      .select(col("source"),
+        explode(call_function("graft_shingles", col("text"), lit(13)))
+          .as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("k"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_source_overlap" -> q159 _,
     "q158_decontaminate_bloom" -> q158 _,
     "q146_curation_capstone" -> q146 _,
     "q152_source_quantile_gate" -> q152 _,
@@ -385,6 +430,24 @@ object TrainingQueries {
         "SELECT d.doc_id, d.source, d.n_chars, p.p75_chars " +
         "FROM documents d JOIN p ON d.source = p.source " +
         "WHERE d.n_chars >= p.p75_chars ORDER BY d.doc_id"),
+    // q159: distinct (source, shingle) → ordered self-join pairs →
+    // counts; per-source totals joined back
+    "q159_source_overlap" ->
+      ("WITH t AS (SELECT source, string_split_regex(text, '\\s+') AS l " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT source, md5(shingle) AS k FROM " +
+        "(SELECT source, unnest(list_transform(" +
+        "generate_series(1, len(l) - 12), " +
+        "i -> array_to_string(l[i:i+12], ' '))) AS shingle FROM t)), " +
+        "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT p.source_a, p.source_b, p.n_shared, ca.n AS n_a, cb.n AS n_b " +
+        "FROM p JOIN c ca ON ca.source = p.source_a " +
+        "JOIN c cb ON cb.source = p.source_b " +
+        "ORDER BY p.source_a, p.source_b"),
     // q158: the bloom-pruned composition is output-identical to q153
     // by construction (exact verify), so its oracle is the same SQL
     "q158_decontaminate_bloom" ->
