@@ -83,7 +83,12 @@ object CorpusScaleSmoke {
       // vocab-bounded rounds), LM scoring (corpus-linear bigram join),
       // DSIR weighting (one explode, two models)
       "q154_bpe_train", "q155_ngram_lm_score",
-      "q157_dsir_importance").map { name =>
+      "q157_dsir_importance",
+      // r8 late: cross-source overlap matrix — the claim to check is
+      // the fan-out bound (pairs per shingle <= sources-containing-it
+      // choose 2, never corpus-sized); super-linear bytes here would
+      // expose a quadratic pair join
+      "q159_source_overlap").map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }

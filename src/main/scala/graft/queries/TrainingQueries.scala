@@ -363,37 +363,12 @@ object TrainingQueries {
   // by the SOURCE count, not the corpus, the set-sim prefix argument
   // in miniature. Output <= S(S-1)/2 rows; per-source totals ride
   // broadcast joins.
-  private def q159(s: SparkSession, d: String): DataFrame = {
-    // The distinct and the self-join ride md5(shingle), not the
-    // ~100-byte 13-gram string (the q123/q127 hashed-shuffle-key
-    // lesson) — BOTH engines replay the same md5, so any collision is
-    // seen identically and the compare stays hash-exact. Two shapes
-    // measured ONLY-mode at sf0.1 before this one: raw-string
-    // self-join 1.53 s; collect_set-by-shingle + row-local pair
-    // explode 1.88 s (ObjectHashAggregate — set aggregation leaves
-    // codegen, losing more than the saved shuffle; the local-shuffle/
-    // page-cache lesson).
-    val sh = documents(s, d)
-      .select(col("source"),
+  private def q159(s: SparkSession, d: String): DataFrame =
+    graft.operators.SourceOverlap.matrix(
+      documents(s, d).select(col("source"),
         explode(call_function("graft_shingles", col("text"), lit(13)))
-          .as("shingle"))
-      .select(col("source"), md5(col("shingle")).as("k"))
-      .distinct()
-    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.k") === col("b.k") && col("a.source") < col("b.source"))
-      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(counts.select(col("source").as("source_a"),
-        col("n").as("n_a"))), Seq("source_a"))
-      .join(broadcast(counts.select(col("source").as("source_b"),
-        col("n").as("n_b"))), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_shared"),
-        col("n_a"), col("n_b"))
-      .orderBy(col("source_a"), col("source_b"))
-  }
+          .as("shingle")),
+      "source", "shingle")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_source_overlap" -> q159 _,
