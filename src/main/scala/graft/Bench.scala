@@ -141,11 +141,16 @@ object Bench {
     // inline query fn answers (r7 ADVICE: the bench would otherwise
     // report an oracle-green label for a path that was never verified).
     // One-time assert per bench run: collect both, compare sorted rows.
+    // Divergence throws AssertionError specifically so the splitPrep
+    // catch below can rethrow it (r8 ADVICE: the blanket catch used to
+    // swallow the require, silently falling back to the inline path —
+    // the exact silence this assert exists to prevent). The catch only
+    // absorbs environmental failures (e.g. missing embeddings parquet).
     def assertMatchesInline(name: String, indexed: QueryFn): QueryFn = {
       val inline = SparkEntry.queries(name)(spark, sfDir).collect()
         .map(_.toString).sorted.toSeq
       val idx = indexed(spark, sfDir).collect().map(_.toString).sorted.toSeq
-      require(idx == inline,
+      if (idx != inline) throw new AssertionError(
         s"$name indexed bench path diverges from the oracle-verified inline path")
       indexed
     }
@@ -186,7 +191,10 @@ object Bench {
                 shortlist = 100))
         }
         Some((trains.result(), over.result()))
-      } catch { case _: Throwable => None }
+      } catch {
+        case e: AssertionError => throw e // indexed-path divergence: loud
+        case _: Throwable      => None    // environmental (no embeddings)
+      }
     val steadyOverride = splitPrep.map(_._2).getOrElse(Map.empty[String, QueryFn])
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

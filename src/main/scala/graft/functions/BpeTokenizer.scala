@@ -158,6 +158,20 @@ object BpeTokenizer {
     else trainDistributed(hist, numMerges)
   }
 
+  /** Code-point lexicographic string order (== UTF-8 byte order ==
+    * Spark `UTF8String` binary order). Differs from `String`'s natural
+    * UTF-16 code-unit order only when a supplementary character ties
+    * against one in [U+E000, U+FFFF]. */
+  private[functions] val codePointOrder: Ordering[String] =
+    (x: String, y: String) => {
+      val xi = x.codePoints().iterator()
+      val yi = y.codePoints().iterator()
+      var r = 0
+      while (r == 0 && xi.hasNext && yi.hasNext)
+        r = Integer.compare(xi.nextInt(), yi.nextInt())
+      if (r != 0) r else java.lang.Boolean.compare(xi.hasNext, yi.hasNext)
+    }
+
   private def trainLocal(hist: Array[(String, Long)],
                          numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
@@ -177,9 +191,17 @@ object BpeTokenizer {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // max count, ties by lexicographically smallest (a, b)
+        // max count, ties by lexicographically smallest (a, b) in CODE
+        // POINT order — matching trainDistributed (UTF8String binary =
+        // UTF-8 byte = code-point order), the DuckDB oracle, and the
+        // Python golden trainer. Scala's default String ordering is
+        // UTF-16 code-UNIT order, which ranks supplementary characters
+        // (>= U+10000, stored as surrogate pairs 0xD800-0xDFFF) BELOW
+        // [U+E000, U+FFFF] — a tie mixing the two picked a different
+        // merge here than everywhere else (r8 ADVICE).
+        val ord = Ordering.Tuple3(Ordering.Long, codePointOrder, codePointOrder)
         val (a, b) = counts.toSeq
-          .minBy { case ((pa, pb), n) => (-n, pa, pb) }._1
+          .minBy { case ((pa, pb), n) => (-n, pa, pb) }(ord)._1
         merges += ((a, b))
         words = words.map { case (ps, f) => (fusePair(ps, a, b), f) }
       }

@@ -27,13 +27,25 @@ import org.apache.spark.storage.StorageLevel
   * BloomFiltersSpec pin their own bounds). */
 final class CacheRegistry {
 
-  private var retained: Map[LogicalPlan, DataFrame] = Map.empty
+  /** Key = (canonicalized plan, output column names). Canonicalization
+    * alone normalizes exprIds and strips aliases (r8 ADVICE): two frames
+    * computing the same relation under DIFFERENT column names would
+    * otherwise collide, and the caller would get back the stale frame —
+    * its own `col(name)` then failing to resolve. Carrying the output
+    * names in the key keeps the reuse (same plan, same names → cache
+    * hit) while never handing a caller a frame with the wrong schema. */
+  private type Key = (LogicalPlan, Seq[String])
 
-  /** Retain exactly `ts` (deduplicated by canonicalized plan):
+  private var retained: Map[Key, DataFrame] = Map.empty
+
+  /** Retain exactly `ts` (deduplicated by canonicalized plan + names):
     * unpersist everything previously retained that is not in `ts`,
     * persist what is new, pass through what is already retained. */
   def retainAll(ts: Seq[DataFrame]): Seq[DataFrame] = synchronized {
-    val keyed = ts.map(t => t.queryExecution.analyzed.canonicalized -> t)
+    val keyed = ts.map { t =>
+      (t.queryExecution.analyzed.canonicalized,
+        t.schema.fieldNames.toSeq): Key
+    }.zip(ts)
     val keep = keyed.map(_._1).toSet
     retained.foreach { case (k, df) => if (!keep(k)) df.unpersist() }
     val next = keyed.map { case (k, t) =>

@@ -48,13 +48,17 @@ object ProductQuantizer {
     // at sf0.1: x132 train 2.6 -> see BASELINE r8.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    // Bounded await (r8 VERDICT): Duration.Inf hung forever if a Lloyd
+    // job was interrupted; an hour is far beyond any real fit (sf0.1
+    // trains in seconds, and the fits are sample-bound at scale) so a
+    // timeout here only ever fires on a genuinely wedged job.
     val books = Await.result(
       Future.sequence((0 until m).map { i =>
         Future(KMeans.fit(
           df.withColumn("__sub", slice(col(vecCol), i * sub + 1, sub)),
           idCol, "__sub", k, iters, "__pqc")._2)
-      }), Duration.Inf).toArray
+      }), 1.hour).toArray
     Model(m, sub, books)
   }
 

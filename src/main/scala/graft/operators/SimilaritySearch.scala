@@ -30,14 +30,30 @@ object SimilaritySearch {
     * probe rides a broadcast cross join instead of an eager `head()`
     * collect, so the probe fetch fuses into the scoring job rather
     * than paying its own job floor (a whole scheduler round trip for
-    * one row). Caller promises `probe` is a single row — the cross
-    * join would otherwise multiply the corpus. */
+    * one row).
+    *
+    * The single-row contract is ENFORCED, not just documented (r8
+    * ADVICE: the old `head()` threw loudly on a malformed fixture; the
+    * lazy form silently returned empty for an empty probe and silently
+    * multiplied the corpus for a multi-row one). The probe is
+    * aggregated to exactly one row carrying its own cardinality; a
+    * per-row `when` raises unless that cardinality is 1. Still lazy,
+    * still one broadcast, one long-compare per corpus row. */
   def scoreAllVs(df: DataFrame, vecCol: String,
-                 probe: DataFrame, probeVecCol: String): DataFrame =
-    df.crossJoin(broadcast(probe.select(col(probeVecCol).as("__probe"))))
+                 probe: DataFrame, probeVecCol: String): DataFrame = {
+    val one = probe.agg(
+      first(col(probeVecCol)).as("__probe"),
+      count(lit(1)).as("__probe_n"))
+    df.crossJoin(broadcast(one))
+      .withColumn("__probe",
+        when(col("__probe_n") === 1L, col("__probe"))
+          .otherwise(raise_error(concat(
+            lit("scoreAllVs: probe relation must have exactly 1 row, got "),
+            col("__probe_n").cast("string")))))
       .withColumn("sim", call_function("graft_cosine", col(vecCol), col("__probe")))
       .withColumn("sim_e6", floor(col("sim") * 1e6).cast("long"))
-      .drop("__probe")
+      .drop("__probe", "__probe_n")
+  }
 
   /** Exact top-k by cosine with threshold (M3 semantics: threshold → sort
     * desc → limit; deterministic via id tie-break). The sort is a global

@@ -6,12 +6,13 @@ import graft.SparkSpec
 
 /** [[BpeTokenizer.train]] pinned against the INDEPENDENT trainer in
   * `tools/gen_bpe_golden.py` (classic BPE: fuse the globally most
-  * frequent adjacent pair, ties lexicographic, instance-weighted) on
-  * four corpora: English text with natural word repeats, overlap-heavy
-  * repeats, supplementary-character words, and a 300-word randomized
-  * corpus. Both training regimes are pinned: the local (collected
+  * frequent adjacent pair, ties lexicographic by CODE POINT,
+  * instance-weighted) on five corpora: English text with natural word
+  * repeats, overlap-heavy repeats, supplementary-character words, a
+  * 300-word randomized corpus, and a PUA-vs-supplementary tie corpus
+  * (r8 ADVICE). Both training regimes are pinned: the local (collected
   * histogram) path on every corpus and the distributed per-round
-  * aggregate path (forced with `localVocabMax = 0`) on two of them —
+  * aggregate path (forced with `localVocabMax = 0`) on three of them —
   * the SetSimJoin both-paths convention.
   */
 class BpeTrainSpec extends SparkSpec {
@@ -44,9 +45,9 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
-  test("local path matches the independent trainer on all four corpora") {
+  test("local path matches the independent trainer on all five corpora") {
     val gs = goldens()
-    assert(gs.size === 4)
+    assert(gs.size === 5)
     gs.foreach { g =>
       val df = g.corpus.toDF("text")
       val got = BpeTokenizer.train(df, "text", g.n)
@@ -55,13 +56,33 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   test("distributed path (forced) matches the golden tables") {
-    // the two short tables keep the per-round job count test-friendly
-    goldens().filter(g => g.name == "train_repeats" || g.name == "train_emoji")
+    // the three short tables keep the per-round job count test-friendly;
+    // train_surrogate_tie pins the tie-break on BOTH paths (r8 ADVICE:
+    // the local path's UTF-16 minBy diverged from the distributed
+    // path's UTF8String binary order on supplementary-vs-PUA ties)
+    goldens().filter(g => Set("train_repeats", "train_emoji",
+        "train_surrogate_tie")(g.name))
       .foreach { g =>
         val got = BpeTokenizer.train(g.corpus.toDF("text"), "text", g.n,
           localVocabMax = 0)
         assert(got === g.merges, s"corpus ${g.name} (distributed)")
       }
+  }
+
+  test("tie-break is code-point order, not UTF-16 order (r8 ADVICE)") {
+    // U+E001 (PUA, one UTF-16 unit 0xE001) vs U+10000 (surrogate pair
+    // starting 0xD800): code-point order says E001 < 10000; UTF-16
+    // code-unit order says the opposite. With both pairs tied at one
+    // occurrence the trainer must pick the PUA pair first.
+    val corpus = Seq("\uE001\uE001", "\uD800\uDC00\uD800\uDC00")
+    val merges = BpeTokenizer.train(corpus.toDF("text"), "text", 1)
+    assert(merges === Seq(("\uE001", "\uE001")))
+    // and the ordering helper itself
+    val o = BpeTokenizer.codePointOrder
+    assert(o.compare("\uE001", "\uD800\uDC00") < 0)
+    assert(o.compare("a", "ab") < 0)   // prefix sorts first
+    assert(o.compare("b", "a") > 0)
+    assert(o.equiv("\uD800\uDC00", "\uD800\uDC00"))
   }
 
   test("training stops early when pairs are exhausted") {

@@ -185,11 +185,19 @@ def main():
     # matter — 'the' repeats in english), including a randomized one
     rand_corpus = ["".join(rng.choice("abcdest") for _ in range(rng.randint(1, 9)))
                    for _ in range(300)]
+    # code-point vs UTF-16 tie-break (r8 ADVICE): every pair below ties
+    # at count 1; code-point order ranks U+E001 < U+F8FF < U+10000 <
+    # U+1F600, while UTF-16 code-unit order ranks the supplementary
+    # pairs (surrogates 0xD800/0xD83D) BELOW [U+E000, U+FFFF] — a
+    # trainer comparing UTF-16 units picks a different first merge.
+    surrogate_tie = ["\uE001\uE001", "\U00010000\U00010000",
+                     "\uF8FF\uF8FF", "\U0001F600\U0001F600"]
     train_specs = {
         "train_english": (english, 50),
         "train_repeats": (repeats, 12),
         "train_emoji": (emoji, 8),
         "train_random": (rand_corpus, 30),
+        "train_surrogate_tie": (surrogate_tie, 4),
     }
     train_records = []
     for name, (corpus, k) in train_specs.items():
