@@ -136,7 +136,45 @@ object CorpusScaleSmoke {
       f""""q153bloom":{"sec":$sec%.2f,"shuffle_write_mb":$wMb%.1f,"shuffle_read_mb":$rMb%.1f,"rows":$rows}"""
     }
 
-    println(s"""{"dir":"$dir","n_docs":$n,${(lines :+ bloomLine).mkString(",")}}""")
+    // SourceOverlap boilerplate blowup vs the df cap (r8 VERDICT #1):
+    // a synthetic provenance corpus with MANY sources — 1000 sources ×
+    // 50 distinct keys each, of which 10 are boilerplate shared by ALL
+    // sources and one is genuinely shared with the next source.
+    // Uncapped, each boilerplate key fans out C(1000,2) = 499500 pairs
+    // (4,995,000 total from keys carrying zero provenance signal);
+    // capped at df<=2 the join emits exactly the 999 genuine pairs.
+    // Sum(n_shared) == pairs emitted pre-aggregation, so the line
+    // reports the fan-out itself, alongside wall/shuffle.
+    val overlapCapLine = {
+      import org.apache.spark.sql.functions._
+      val s = 1000
+      val keyed = spark.range(0, s).select(
+        format_string("s%04d", col("id")).as("src"),
+        explode(concat(
+          sequence(lit(0), lit(9)).cast("array<string>"),  // boiler 0..9
+          array(concat(lit("g"), col("id")),
+            concat(lit("g"), col("id") - 1)),
+          transform(sequence(lit(0), lit(37)),
+            i => concat(lit("u"), col("id"), lit("_"), i)))).as("k"))
+      def run(cap: Int): (Double, Long, Long, Long) = {
+        Thread.sleep(1000)
+        val w0 = shufWrite.get(); val r0 = shufRead.get()
+        val t0 = System.nanoTime()
+        val m = graft.operators.SourceOverlap.matrix(keyed, "src", "k", cap)
+        val pairs = m.agg(sum(col("n_shared"))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        graft.operators.SourceOverlap.releaseCache()
+        (sec, shufWrite.get() - w0, shufRead.get() - r0, pairs)
+      }
+      val (uSec, uW, uR, uPairs) = run(Int.MaxValue)
+      val (cSec, cW, cR, cPairs) = run(2)
+      require(uPairs == 10L * s * (s - 1) / 2 + (s - 1) && cPairs == s - 1L,
+        s"overlap-cap smoke: pair sums $uPairs / $cPairs off the closed form")
+      f""""overlap_uncapped":{"sec":$uSec%.2f,"shuffle_write_mb":${uW / 1e6}%.1f,"shuffle_read_mb":${uR / 1e6}%.1f,"pairs":$uPairs},"overlap_capped":{"sec":$cSec%.2f,"shuffle_write_mb":${cW / 1e6}%.1f,"shuffle_read_mb":${cR / 1e6}%.1f,"pairs":$cPairs}"""
+    }
+
+    println(s"""{"dir":"$dir","n_docs":$n,${(lines :+ bloomLine :+ overlapCapLine).mkString(",")}}""")
     spark.stop()
   }
 }

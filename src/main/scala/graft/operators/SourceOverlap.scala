@@ -23,6 +23,24 @@ import org.apache.spark.sql.functions._
   * bounded by the SOURCE count, never the corpus. Output <= S(S-1)/2
   * rows; per-source totals ride broadcast joins.
   *
+  * That choose-2 bound is a REAL bound only while S is small (the
+  * reference's ~20 named sources). With web-scale provenance — domains
+  * as sources, 10⁵-10⁷ of them — one boilerplate shingle present in
+  * 10⁵ sources emits ~5·10⁹ pairs for that single key (r8 VERDICT #1:
+  * the frequent-token blowup SetSimJoin answers with prefix
+  * filtering). `maxSourcesPerKey` is that answer applied to
+  * provenance: keys whose source-df exceeds the cap are dropped
+  * BEFORE the self-join (boilerplate carries no provenance signal —
+  * a shingle in 10⁵ sources identifies no copying pair), capping
+  * per-key fan-out at choose-2 of the CAP. The df ride the same hash
+  * exchange on `__k` the self-join needs (a count window partitioned
+  * by `__k`), so the cap costs no extra shuffle of the key stream,
+  * and per-source totals are computed over the SAME capped key
+  * universe (numerator and denominator of any downstream
+  * Jaccard/containment agree). The gate is deterministic, so an
+  * oracle replays it exactly (q160). Uncapped calls take the
+  * pre-cap plan unchanged (q159).
+  *
   * The distinct relation is consumed THREE times (both join sides +
   * the totals), so it is retained for the call via the one-slot
   * [[CacheRegistry]]: without the cache the x100 smoke measured
@@ -46,13 +64,25 @@ object SourceOverlap {
 
   /** The overlap matrix over `df`, keyed on md5 of `keyCol` values
     * grouped by `srcCol`. `keyed` rows are (src, k) BEFORE distinct —
-    * pass the exploded key stream; dedup happens here. */
-  def matrix(keyed: DataFrame, srcCol: String, keyCol: String): DataFrame = {
-    val Seq(sh) = registry.retainAll(Seq(
-      keyed
-        .select(col(srcCol).cast("string").as("__src"),
-          md5(col(keyCol).cast("string")).as("__k"))
-        .distinct()))
+    * pass the exploded key stream; dedup happens here.
+    *
+    * @param maxSourcesPerKey drop keys present in MORE than this many
+    *   sources before pairing (boilerplate guard — see scaladoc).
+    *   Default keeps every key. */
+  def matrix(keyed: DataFrame, srcCol: String, keyCol: String,
+             maxSourcesPerKey: Int = Int.MaxValue): DataFrame = {
+    val distinctKeys = keyed
+      .select(col(srcCol).cast("string").as("__src"),
+        md5(col(keyCol).cast("string")).as("__k"))
+      .distinct()
+    val capped =
+      if (maxSourcesPerKey == Int.MaxValue) distinctKeys
+      else distinctKeys
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
+        .filter(col("__df") <= maxSourcesPerKey)
+        .drop("__df")
+    val Seq(sh) = registry.retainAll(Seq(capped))
     val counts = sh.groupBy(col("__src")).agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"),

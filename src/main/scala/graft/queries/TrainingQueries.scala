@@ -370,7 +370,25 @@ object TrainingQueries {
           .as("shingle")),
       "source", "shingle")
 
+  // q159 with the boilerplate guard (r8 VERDICT #1): shingles present
+  // in more than maxSourcesPerKey sources are dropped BEFORE the pair
+  // join — at web-scale source counts (domains as sources) one
+  // boilerplate shingle in 10⁵ sources would emit ~5·10⁹ pairs, the
+  // frequent-token blowup SetSimJoin answers with prefix filtering.
+  // Cap=2 here so the gate actually FIRES on the test corpora (the
+  // generator's max source-df is 3 at sf0.001/sf0.01: ~70 shingles
+  // dropped) — the oracle replays the same deterministic df gate, so
+  // exactness is preserved, not merely claimed. Totals n_a/n_b count
+  // the capped key universe (Jaccard numerator/denominator agree).
+  private def q160(s: SparkSession, d: String): DataFrame =
+    graft.operators.SourceOverlap.matrix(
+      documents(s, d).select(col("source"),
+        explode(call_function("graft_shingles", col("text"), lit(13)))
+          .as("shingle")),
+      "source", "shingle", maxSourcesPerKey = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_source_overlap_capped" -> q160 _,
     "q159_source_overlap" -> q159 _,
     "q158_decontaminate_bloom" -> q158 _,
     "q146_curation_capstone" -> q146 _,
@@ -405,6 +423,27 @@ object TrainingQueries {
         "SELECT d.doc_id, d.source, d.n_chars, p.p75_chars " +
         "FROM documents d JOIN p ON d.source = p.source " +
         "WHERE d.n_chars >= p.p75_chars ORDER BY d.doc_id"),
+    // q160: q159's construction with the source-df gate replayed —
+    // keys in more than 2 sources dropped before pairing, totals over
+    // the capped key universe
+    "q160_source_overlap_capped" ->
+      ("WITH t AS (SELECT source, string_split_regex(text, '\\s+') AS l " +
+        "FROM documents), " +
+        "sh0 AS (SELECT DISTINCT source, md5(shingle) AS k FROM " +
+        "(SELECT source, unnest(list_transform(" +
+        "generate_series(1, len(l) - 12), " +
+        "i -> array_to_string(l[i:i+12], ' '))) AS shingle FROM t)), " +
+        "sh AS (SELECT source, k FROM (SELECT source, k, " +
+        "COUNT(*) OVER (PARTITION BY k) AS df FROM sh0) WHERE df <= 2), " +
+        "c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT p.source_a, p.source_b, p.n_shared, ca.n AS n_a, cb.n AS n_b " +
+        "FROM p JOIN c ca ON ca.source = p.source_a " +
+        "JOIN c cb ON cb.source = p.source_b " +
+        "ORDER BY p.source_a, p.source_b"),
     // q159: distinct (source, shingle) → ordered self-join pairs →
     // counts; per-source totals joined back
     "q159_source_overlap" ->
