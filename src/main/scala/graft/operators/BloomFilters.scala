@@ -228,18 +228,43 @@ object BloomFilters {
     * keeps the train side un-shuffled (AQE alone converts to broadcast
     * only AFTER the train shuffle is written; DecontamWarehouseSmoke
     * measured 872 MB/batch with AQE's late conversion vs batch-sized
-    * with the hint). Callers whose probe batches are too large to
-    * promise small survivorship should size the bitmaps up, not drop
-    * the hint — an honest bitmap IS the smallness promise. */
+    * with the hint).
+    *
+    * The broadcast is GUARDED, not assumed (r8 VERDICT #2): "survivors
+    * are tiny" is a sizing claim, and a heavily-contaminated probe
+    * stream or an undersized bitmap breaks it — an unconditional
+    * `broadcast()` then OOMs the driver at production scale. The
+    * survivors are persisted (the call-scoped registry, alongside the
+    * train corpus) and counted by ONE parallel aggregate job; at or
+    * below `maxBroadcastSurvivorRows` the verify join broadcasts the
+    * cached survivors, above it the same join runs as a shuffle join —
+    * still exact, still bitmap-pruned, just paying the train-side
+    * exchange the honest sizing would have avoided. The guard's price
+    * is that count job plus the survivors' cache round-trip — both
+    * linear in the SURVIVOR set, not the probe stream (the probe pass
+    * was already paid by the broadcast materialization it replaces);
+    * an r9 A-B-A at sf0.1 measured it WITHIN RUN NOISE (guarded
+    * 1.08/0.96 s warm-min vs unguarded 1.04 s, see BASELINE r9). (A
+    * bounded `limit(max+1).collect()` decider was tried first —
+    * executeTake's incremental partition batches serialize the reduce
+    * side and measured ~2× worse than the parallel count.) Default threshold
+    * ~1M rows ≈ 100 MB of 13-gram survivors on the driver — size to
+    * driver memory, and size the BITMAPS to make the fallback
+    * unreachable (the amortized-warehouse shape). */
   def verifiedHitsBloomPruned(trainKeys: DataFrame, probes: DataFrame,
                               idCol: String, keyCol: String,
                               expectedItemsPerPart: Long, numBitsPerPart: Long,
-                              numPartitions: Int = 64): DataFrame = {
-    val Seq(train) = registry.retainAll(Seq(trainKeys))
-    val survivors = mightContainPartitioned(train, probes,
-      idCol, keyCol, expectedItemsPerPart, numBitsPerPart, numPartitions)
-    train.select(col(keyCol).cast("string").as(keyCol))
-      .join(broadcast(survivors), Seq(keyCol))
+                              numPartitions: Int = 64,
+                              maxBroadcastSurvivorRows: Long = 1L << 20): DataFrame = {
+    val Seq(_, survivors) = registry.retainAll(Seq(trainKeys,
+      mightContainPartitioned(trainKeys, probes,
+        idCol, keyCol, expectedItemsPerPart, numBitsPerPart, numPartitions)))
+    val nSurvivors = survivors.count()
+    val verify = trainKeys.select(col(keyCol).cast("string").as(keyCol))
+    val survivorSide =
+      if (nSurvivors <= maxBroadcastSurvivorRows) broadcast(survivors)
+      else survivors
+    verify.join(survivorSide, Seq(keyCol))
       .select(col(idCol), col(keyCol))
   }
 }

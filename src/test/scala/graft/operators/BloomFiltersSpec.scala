@@ -123,6 +123,49 @@ class BloomFiltersSpec extends SparkSpec {
     BloomFilters.releaseCache()
   }
 
+  test("survivors broadcast is guarded: undersized bitmap + dirty eval " +
+      "falls back to a shuffle join, output unchanged (r8 VERDICT #2)") {
+    // Adversarial sizing: 8-item/16-bit bitmaps saturate, so EVERY
+    // probe row survives pruning — 5000 "survivors" against a
+    // threshold of 100. The unconditional broadcast() would pin all of
+    // them on the driver; the guard must take the shuffle join instead
+    // and still produce exactly the plain-join answer.
+    val train = (0 until 400).map(i => s"t$i").toDF("shingle")
+    val eval_ = (0 until 5000).map(i => (i.toLong % 50, s"t${i % 400}"))
+      .toDF("doc_id", "shingle").distinct()
+    val plain = eval_.join(train, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"))
+      .as[(Long, String)].collect().sorted.toSeq
+    // Stat-based broadcast off: at TEST scale the planner would choose
+    // broadcast from size stats anyway (which is fine — stats-driven,
+    // bounded), hiding whether the unconditional HINT is gone. With
+    // the threshold at -1 a BroadcastHashJoin can only come from the
+    // hint this guard exists to withhold.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = BloomFilters.verifiedHitsBloomPruned(train, eval_,
+        "doc_id", "shingle", expectedItemsPerPart = 8L, numBitsPerPart = 16L,
+        numPartitions = 2, maxBroadcastSurvivorRows = 100)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-threshold survivors must NOT take the hinted broadcast:\n$plan")
+      assert(guarded.as[(Long, String)].collect().sorted.toSeq === plain)
+      BloomFilters.releaseCache()
+
+      // and the same inputs UNDER the threshold keep the hinted broadcast
+      val hinted = BloomFilters.verifiedHitsBloomPruned(train, eval_,
+        "doc_id", "shingle", expectedItemsPerPart = 8L, numBitsPerPart = 16L,
+        numPartitions = 2, maxBroadcastSurvivorRows = 1 << 20)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(hinted.as[(Long, String)].collect().sorted.toSeq === plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      BloomFilters.releaseCache()
+    }
+  }
+
   test("cache registry: bounded at one call's corpus, release empties it") {
     BloomFilters.releaseCache()
     assert(BloomFilters.retainedFrames.isEmpty)
@@ -132,8 +175,10 @@ class BloomFiltersSpec extends SparkSpec {
       BloomFilters.verifiedHitsBloomPruned(train, eval_, "doc_id", "shingle",
         expectedItemsPerPart = 100L, numBitsPerPart = 1600L,
         numPartitions = 2).count()
-      assert(BloomFilters.retainedFrames.size <= 1,
-        s"call $i retained ${BloomFilters.retainedFrames.size} corpora — leak")
+      // the guarded verify retains TWO frames per call — the train
+      // corpus and the counted survivors — and no more
+      assert(BloomFilters.retainedFrames.size <= 2,
+        s"call $i retained ${BloomFilters.retainedFrames.size} frames — leak")
     }
     // a repeated identical call re-uses the retained frame, not a new one
     val train = (0 until 100).map(j => s"t$j").toDF("shingle")
