@@ -116,6 +116,118 @@ object NgramLm {
         col("score_target_e9") - col("score_source_e9"))
   }
 
+  /** Order-n Stupid Backoff scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the production-shaped
+    * generalization of [[scoreDocs]]'s add-one bigram: CCNet's real
+    * filter is a 5-gram KenLM, and Stupid Backoff is the smoothing
+    * Brants showed matches Kneser-Ney at web scale while keeping the
+    * counting embarrassingly distributable (no discount fitting, no
+    * normalization pass — raw counts only).
+    *
+    *   S(w | ctx_{l-1}) = c(ctx_{l-1} w) / c(ctx_{l-1})   if c > 0
+    *                    = 0.4 · S(w | ctx_{l-2})          otherwise
+    *   S(w) = c(w) / N  at the unigram floor (0 for OOV tokens).
+    *
+    * Hash-exactness: 0.4^d is EXACTLY 2^d/5^d, so the backed-off score
+    * at depth d is the integer `(1e9·2^d·c) div (5^d·c_ctx)` — pure
+    * long arithmetic, ONE integer division per position, no IEEE
+    * operation at all (stricter than the bigram path's one IEEE
+    * divide; `div`/DuckDB `//` truncate identically on non-negatives).
+    * Exact while 1e9·2^(n-1)·max_count < 2^63 — n=3 admits counts to
+    * ~2.3e9, n=5 to ~5.8e8; past that the same plan flips to log-space
+    * doubles (the [[Collocations]] caveat). The per-document score is
+    * the order-free integer mean `sum_s_e9 div n_ngrams`.
+    *
+    * Scale shape: ALL orders 1..n are counted in ONE map-side-combined
+    * aggregate (each order's gram strings are disjoint key spaces —
+    * their token arity differs — so one union'd explode suffices, and
+    * the count relation stays vocabulary-bounded per order: Brants'
+    * "counts shuffle once"). N rides a 1-row broadcast derived from
+    * the unigram slice of the SAME relation (ReusedExchange — no
+    * second train pass). Scoring is factored through DISTINCT n-grams
+    * — s_e9 is a function of the gram string alone, so each distinct
+    * gram is scored ONCE (Brants' batch-scoring shape): the distinct
+    * grams UNPIVOT their 2n-1 count lookups (suffix grams of length
+    * 1..n ending at the last token; context grams of length 1..n-1
+    * ending one earlier) into (role, key) rows, join the count
+    * relation ONCE, and pivot back with conditional-max aggregates;
+    * the corpus positions then join the scored-gram table by gram and
+    * roll up per document. Position rows are touched twice (distinct +
+    * the score join) instead of carrying the 2n-1× unpivot — measured
+    * 1.97 → 1.23 s at sf0.1 (BASELINE r9; trigram repetition there is
+    * ~10×), and the gap widens with corpus repetition and order. A
+    * backed-off numerator being positive forces
+    * its denominator positive (the context is a prefix of the found
+    * gram), so no division guard is needed above the unigram floor.
+    *
+    * Output: (idCol, n_ngrams, n_oov, sum_s_e9, score_e9), one row per
+    * document with >= n tokens; n_oov counts positions whose FULL
+    * n-gram is unseen (the positions that backed off at least once).
+    * n=2 reproduces Stupid-Backoff bigram scoring (NOT [[scoreDocs]] —
+    * that is add-one smoothing, a different estimator kept for q155). */
+  def scoreDocsBackoff(train: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
+    val SCALE = 1000000000L
+    val grams = train
+      .select(explode(flatten(array((1 to n).map(k =>
+        call_function("graft_shingles", col(textCol), lit(k))): _*))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // N = total train tokens, derived from the unigram slice of the
+    // SAME count relation. The no-space predicate lives INSIDE the
+    // aggregate (a `when`, not a `filter`): a filter on the grouping
+    // key would be pushed below the count aggregate, making this
+    // subtree's exchange canonicalize differently from the join side's
+    // and costing a SECOND full train pass — with the conditional sum
+    // both consumers share one ReusedExchange (plan-audited r9).
+    val nd = grams
+      .agg(sum(when(!col("k").contains(" "), col("c"))).as("n_tok"))
+    val docGrams = docs
+      .select(col(idCol),
+        explode(call_function("graft_shingles", col(textCol), lit(n))).as("g"))
+    val distinctG = docGrams.select(col("g")).distinct()
+      .withColumn("t", split(col("g"), " "))
+    val roles: Seq[(String, org.apache.spark.sql.Column)] =
+      (1 to n).map(l => s"n$l" -> array_join(slice(col("t"), n - l + 1, l), " ")) ++
+        (2 to n).map(l => s"d$l" -> array_join(slice(col("t"), n - l + 1, l - 1), " "))
+    val unpivoted = distinctG
+      .select(col("g"), explode(array(roles.map { case (r, k) =>
+        struct(lit(r).as("role"), k.as("k"))
+      }: _*)).as("rk"))
+      .select(col("g"), col("rk.role").as("role"), col("rk.k").as("k"))
+    val pivotAggs =
+      (1 to n).map(l => coalesce(max(when(col("role") === s"n$l", col("c"))),
+        lit(0L)).as(s"cn$l")) ++
+        (2 to n).map(l => coalesce(max(when(col("role") === s"d$l", col("c"))),
+          lit(0L)).as(s"cd$l"))
+    def lvl(l: Int): org.apache.spark.sql.Column = {
+      val d = n - l
+      val num = SCALE * (1L << d)
+      val den = Seq.fill(d)(5L).product
+      if (l >= 2) expr(s"(${num}L * cn$l) div (${den}L * cd$l)")
+      else expr(s"(${num}L * cn1) div (${den}L * n_tok)")
+    }
+    val sE9 = (n - 1 to 2 by -1)
+      .foldLeft(when(col(s"cn$n") > 0, lvl(n))) { (acc, l) =>
+        acc.when(col(s"cn$l") > 0, lvl(l))
+      }
+      .otherwise(lvl(1))
+    val perGram = unpivoted
+      .join(grams, Seq("k"), "left")
+      .groupBy(col("g"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .crossJoin(broadcast(nd))
+      .select(col("g"), sE9.as("s_e9"),
+        when(col(s"cn$n") === 0, 1L).otherwise(0L).as("oov"))
+    docGrams
+      .join(perGram, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("s_e9")).as("sum_s_e9"))
+      .withColumn("score_e9", expr("sum_s_e9 div n_ngrams"))
+  }
+
   /** floor((1e9 * (c12+1)) / (c1+V)) with null counts as 0 — the one
     * multiply + one IEEE division + floor fixed-point rule. */
   private def pE9(c12: org.apache.spark.sql.Column,
@@ -188,11 +300,34 @@ object NgramLm {
     * document with at least one bigram (single-token documents have no
     * bigram evidence and do not appear); `n_oov` counts bigrams never
     * seen in train; `score_e9` in [0, 1e9]. Fully lazy — one job end
-    * to end when executed. */
+    * to end when executed.
+    *
+    * Factored through DISTINCT bigrams (r9, the [[scoreDocsBackoff]]
+    * shape): p_e9 is a function of the bigram string alone, so each
+    * distinct bigram is scored once (two count joins over the distinct
+    * set) and the corpus positions join the scored table by bigram —
+    * instead of every position row riding both count joins. Identical
+    * arithmetic, identical output: NgramLmSpec pins this equal to the
+    * [[scoreExploded]] tail, which [[graft.streaming.StreamingLmScore]]
+    * still shares verbatim (a streaming frame cannot `distinct()`), so
+    * the equality chain twin ≡ tail ≡ batch ≡ oracle stays closed. */
   def scoreDocs(train: DataFrame, docs: DataFrame,
                 idCol: String, textCol: String): DataFrame = {
     val (bi, uni, vd) = modelFrames(train, textCol)
-    scoreExploded(explodeBigrams(docs, idCol, textCol), idCol, bi, uni,
-      col("v"), Some(vd))
+    val docBg = docs.select(col(idCol),
+      explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
+    val perBg = docBg.select(col("bg")).distinct()
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(bi, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vd))
+      .select(col("bg"), pE9(col("c12"), col("c1"), col("v")).as("p_e9"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+    docBg.join(perBg, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("p_e9")).as("sum_p_e9"))
+      .withColumn("score_e9", expr("sum_p_e9 div n_bigrams"))
   }
 }

@@ -590,7 +590,57 @@ object TextQueries {
       "FROM agg ORDER BY importance_e9 DESC, doc_id LIMIT 50"
   }
 
+  // Order-3 Stupid Backoff LM score (r9): the deeper CCNet-shaped
+  // model beside q155's add-one bigram — same train split, trigram
+  // counts with exact-rational 0.4^d backoff (2^d/5^d), pure long
+  // arithmetic end to end (one integer div per position, zero IEEE
+  // ops). The oracle replays the backoff walk literally: five count
+  // lookups per trigram position, the same CASE ladder.
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.NgramLm
+      .scoreDocsBackoff(docs.filter(col("doc_id") % 10 =!= 0), docs,
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private def stupidBackoffOracle: String =
+    "WITH tl AS (SELECT string_split_regex(text, '\\s+') AS l " +
+      "FROM documents WHERE doc_id % 10 <> 0), " +
+      "grams AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (" +
+      "SELECT unnest(l) AS g FROM tl " +
+      "UNION ALL SELECT unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) FROM tl " +
+      "UNION ALL SELECT unnest(list_transform(generate_series(1, len(l) - 2), " +
+      "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) FROM tl" +
+      ") GROUP BY 1), " +
+      "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM grams WHERE g NOT LIKE '% %'), " +
+      "dpos AS (SELECT doc_id, unnest(generate_series(1, len(l) - 2)) AS i, l FROM (" +
+      "SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents)), " +
+      "db AS (SELECT doc_id, " +
+      "l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS kn3, " +
+      "l[i] || ' ' || l[i+1] AS kd3, " +
+      "l[i+1] || ' ' || l[i+2] AS kn2, " +
+      "l[i+1] AS kd2, l[i+2] AS kn1 FROM dpos), " +
+      "sc AS (SELECT d.doc_id, " +
+      "COALESCE(g3.c, 0) AS cn3, COALESCE(h3.c, 0) AS cd3, " +
+      "COALESCE(g2.c, 0) AS cn2, COALESCE(h2.c, 0) AS cd2, " +
+      "COALESCE(g1.c, 0) AS cn1, nt.n_tok AS n_tok FROM db d " +
+      "LEFT JOIN grams g3 ON g3.g = d.kn3 LEFT JOIN grams h3 ON h3.g = d.kd3 " +
+      "LEFT JOIN grams g2 ON g2.g = d.kn2 LEFT JOIN grams h2 ON h2.g = d.kd2 " +
+      "LEFT JOIN grams g1 ON g1.g = d.kn1 CROSS JOIN nt), " +
+      "ps AS (SELECT doc_id, cn3, " +
+      "CASE WHEN cn3 > 0 THEN (1000000000 * cn3) // cd3 " +
+      "WHEN cn2 > 0 THEN (2000000000 * cn2) // (5 * cd2) " +
+      "ELSE (4000000000 * cn1) // (25 * n_tok) END AS s_e9 FROM sc) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+      "CAST(SUM(CASE WHEN cn3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(SUM(s_e9) AS BIGINT) AS sum_s_e9, " +
+      "CAST(SUM(s_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
+      "FROM ps GROUP BY doc_id ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_stupid_backoff_lm" -> q161 _,
     "q157_dsir_importance" -> q157 _,
     "q156_hybrid_rrf" -> q156 _,
     "q155_ngram_lm_score" -> q155 _,
@@ -732,6 +782,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q161_stupid_backoff_lm" -> stupidBackoffOracle,
     "q157_dsir_importance" -> importanceOracle,
     "q156_hybrid_rrf" -> hybridRrfOracle,
     "q155_ngram_lm_score" -> ngramLmOracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class NgramLmSpec extends SparkSpec {
   import spark.implicits._
@@ -94,6 +95,104 @@ class NgramLmSpec extends SparkSpec {
     // direction: the target-domain doc up-weights, the source-domain down
     assert(got(10L)._7 > 0L)
     assert(got(20L)._7 < 0L)
+  }
+
+  test("factored scoreDocs equals the scoreExploded tail the streaming twin shares") {
+    // the equality chain: StreamingLmScore shares scoreExploded
+    // verbatim; this pin closes batch-factored ≡ tail, so the twin
+    // cannot drift from the oracle-green q155 semantics
+    val (bi, uni, v) = NgramLm.modelTables(train.toDF("text"), "text")
+    val viaTail = NgramLm.scoreExploded(
+        NgramLm.explodeBigrams(docs.toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id", bi, uni, lit(v))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val factored = NgramLm.scoreDocs(train.toDF("text"),
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(factored === viaTail)
+  }
+
+  // ---- order-n Stupid Backoff ----
+
+  /** Independent reference: literal recursive Stupid Backoff over
+    * plain Scala Maps, exact-rational fixed point (2^d/5^d). */
+  private def referenceBackoff(train: Seq[String], docs: Seq[(Long, String)],
+                               n: Int): Map[Long, (Long, Long, Long, Long)] = {
+    def toks(t: String) = t.split("\\s+", -1).toSeq
+    def kgrams(t: String, k: Int) = toks(t).sliding(k).filter(_.size == k)
+      .map(_.mkString(" ")).toSeq
+    val counts: Map[String, Long] = (1 to n).flatMap(k => train.flatMap(kgrams(_, k)))
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val nTok = train.map(toks(_).size.toLong).sum
+    def score(ts: Seq[String]): Long = { // ts = one n-gram's tokens
+      var l = n
+      while (l >= 2) {
+        val c = counts.getOrElse(ts.takeRight(l).mkString(" "), 0L)
+        if (c > 0) {
+          val d = n - l
+          val ctx = counts(ts.slice(n - l, n - 1).mkString(" "))
+          return (1000000000L * (1L << d) * c) / (Seq.fill(d)(5L).product * ctx)
+        }
+        l -= 1
+      }
+      val d = n - 1
+      val c1 = counts.getOrElse(ts.last, 0L)
+      (1000000000L * (1L << d) * c1) / (Seq.fill(d)(5L).product * nTok)
+    }
+    docs.flatMap { case (id, t) =>
+      val ng = toks(t).sliding(n).filter(_.size == n).toSeq
+      if (ng.isEmpty) None
+      else {
+        val ss = ng.map(score)
+        val oov = ng.count(g => !counts.contains(g.mkString(" ")))
+        Some(id -> ((ng.size.toLong, oov.toLong, ss.sum, ss.sum / ng.size)))
+      }
+    }.toMap
+  }
+
+  private def runBackoff(tr: Seq[String], ds: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, Long, Long)] =
+    NgramLm.scoreDocsBackoff(tr.toDF("text"), ds.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, g, oov, s, sc) => id -> ((g, oov, s, sc)) }.toMap
+
+  test("stupid backoff matches the independent reference at n=3 (crafted corpus)") {
+    val ds: Seq[(Long, String)] = Seq(
+      1L -> "the cat sat on the mat",   // full trigrams found, no backoff
+      2L -> "the cat sat on my mat",    // backs off mid-sentence
+      3L -> "dog the cat jumps qqq",    // down to unigram + OOV floor
+      4L -> "zzz qqq www",              // every level misses -> score 0
+      5L -> "two words")                // no trigram -> absent
+    val got = runBackoff(train, ds, 3)
+    assert(got === referenceBackoff(train, ds, 3))
+    assert(!got.contains(5L))
+    assert(got(4L)._4 === 0L, "all-OOV doc scores exactly 0")
+    assert(got(1L)._2 === 0L, "in-train doc has no OOV trigram")
+    assert(got(1L)._4 > got(2L)._4 && got(2L)._4 > got(3L)._4)
+  }
+
+  test("stupid backoff matches the reference on a random corpus at n=2..5") {
+    val rnd = new scala.util.Random(161)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def sentence() =
+      Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val tr = Seq.fill(50)(sentence())
+    val ds = (1L to 30L).map(i => i -> sentence())
+    (2 to 5).foreach { n =>
+      assert(runBackoff(tr, ds, n) === referenceBackoff(tr, ds, n), s"order $n")
+    }
+  }
+
+  test("backoff depth d multiplies by exactly (2/5)^d: a found bigram in an " +
+      "unseen trigram context scores 0.4x its bigram ratio") {
+    // train contains "b c" (once) and unigrams; doc trigram "x b c" has
+    // unseen "x b c" and context "x b", so S = 0.4 * c("b c")/c("b")
+    val tr = Seq("a b c", "b d e")           // c("b c")=1, c("b")=2
+    val ds = Seq(9L -> "x b c")
+    val got = runBackoff(tr, ds, 3)
+    assert(got(9L)._3 === (1000000000L * 2L * 1L) / (5L * 2L), // 0.4 * 1/2
+      "exact-rational 0.4 multiply violated")
   }
 
   test("matches the reference on a random corpus (weighted repeats)") {
