@@ -43,11 +43,63 @@ object BpeTokenizer {
     b.result()
   }
 
+  /** GPT-2's byte-to-unicode table, re-derived from the PUBLISHED
+    * construction (openai/gpt-2 encoder.py `bytes_to_unicode`): the 188
+    * printable latin-1 bytes (0x21-0x7E, 0xA1-0xAC, 0xAE-0xFF) map to
+    * themselves; the remaining 68 (controls, space, 0x7F-0xA0, 0xAD)
+    * map to U+0100+i in byte-scan order — so EVERY byte is exactly one
+    * printable BMP char and byte-level merge tables stay readable,
+    * lossless strings (space is the famous "Ġ" = U+0120, newline "Ċ",
+    * tab "ĉ"). Byte-level tokens never leave the BMP, so code-point,
+    * UTF-16 and UTF-8 byte orderings coincide — the r8 tie-break
+    * hazard cannot arise in byte mode. */
+  val byteToUnicode: Array[String] = {
+    val printable = ((0x21 to 0x7E) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+    var shift = 0
+    (0 until 256).map { b =>
+      if (printable(b)) String.valueOf(b.toChar)
+      else { val s = String.valueOf((256 + shift).toChar); shift += 1; s }
+    }.toArray
+  }
+
+  private val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (s, b) => s.charAt(0) -> b }.toMap
+
+  /** A word as its UTF-8 BYTE sequence, each byte rendered through
+    * [[byteToUnicode]] — GPT-2's actual unit alphabet (its published
+    * vocab merges these units, not code points). Every unit is one
+    * char; multi-byte characters become several units ("é" -> Ã ©). */
+  def byteUnits(word: String): Vector[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) { b += byteToUnicode(bytes(i) & 0xFF); i += 1 }
+    b.result()
+  }
+
+  /** Inverse of [[byteUnits]] on any concatenation of its units — the
+    * decode side of GPT-2's byte-level round trip. Throws on a char
+    * outside the table (not a byte-level token). */
+  def decodeByteLevel(subwords: Seq[String]): String = {
+    val joined = subwords.mkString
+    val bytes = new Array[Byte](joined.length)
+    var i = 0
+    while (i < joined.length) {
+      bytes(i) = unicodeToByte(joined.charAt(i)).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Encode one word under `ranks` (pair -> priority; lower fuses
-    * first). Returns the subword sequence. */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    * first). Returns the subword sequence. `byteLevel = true` merges
+    * over [[byteUnits]] instead of [[codePoints]] — the GPT-2 variant
+    * whose published vocab round-trips. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int],
+                 byteLevel: Boolean = false): Vector[String] = {
     if (word.isEmpty) return Vector.empty
-    var parts: Vector[String] = codePoints(word)
+    var parts: Vector[String] =
+      if (byteLevel) byteUnits(word) else codePoints(word)
     var done = false
     while (!done && parts.size >= 2) {
       var best = -1
@@ -70,7 +122,8 @@ object BpeTokenizer {
     * (the fragments no merge covered — the vocabulary-coverage signal a
     * tokenizer rollout watches). Row-local typed map; merges broadcast. */
   def subwordStats(df: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
@@ -84,10 +137,12 @@ object BpeTokenizer {
       var nSub = 0L
       var nUnk = 0L
       words.foreach { w =>
-        val enc = encodeWord(w, bc.value)
+        val enc = encodeWord(w, bc.value, byteLevel)
         nSub += enc.length
         // single CODE POINT (not single UTF-16 char): a surrogate-pair
-        // emoji no merge covered is one unknown, not zero
+        // emoji no merge covered is one unknown, not zero. In byte
+        // mode every unit is one BMP char, so the same predicate
+        // counts single-BYTE fragments.
         nUnk += enc.count(s => s.codePointCount(0, s.length) == 1)
       }
       (id, words.length.toLong, nSub, nUnk)
@@ -139,12 +194,20 @@ object BpeTokenizer {
     *    k merges = k bounded rounds, lineage truncated per round via
     *    `localCheckpoint` so round r never re-plans rounds 0..r-1.
     *
+    * The training loop is representation-agnostic: `byteLevel = true`
+    * seeds each word with [[byteUnits]] instead of [[codePoints]] —
+    * the GPT-2 byte-level variant — and nothing else changes (both
+    * regimes, both pinned against the independent trainer's byte mode).
+    *
     * @return the learned merges, rank order (earliest = rank 0) */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            localVocabMax: Int = 1 << 20): Seq[(String, String)] = {
+            localVocabMax: Int = 1 << 20,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges < 0")
     val spark = df.sparkSession
     import spark.implicits._
+    val units: String => Vector[String] =
+      if (byteLevel) byteUnits else codePoints
     val hist = df
       .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -154,8 +217,8 @@ object BpeTokenizer {
         .as[(String, Long)].collect()
       else Array.empty[(String, Long)]
     if (localVocabMax > 0 && head.length <= localVocabMax)
-      trainLocal(head, numMerges)
-    else trainDistributed(hist, numMerges)
+      trainLocal(head, numMerges, units)
+    else trainDistributed(hist, numMerges, units)
   }
 
   /** Code-point lexicographic string order (== UTF-8 byte order ==
@@ -172,10 +235,10 @@ object BpeTokenizer {
       if (r != 0) r else java.lang.Boolean.compare(xi.hasNext, yi.hasNext)
     }
 
-  private def trainLocal(hist: Array[(String, Long)],
-                         numMerges: Int): Seq[(String, String)] = {
+  private def trainLocal(hist: Array[(String, Long)], numMerges: Int,
+                         units: String => Vector[String]): Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
-      hist.map { case (w, f) => (codePoints(w), f) }
+      hist.map { case (w, f) => (units(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var r = 0
     var exhausted = false
@@ -210,12 +273,12 @@ object BpeTokenizer {
     merges.result()
   }
 
-  private def trainDistributed(hist: DataFrame,
-                               numMerges: Int): Seq[(String, String)] = {
+  private def trainDistributed(hist: DataFrame, numMerges: Int,
+                               units: String => Vector[String]): Seq[(String, String)] = {
     val spark = hist.sparkSession
     import spark.implicits._
     var words = hist.as[(String, Long)]
-      .map { case (w, f) => (codePoints(w), f) }
+      .map { case (w, f) => (units(w), f) }
       .toDF("parts", "freq")
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]

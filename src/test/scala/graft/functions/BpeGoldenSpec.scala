@@ -33,7 +33,8 @@ class BpeGoldenSpec extends AnyFunSuite {
     case other => sys.error(s"non-array $other")
   }
 
-  test("452 independently-generated GPT-2 cases match encodeWord exactly") {
+  test("618 independently-generated GPT-2 cases (code-point + byte-level) " +
+      "match encodeWord exactly") {
     val lines = loadLines()
     val tables: Map[String, Map[(String, String), Int]] = lines.collect {
       // "table" records only — train goldens (r8) also carry "merges"
@@ -46,18 +47,24 @@ class BpeGoldenSpec extends AnyFunSuite {
         }
         name -> merges.zipWithIndex.toMap
     }.toMap
-    assert(tables.size == 4)
+    assert(tables.size == 6) // 4 code-point + 2 byte-level (r9)
     assert(tables("q148") ==
       graft.queries.TextQueries.bpeMerges.zipWithIndex.toMap,
       "fixture q148 table drifted from TextQueries.bpeMerges — regenerate")
 
     val cases = lines.filter(j => (j \ "word") != JNothing)
-    assert(cases.size == 452)
+    assert(cases.size == 618) // 452 code-point + 166 byte-level
+    assert(cases.count(c => (c \ "mode") != JNothing) == 166)
     var failures = 0
     cases.zipWithIndex.foreach { case (c, i) =>
       val word = (c \ "word").values.toString
       val table = (c \ "table").values.toString
-      val got = BpeTokenizer.encodeWord(word, tables(table))
+      val byteLevel = (c \ "mode") match {
+        case JString("byte") => true
+        case JNothing => false
+        case other => sys.error(s"bad mode $other")
+      }
+      val got = BpeTokenizer.encodeWord(word, tables(table), byteLevel)
       val want = strings(c \ "expected")
       if (got != want) {
         failures += 1

@@ -44,14 +44,43 @@ import random
 INF = float("inf")
 
 
+# --------------------------------------------------- byte-level (GPT-2)
+def bytes_to_unicode():
+    """The PUBLISHED GPT-2 byte-to-unicode construction (openai/gpt-2
+    encoder.py), re-derived: printable latin-1 bytes map to themselves,
+    the other 68 shift to U+0100+n in byte-scan order."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(2 ** 8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2 ** 8 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+B2U = bytes_to_unicode()
+
+
+def cp_units(w):
+    return [c for c in w]  # Python strings iterate CODE POINTS
+
+
+def byte_units(w):
+    return [B2U[b] for b in w.encode("utf-8")]
+
+
 # ---------------------------------------------------------------- GPT-2
 def get_pairs(word):
     return set(zip(word, word[1:]))
 
 
-def bpe_gpt2(token, ranks):
+def bpe_gpt2(token, ranks, units=cp_units):
     """The published GPT-2 batch-merge loop (independent re-write)."""
-    word = tuple(token)  # Python strings iterate CODE POINTS
+    word = tuple(units(token))
     if not word:
         return []
     pairs = get_pairs(word)
@@ -87,8 +116,8 @@ def bpe_gpt2(token, ranks):
 
 
 # ------------------------------------------- single-merge twin (Scala contract)
-def bpe_single(token, ranks):
-    parts = [c for c in token]
+def bpe_single(token, ranks, units=cp_units):
+    parts = units(token)
     while len(parts) >= 2:
         best, best_rank = -1, INF
         for i in range(len(parts) - 1):
@@ -102,10 +131,10 @@ def bpe_single(token, ranks):
 
 
 # ------------------------------------------------------------- training
-def train_merges(corpus, n_merges):
+def train_merges(corpus, n_merges, units=cp_units):
     """Classic BPE training: fuse the globally most frequent adjacent
     pair (ties: lexicographic, for determinism) n_merges times."""
-    words = [[c for c in w] for w in corpus for _ in range(1)]
+    words = [units(w) for w in corpus]
     merges = []
     for _ in range(n_merges):
         counts = collections.Counter()
@@ -181,6 +210,27 @@ def main():
         assert exp == bpe_single(w, ranks_en)
         cases.append({"word": w, "table": "english50", "expected": exp})
 
+    # ---- BYTE-LEVEL mode (r9): the GPT-2 variant whose published
+    # vocab round-trips — same loops, units = UTF-8 bytes through the
+    # published byte-to-unicode table. Emoji/CJK exercise multi-byte
+    # UTF-8 and the shifted (U+0100+) table range.
+    byte_tables = {
+        "english50_byte": train_merges(english, 50, byte_units),
+        "emoji12_byte": train_merges(emoji, 12, byte_units),
+    }
+    for name, merges in byte_tables.items():
+        assert len(set(merges)) == len(merges), f"duplicate pair in {name}"
+    byte_cases = []
+    for tname in byte_tables:
+        ranks = {p: i for i, p in enumerate(byte_tables[tname])}
+        for w in pool:
+            exp = bpe_gpt2(w, ranks, byte_units)
+            twin = bpe_single(w, ranks, byte_units)
+            assert exp == twin, (
+                f"byte batch/single divergence table={tname} word={w!r}")
+            byte_cases.append({"word": w, "table": tname,
+                               "mode": "byte", "expected": exp})
+
     # training goldens: corpora WITH duplicates (instance weighting must
     # matter — 'the' repeats in english), including a randomized one
     rand_corpus = ["".join(rng.choice("abcdest") for _ in range(rng.randint(1, 9)))
@@ -203,6 +253,11 @@ def main():
     for name, (corpus, k) in train_specs.items():
         train_records.append({"train": name, "corpus": corpus, "n": k,
                               "merges": [list(p) for p in train_merges(corpus, k)]})
+    for name, (corpus, k) in {"train_english_byte": (english, 30),
+                              "train_emoji_byte": (emoji, 12)}.items():
+        train_records.append(
+            {"train": name, "corpus": corpus, "n": k, "mode": "byte",
+             "merges": [list(p) for p in train_merges(corpus, k, byte_units)]})
 
     out = os.path.join(os.path.dirname(__file__), "..",
                        "src", "test", "resources", "golden",
@@ -212,11 +267,17 @@ def main():
             f.write(json.dumps(
                 {"table": name, "merges": [list(p) for p in merges]},
                 ensure_ascii=False) + "\n")
-        for c in cases:
+        for name, merges in byte_tables.items():
+            f.write(json.dumps(
+                {"table": name, "mode": "byte",
+                 "merges": [list(p) for p in merges]},
+                ensure_ascii=False) + "\n")
+        for c in cases + byte_cases:
             f.write(json.dumps(c, ensure_ascii=False) + "\n")
         for r in train_records:
             f.write(json.dumps(r, ensure_ascii=False) + "\n")
-    print(f"wrote {len(cases)} cases over {len(tables)} tables and "
+    print(f"wrote {len(cases)} cp + {len(byte_cases)} byte cases over "
+          f"{len(tables)}+{len(byte_tables)} tables and "
           f"{len(train_records)} train goldens to {out}")
 
 
