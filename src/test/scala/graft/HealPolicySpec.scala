@@ -111,4 +111,32 @@ class HealPolicySpec extends AnyFunSuite {
       HealPolicy.canonKey("05"))
     assert(HealPolicy.canonKey("x132_pq_train") == "x132_pq_train")
   }
+
+  test("r8 whole-suite-hot shape: per-line probes fire and CONFIRM, " +
+      "nothing heals, floor_r announces the box (r9)") {
+    // the r8 artifact: floor 0.110 -> 0.173 (1.57x), 17 code-untouched
+    // lines read >= 1.4x their r7 medians. Per-line view of one of
+    // them (q70-like, 0.45 prior, uniformly 0.68 now):
+    val prior = Some(0.45)
+    val samples = Seq(0.66, 0.68, 0.70)
+    assert(HealPolicy.regressed(0.68, prior))    // the probe fires...
+    assert(!HealPolicy.flagged(0.68, samples))   // (not heavy/bimodal)
+    // ...but on the same hot box the probe reads ~the same: NOT
+    // confirmed, no re-measure — the hot number stands, correctly
+    assert(!HealPolicy.probeConfirms(probe = 0.65, median = 0.68))
+    // the artifact-level signal is the floor ratio, not per-line heals
+    val r = HealPolicy.floorRatio(floor = 0.173, priorFloor = Some(0.110))
+    assert(r.exists(x => math.abs(x - 1.5727) < 1e-3))
+    assert(HealPolicy.hotBox(r))
+    // a normal sweep stays quiet
+    assert(!HealPolicy.hotBox(HealPolicy.floorRatio(0.115, Some(0.110))))
+    // COOLER box than prior: ratio < 1, never "hot"
+    assert(!HealPolicy.hotBox(HealPolicy.floorRatio(0.08, Some(0.110))))
+    // no prior artifact (first round / foreign box): no signal, no error
+    assert(HealPolicy.floorRatio(0.173, None).isEmpty)
+    assert(!HealPolicy.hotBox(None))
+    // degenerate floors never divide by zero or flag
+    assert(HealPolicy.floorRatio(0.173, Some(0.0)).isEmpty)
+    assert(HealPolicy.floorRatio(-1.0, Some(0.110)).isEmpty)
+  }
 }
