@@ -400,7 +400,10 @@ object Bench {
       // LM scoring joins every corpus bigram against the count tables;
       // hybrid RRF scans both retrieval legs corpus-wide
       "q154_bpe_train", "q155_ngram_lm_score", "q156_hybrid_rrf",
-      "q157_dsir_importance")
+      "q157_dsir_importance",
+      // r9: backoff scoring is corpus-proportional through the distinct
+      // n-gram score join (the count/score tables are vocab-bounded)
+      "q161_stupid_backoff_lm")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

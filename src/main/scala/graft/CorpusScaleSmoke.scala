@@ -71,6 +71,12 @@ object CorpusScaleSmoke {
       (sec, w, r, rows)
     }
 
+    // optional 2nd arg: comma-separated line names — run just those
+    // (single-operator scale points without paying the whole sweep)
+    val onlyNames: Option[Set[String]] =
+      args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = onlyNames.forall(_.contains(name))
+
     val lines = Seq("q134_setsim_join", "q136_token_budget_fill",
       "q138_pmi_collocations",
       // r8 (r7 VERDICT item 3): the span/contamination family — exact
@@ -88,7 +94,12 @@ object CorpusScaleSmoke {
       // the fan-out bound (pairs per shingle <= sources-containing-it
       // choose 2, never corpus-sized); super-linear bytes here would
       // expose a quadratic pair join
-      "q159_source_overlap").map { name =>
+      "q159_source_overlap",
+      // r9: order-3 Stupid Backoff — corpus-proportional through the
+      // position/score join; the distinct-gram score table is
+      // vocab-bounded, so shuffle must track positions, not positions
+      // × (2n-1) lookups
+      "q161_stupid_backoff_lm").filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }
@@ -101,7 +112,7 @@ object CorpusScaleSmoke {
     // Bloom sized for the x100 point (~10^7 distinct train 13-grams /
     // 64 parts); at smaller corpora it is over-sized, which only
     // wastes bitmap bytes, never correctness.
-    val bloomLine = {
+    val bloomLine = if (!wanted("q153bloom")) None else Some {
       import org.apache.spark.sql.functions._
       Thread.sleep(1000)
       val w0 = shufWrite.get(); val r0 = shufRead.get()
@@ -145,7 +156,7 @@ object CorpusScaleSmoke {
     // capped at df<=2 the join emits exactly the 999 genuine pairs.
     // Sum(n_shared) == pairs emitted pre-aggregation, so the line
     // reports the fan-out itself, alongside wall/shuffle.
-    val overlapCapLine = {
+    val overlapCapLine = if (!wanted("overlap_cap")) None else Some {
       import org.apache.spark.sql.functions._
       val s = 1000
       val keyed = spark.range(0, s).select(
@@ -174,7 +185,7 @@ object CorpusScaleSmoke {
       f""""overlap_uncapped":{"sec":$uSec%.2f,"shuffle_write_mb":${uW / 1e6}%.1f,"shuffle_read_mb":${uR / 1e6}%.1f,"pairs":$uPairs},"overlap_capped":{"sec":$cSec%.2f,"shuffle_write_mb":${cW / 1e6}%.1f,"shuffle_read_mb":${cR / 1e6}%.1f,"pairs":$cPairs}"""
     }
 
-    println(s"""{"dir":"$dir","n_docs":$n,${(lines :+ bloomLine :+ overlapCapLine).mkString(",")}}""")
+    println(s"""{"dir":"$dir","n_docs":$n,${(lines ++ bloomLine ++ overlapCapLine).mkString(",")}}""")
     spark.stop()
   }
 }

@@ -79,9 +79,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
       !p.contains("CartesianProduct"),
       s"the corpus side must never shuffle for the probe:\n$p")
-    val shuffles = p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    assert(shuffles == 1, s"only the deterministic output sort may shuffle:\n$p")
+    // two exchanges are legitimate: the deterministic output sort, and
+    // the probe-side guard's SinglePartition aggregate (r8 ADVICE: the
+    // first+count that raises on a malformed probe relation — one row
+    // after partial aggregation, scale-irrelevant). Anything else on
+    // the corpus side is a regression.
+    val shuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.size <= 2 &&
+      shuffles.count(!_.contains("SinglePartition")) == 1,
+      s"only the output sort and the 1-row probe guard may shuffle:\n$p")
   }
 
   test("q66 as-of join: no join operator at all — union + one window shuffle") {
