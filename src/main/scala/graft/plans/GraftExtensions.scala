@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashEntry)
     ext.injectFunction(GraftExtensions.shingleCountEntry)
     ext.injectFunction(GraftExtensions.textMetricsEntry)
+    ext.injectFunction(GraftExtensions.repetitionEntry)
     ext.injectFunction(GraftExtensions.shinglesEntry)
     ext.injectFunction(GraftExtensions.tokensEntry)
     ext.injectFunction(GraftExtensions.shingleHashesEntry)
@@ -94,6 +95,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "graft_text_metrics(text) takes one argument")
       GraftTextMetrics(children.head): Expression
+    })
+
+  private[graft] val repetitionEntry = (
+    new FunctionIdentifier("graft_repetition"),
+    new ExpressionInfo(classOf[GraftRepetition].getName, "graft_repetition"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_repetition(text) takes one argument")
+      GraftRepetition(children.head): Expression
     })
 
   private[graft] val shinglesEntry = (

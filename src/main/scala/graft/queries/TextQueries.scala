@@ -639,7 +639,68 @@ object TextQueries {
       "CAST(SUM(s_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
       "FROM ps GROUP BY doc_id ORDER BY doc_id"
 
+  // Gopher repetition battery (r9): top-n-gram character fraction
+  // (n=2..4) and duplicated-n-gram character fraction (n=5..10) per
+  // document — Rae et al. 2021 Table A1, the standard pretraining
+  // quality filters beside q75's single duplicate-3-gram ratio. One
+  // row-local kernel pass (graft_repetition), zero shuffle: the
+  // statistic is within-document, so the DuckDB twin's corpus-wide
+  // (doc, gram) group-bys are exactly the work the kernel avoids.
+  // Fractions are fixed-point (1e6·mass) div length(text) — pure
+  // integer, hash-exact.
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    // UNCONDITIONAL references, no when() guard: codegen subexpression
+    // elimination only dedupes expressions guaranteed to evaluate, so a
+    // CASE-wrapped element_at would re-run the kernel 9x per row
+    // (measured: 1.24 s -> the guardless shape below). The guard is
+    // redundant anyway — empty text has zero gram mass, and
+    // greatest(len, 1) only changes the denominator where the
+    // numerator is already 0.
+    def frac(slot: Int) = expr(
+      s"(1000000L * element_at(__b, ${slot + 1})) div greatest(length(text), 1L)")
+    val cols = (2 to 4).map(n => frac(n - 2).as(s"top${n}_e6")) ++
+      (5 to 10).map(n => frac(n - 2).as(s"dup${n}_e6"))
+    // no orderBy: the oracle compare sorts rows itself, there is no
+    // LIMIT needing deterministic selection, and a range exchange
+    // would SAMPLE the child first — evaluating the kernel projection
+    // twice (measured: 1.22 -> 0.60 s ONLY-mode at sf0.1 without it)
+    documents(s, d)
+      .withColumn("__b", call_function("graft_repetition", col("text")))
+      .select((col("doc_id") +: cols): _*)
+  }
+
+  private def repetitionBatteryOracle: String = {
+    def gramSel(n: Int): String = {
+      val parts = (0 until n).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+      s"SELECT doc_id, $n AS n, unnest(list_transform(" +
+        s"generate_series(1, len(l) - ${n - 1}), i -> $parts)) AS g FROM t"
+    }
+    def outCol(n: Int): String = {
+      val alias = if (n <= 4) s"top${n}_e6" else s"dup${n}_e6"
+      s"CAST(COALESCE(MAX(CASE WHEN n = $n AND chars > 0 THEN " +
+        s"(1000000 * mass) // chars END), 0) AS BIGINT) AS $alias"
+    }
+    "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+      "gr AS (" + (2 to 10).map(gramSel).mkString(" UNION ALL ") + "), " +
+      "c AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c, " +
+      "CAST(MIN(length(g)) AS BIGINT) AS lg FROM gr GROUP BY 1, 2, 3), " +
+      "mx AS (SELECT doc_id, n, MAX(c) AS mc FROM c GROUP BY 1, 2), " +
+      // top: max count, ties by LONGEST gram (the kernel's total rule)
+      "tp AS (SELECT c.doc_id, c.n, mx.mc * MAX(c.lg) AS mass FROM c " +
+      "JOIN mx ON c.doc_id = mx.doc_id AND c.n = mx.n AND c.c = mx.mc " +
+      "WHERE c.n <= 4 GROUP BY c.doc_id, c.n, mx.mc), " +
+      "dp AS (SELECT doc_id, n, SUM(c * lg) AS mass FROM c " +
+      "WHERE n >= 5 AND c >= 2 GROUP BY 1, 2), " +
+      "m AS (SELECT * FROM tp UNION ALL SELECT * FROM dp), " +
+      "p AS (SELECT d.doc_id, d.chars, m.n, m.mass FROM " +
+      "(SELECT doc_id, CAST(length(text) AS BIGINT) AS chars FROM documents) d " +
+      "LEFT JOIN m ON m.doc_id = d.doc_id) " +
+      "SELECT doc_id, " + ((2 to 4) ++ (5 to 10)).map(outCol).mkString(", ") +
+      " FROM p GROUP BY doc_id, chars ORDER BY doc_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_repetition_battery" -> q162 _,
     "q161_stupid_backoff_lm" -> q161 _,
     "q157_dsir_importance" -> q157 _,
     "q156_hybrid_rrf" -> q156 _,
@@ -782,6 +843,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q162_repetition_battery" -> repetitionBatteryOracle,
     "q161_stupid_backoff_lm" -> stupidBackoffOracle,
     "q157_dsir_importance" -> importanceOracle,
     "q156_hybrid_rrf" -> hybridRrfOracle,
