@@ -165,14 +165,66 @@ object NgramLm {
     * n-gram is unseen (the positions that backed off at least once).
     * n=2 reproduces Stupid-Backoff bigram scoring (NOT [[scoreDocs]] —
     * that is add-one smoothing, a different estimator kept for q155). */
-  def scoreDocsBackoff(train: DataFrame, docs: DataFrame,
-                       idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
-    val SCALE = 1000000000L
-    val grams = train
+  /** All 1..n gram counts of `train` in ONE map-side-combined aggregate
+    * — the model relation (k, c). Each order's gram strings are a
+    * disjoint key space (token arity differs), so one union'd explode
+    * suffices and the relation stays vocabulary-bounded per order. */
+  private def gramCounts(train: DataFrame, textCol: String, n: Int): DataFrame =
+    train
       .select(explode(flatten(array((1 to n).map(k =>
         call_function("graft_shingles", col(textCol), lit(k))): _*))).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
+
+  /** The trained backoff model as warehouse artifacts: the 1..n gram
+    * count table (k, c) and the total token count N — what a deployment
+    * materializes once and every scoring pass (batch or the
+    * [[graft.streaming.StreamingBackoffScore]] twin) joins against.
+    * N is a bounded 1-row collect. */
+  def backoffTables(train: DataFrame, textCol: String, n: Int)
+      : (DataFrame, Long) = {
+    require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
+    val grams = gramCounts(train, textCol, n)
+    val nTok = grams
+      .agg(sum(when(!col("k").contains(" "), col("c")))).head().getLong(0)
+    (grams, nTok)
+  }
+
+  /** Per-position count-lookup key expressions over a token-array
+    * column `t` holding one length-n gram's tokens: suffix grams of
+    * length 1..n ending at the last token (roles n1..nN) and context
+    * grams of length 1..n-1 ending one earlier (roles d2..dN) — the
+    * 2n-1 lookups one backoff walk needs. Shared by the batch unpivot
+    * and the streaming twin's join columns. */
+  private[graft] def keyExprs(n: Int)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    (1 to n).map(l => s"n$l" -> array_join(slice(col("t"), n - l + 1, l), " ")) ++
+      (2 to n).map(l => s"d$l" -> array_join(slice(col("t"), n - l + 1, l - 1), " "))
+
+  /** The Stupid Backoff when-ladder over columns cn1..cnN, cd2..cdN and
+    * `n_tok` — SHARED VERBATIM by the batch distinct-gram path and the
+    * streaming twin, so the two cannot drift (the scoreExploded
+    * precedent). Pure long arithmetic: depth-d score =
+    * (1e9·2^d·cn) div (5^d·cd). */
+  private[graft] def backoffLadder(n: Int): org.apache.spark.sql.Column = {
+    val SCALE = 1000000000L
+    def lvl(l: Int): org.apache.spark.sql.Column = {
+      val d = n - l
+      val num = SCALE * (1L << d)
+      val den = Seq.fill(d)(5L).product
+      if (l >= 2) expr(s"(${num}L * cn$l) div (${den}L * cd$l)")
+      else expr(s"(${num}L * cn1) div (${den}L * n_tok)")
+    }
+    (n - 1 to 2 by -1)
+      .foldLeft(when(col(s"cn$n") > 0, lvl(n))) { (acc, l) =>
+        acc.when(col(s"cn$l") > 0, lvl(l))
+      }
+      .otherwise(lvl(1))
+  }
+
+  def scoreDocsBackoff(train: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
+    val grams = gramCounts(train, textCol, n)
     // N = total train tokens, derived from the unigram slice of the
     // SAME count relation. The no-space predicate lives INSIDE the
     // aggregate (a `when`, not a `filter`): a filter on the grouping
@@ -187,9 +239,7 @@ object NgramLm {
         explode(call_function("graft_shingles", col(textCol), lit(n))).as("g"))
     val distinctG = docGrams.select(col("g")).distinct()
       .withColumn("t", split(col("g"), " "))
-    val roles: Seq[(String, org.apache.spark.sql.Column)] =
-      (1 to n).map(l => s"n$l" -> array_join(slice(col("t"), n - l + 1, l), " ")) ++
-        (2 to n).map(l => s"d$l" -> array_join(slice(col("t"), n - l + 1, l - 1), " "))
+    val roles = keyExprs(n)
     val unpivoted = distinctG
       .select(col("g"), explode(array(roles.map { case (r, k) =>
         struct(lit(r).as("role"), k.as("k"))
@@ -200,18 +250,7 @@ object NgramLm {
         lit(0L)).as(s"cn$l")) ++
         (2 to n).map(l => coalesce(max(when(col("role") === s"d$l", col("c"))),
           lit(0L)).as(s"cd$l"))
-    def lvl(l: Int): org.apache.spark.sql.Column = {
-      val d = n - l
-      val num = SCALE * (1L << d)
-      val den = Seq.fill(d)(5L).product
-      if (l >= 2) expr(s"(${num}L * cn$l) div (${den}L * cd$l)")
-      else expr(s"(${num}L * cn1) div (${den}L * n_tok)")
-    }
-    val sE9 = (n - 1 to 2 by -1)
-      .foldLeft(when(col(s"cn$n") > 0, lvl(n))) { (acc, l) =>
-        acc.when(col(s"cn$l") > 0, lvl(l))
-      }
-      .otherwise(lvl(1))
+    val sE9 = backoffLadder(n)
     val perGram = unpivoted
       .join(grams, Seq("k"), "left")
       .groupBy(col("g"))
