@@ -166,6 +166,29 @@ class BloomFiltersSpec extends SparkSpec {
     }
   }
 
+  test("survivors memo: an identical repeated call reuses the counted " +
+      "survivors (one slot, keyed on input plans + sizing)") {
+    BloomFilters.releaseCache()
+    val train = (0 until 300).map(i => s"t$i").toDF("shingle")
+    val eval_ = (1 to 30).map(i => (1L, s"t$i")).toDF("doc_id", "shingle")
+    def call() = BloomFilters.verifiedHitsBloomPruned(train, eval_,
+      "doc_id", "shingle", expectedItemsPerPart = 300L,
+      numBitsPerPart = 4800L, numPartitions = 2)
+    val r1 = call().as[(Long, String)].collect().sorted.toSeq
+    val m1 = BloomFilters.memoSurvivorFrame.get
+    val r2 = call().as[(Long, String)].collect().sorted.toSeq
+    val m2 = BloomFilters.memoSurvivorFrame.get
+    assert(m1 eq m2, "identical call must reuse the memoized survivors frame")
+    assert(r1 === r2)
+    // a DIFFERENT sizing is a different model — memo must be replaced
+    BloomFilters.verifiedHitsBloomPruned(train, eval_, "doc_id", "shingle",
+      expectedItemsPerPart = 150L, numBitsPerPart = 2400L,
+      numPartitions = 2).count()
+    assert(!(BloomFilters.memoSurvivorFrame.get eq m1))
+    BloomFilters.releaseCache()
+    assert(BloomFilters.memoSurvivorFrame.isEmpty)
+  }
+
   test("cache registry: bounded at one call's corpus, release empties it") {
     BloomFilters.releaseCache()
     assert(BloomFilters.retainedFrames.isEmpty)
