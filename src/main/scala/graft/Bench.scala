@@ -402,8 +402,9 @@ object Bench {
       "q154_bpe_train", "q155_ngram_lm_score", "q156_hybrid_rrf",
       "q157_dsir_importance",
       // r9: backoff scoring is corpus-proportional through the distinct
-      // n-gram score join (the count/score tables are vocab-bounded)
-      "q161_stupid_backoff_lm")
+      // n-gram score join (the count/score tables are vocab-bounded);
+      // the repetition battery is a pure row-local kernel map
+      "q161_stupid_backoff_lm", "q162_repetition_battery")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
