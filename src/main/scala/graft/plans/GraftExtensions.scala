@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tsNanosEntry)
     ext.injectFunction(GraftExtensions.topKEntry)
     ext.injectFunction(GraftExtensions.freqStatsEntry)
+    ext.injectFunction(GraftExtensions.blocklistEntry)
   }
 }
 
@@ -229,6 +230,15 @@ object GraftExtensions {
       GraftFreqStats(children(0), children(1), children(2)): Expression
     })
 
+  private[graft] val blocklistEntry = (
+    new FunctionIdentifier("graft_blocklist"),
+    new ExpressionInfo(classOf[GraftBlocklist].getName, "graft_blocklist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_blocklist(text, patterns) takes two arguments")
+      GraftBlocklist(children(0), children(1)): Expression
+    })
+
   private[graft] val tsNanosEntry = (
     new FunctionIdentifier("graft_ts_nanos"),
     new ExpressionInfo(classOf[GraftTsNanos].getName, "graft_ts_nanos"),
@@ -242,12 +252,15 @@ object GraftExtensions {
     * session handed to SparkEntry). Idempotent. */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // repetitionEntry was absent from this list through r9 (apply() had
+    // it, so extension-built sessions never noticed) — a host session
+    // registering via ensure() alone would have missed graft_repetition.
     Seq(cosineEntry, md5Entry, winnowEntry, minHashEntry, simHashEntry,
-      shingleCountEntry, textMetricsEntry, shinglesEntry, tokensEntry,
-      shingleHashesEntry, jsonLongEntry,
+      shingleCountEntry, textMetricsEntry, repetitionEntry, shinglesEntry,
+      tokensEntry, shingleHashesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
-      tsNanosEntry, topKEntry, freqStatsEntry).foreach { e =>
+      tsNanosEntry, topKEntry, freqStatsEntry, blocklistEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -699,7 +699,47 @@ object TextQueries {
       " FROM p GROUP BY doc_id, chars ORDER BY doc_id"
   }
 
+  // Multi-pattern blocklist stats (r10): banned-phrase hygiene over the
+  // corpus — one Aho-Corasick pass per document (graft_blocklist kernel)
+  // where the naive shape is one contains/replace scan PER PATTERN.
+  // Counts are non-overlapping leftmost-greedy substring occurrences
+  // (Python str.count), which is exactly the arithmetic DuckDB's
+  // vectorized replace-trick computes — the oracle is a fair fast plan,
+  // not a strawman. The pattern set exercises the automaton's hard
+  // cases on purpose: a prefix chain ("batch batch" / "batch batch
+  // batch"), a mid-word fragment ("ow" — matches inside slow/window/
+  // row), a cross-token phrase, and an absent pattern (zero path).
+  private val blocklistPatterns = Seq(
+    "slow", "merge slow", "batch batch", "batch batch batch",
+    "ow", "window dup", "gdpr audit")
+
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val b = col("__b")
+    // withColumn keeps the kernel evaluated once across the three
+    // element_at consumers (the q31/q162 CollapseProject convention)
+    documents(s, d)
+      .withColumn("__b",
+        call_function("graft_blocklist", col("text"), typedLit(blocklistPatterns)))
+      .select(col("doc_id"),
+        element_at(b, 1).as("n_hits"),
+        element_at(b, 2).as("n_patterns"),
+        element_at(b, 3).as("banned_chars"))
+  }
+
+  private def blocklistOracle: String = {
+    val vals = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+    s"WITH p AS (SELECT * FROM (VALUES $vals) AS t(pat)), " +
+      "c AS (SELECT d.doc_id, p.pat, " +
+      "CAST((length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS BIGINT) AS cnt " +
+      "FROM documents d CROSS JOIN p) " +
+      "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_hits, " +
+      "CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns, " +
+      "CAST(SUM(cnt * length(pat)) AS BIGINT) AS banned_chars " +
+      "FROM c GROUP BY doc_id ORDER BY doc_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_blocklist_stats" -> q163 _,
     "q162_repetition_battery" -> q162 _,
     "q161_stupid_backoff_lm" -> q161 _,
     "q157_dsir_importance" -> q157 _,
@@ -843,6 +883,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q163_blocklist_stats" -> blocklistOracle,
     "q162_repetition_battery" -> repetitionBatteryOracle,
     "q161_stupid_backoff_lm" -> stupidBackoffOracle,
     "q157_dsir_importance" -> importanceOracle,
