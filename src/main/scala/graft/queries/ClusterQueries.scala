@@ -283,17 +283,70 @@ object ClusterQueries {
       "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
       "FROM rr WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT 10"
 
+  // ---- q164: JL random sign projection + L2 shortlist + exact re-rank --
+
+  private val JlK = 16
+  private val JlSeed = "rp"
+  private val JlShortlist = 100
+  private val JlTop = 10
+
+  /** Johnson-Lindenstrauss rung of the ladder (RandomProjection
+    * scaladoc): d→16 md5-seeded ±1 sign projection over the 2²⁰
+    * quantized longs, squared-L2 shortlist of 100 in the projected
+    * space, exact cosine re-rank to 10 — every step exact integer /
+    * fixed-tree arithmetic, the sign matrix derived identically by
+    * both engines from the seed string. Probe = vec_id 0, corpus =
+    * the rest (the q40-q43 convention). */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.RandomProjection.jlRerankTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      probe, JlSeed, JlK, JlShortlist, JlTop)
+      .select(col("vec_id"), col("label"), col("sim_e6"))
+  }
+
+  private def q164Sql: String =
+    "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+      "dims AS (SELECT len(p) AS d FROM probe), " +
+      s"sgn AS (SELECT j, list_transform(generate_series(1, (SELECT d FROM dims)), " +
+      s"i -> CASE WHEN strpos('02468ace', substr(md5('$JlSeed|' || i || '|' || j), 1, 1)) > 0 " +
+      s"THEN 1 ELSE -1 END) AS s FROM generate_series(1, $JlK) AS t(j)), " +
+      "qv AS (SELECT list_transform(p, x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS q FROM probe), " +
+      "qp AS (SELECT list(y ORDER BY j) AS yq FROM (" +
+      "SELECT g.j, CAST(list_sum(list_transform(generate_series(1, (SELECT d FROM dims)), " +
+      "i -> g.s[i] * q.q[i])) AS BIGINT) AS y FROM sgn g, qv q)), " +
+      "corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE vec_id <> 0), " +
+      "cv AS (SELECT vec_id, label, v, " +
+      "list_transform(v, x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS q FROM corpus), " +
+      "cp AS (SELECT vec_id, label, v, list(y ORDER BY j) AS yv FROM (" +
+      "SELECT c.vec_id, c.label, c.v, g.j, " +
+      "CAST(list_sum(list_transform(generate_series(1, (SELECT d FROM dims)), " +
+      "i -> g.s[i] * c.q[i])) AS BIGINT) AS y FROM cv c, sgn g) " +
+      "GROUP BY vec_id, label, v), " +
+      s"dist AS (SELECT vec_id, label, v, CAST(list_sum(list_transform(" +
+      s"generate_series(1, $JlK), j -> (yv[j] - yq[j]) * (yv[j] - yq[j]))) AS BIGINT) AS d2 " +
+      "FROM cp, qp), " +
+      s"short AS (SELECT vec_id, label, v FROM dist ORDER BY d2 ASC, vec_id LIMIT $JlShortlist), " +
+      "rr AS (SELECT vec_id, label, list_cosine_similarity(v, p) AS sim FROM short, probe) " +
+      "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
+      s"FROM rr WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT $JlTop"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_kmeans_clusters" -> q118,
     "q119_semantic_dedup" -> q119,
     "q132_pq_adc_topk" -> q132,
     "q133_ivfpq_topk" -> q133,
-    "q143_sq8_topk" -> q143 _)
+    "q143_sq8_topk" -> q143 _,
+    "q164_jl_project_topk" -> q164 _)
 
   val oracle: Map[String, String] = Map(
     "q118_kmeans_clusters" -> q118Sql,
     "q119_semantic_dedup" -> q119Sql,
     "q132_pq_adc_topk" -> q132Sql,
     "q133_ivfpq_topk" -> q133Sql,
-    "q143_sq8_topk" -> q143Sql)
+    "q143_sq8_topk" -> q143Sql,
+    "q164_jl_project_topk" -> q164Sql)
 }
