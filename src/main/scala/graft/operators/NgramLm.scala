@@ -175,15 +175,29 @@ object NgramLm {
         call_function("graft_shingles", col(textCol), lit(k))): _*))).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
 
+  /** Count-threshold pruning (the distributable slice of KenLM/SRILM
+    * model pruning — count cutoffs, not entropy pruning, whose log-diff
+    * criterion is transcendental and would break hash-exactness): grams
+    * of order >= 2 seen fewer than `minCount` times leave the model and
+    * score as unseen (backoff fires); ALL unigrams stay, so the backoff
+    * floor — and N, which sums the unigram slice — are untouched. This
+    * is what bounds the model relation at corpus scale: singleton
+    * higher-order grams are the vast majority of the type space (Brants
+    * et al. prune exactly these) and carry the least signal.
+    * `minCount <= 1` returns the relation unchanged (identical plan). */
+  private def pruneGrams(grams: DataFrame, minCount: Int): DataFrame =
+    if (minCount <= 1) grams
+    else grams.filter(!col("k").contains(" ") || col("c") >= minCount)
+
   /** The trained backoff model as warehouse artifacts: the 1..n gram
     * count table (k, c) and the total token count N — what a deployment
     * materializes once and every scoring pass (batch or the
     * [[graft.streaming.StreamingBackoffScore]] twin) joins against.
     * N is a bounded 1-row collect. */
-  def backoffTables(train: DataFrame, textCol: String, n: Int)
-      : (DataFrame, Long) = {
+  def backoffTables(train: DataFrame, textCol: String, n: Int,
+                    minCount: Int = 1): (DataFrame, Long) = {
     require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
-    val grams = gramCounts(train, textCol, n)
+    val grams = pruneGrams(gramCounts(train, textCol, n), minCount)
     val nTok = grams
       .agg(sum(when(!col("k").contains(" "), col("c")))).head().getLong(0)
     (grams, nTok)
@@ -222,9 +236,10 @@ object NgramLm {
   }
 
   def scoreDocsBackoff(train: DataFrame, docs: DataFrame,
-                       idCol: String, textCol: String, n: Int): DataFrame = {
+                       idCol: String, textCol: String, n: Int,
+                       minCount: Int = 1): DataFrame = {
     require(n >= 2 && n <= 6, s"order must be in [2, 6], got $n")
-    val grams = gramCounts(train, textCol, n)
+    val grams = pruneGrams(gramCounts(train, textCol, n), minCount)
     // N = total train tokens, derived from the unigram slice of the
     // SAME count relation. The no-space predicate lives INSIDE the
     // aggregate (a `when`, not a `filter`): a filter on the grouping

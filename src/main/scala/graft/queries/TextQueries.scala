@@ -604,7 +604,16 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private def stupidBackoffOracle: String =
+  /** The q161 backoff-walk CTE chain through `ps` (doc_id, cn3, s_e9) —
+    * factored so q165's bucketing and q166's pruned model replay the
+    * same scoring. `pruneMin` inserts the count-cutoff gate (unigrams
+    * always kept — the NgramLm.pruneGrams rule); None reproduces the
+    * round-9 q161 text byte-for-byte. */
+  private def backoffCtes(pruneMin: Option[Int]): String = {
+    val prunedCte = pruneMin
+      .map(t => s"gp AS (SELECT * FROM grams WHERE g NOT LIKE '% %' OR c >= $t), ")
+      .getOrElse("")
+    val g = if (pruneMin.isDefined) "gp" else "grams"
     "WITH tl AS (SELECT string_split_regex(text, '\\s+') AS l " +
       "FROM documents WHERE doc_id % 10 <> 0), " +
       "grams AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (" +
@@ -614,7 +623,8 @@ object TextQueries {
       "UNION ALL SELECT unnest(list_transform(generate_series(1, len(l) - 2), " +
       "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) FROM tl" +
       ") GROUP BY 1), " +
-      "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM grams WHERE g NOT LIKE '% %'), " +
+      prunedCte +
+      s"nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM $g WHERE g NOT LIKE '% %'), " +
       "dpos AS (SELECT doc_id, unnest(generate_series(1, len(l) - 2)) AS i, l FROM (" +
       "SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents)), " +
       "db AS (SELECT doc_id, " +
@@ -626,18 +636,83 @@ object TextQueries {
       "COALESCE(g3.c, 0) AS cn3, COALESCE(h3.c, 0) AS cd3, " +
       "COALESCE(g2.c, 0) AS cn2, COALESCE(h2.c, 0) AS cd2, " +
       "COALESCE(g1.c, 0) AS cn1, nt.n_tok AS n_tok FROM db d " +
-      "LEFT JOIN grams g3 ON g3.g = d.kn3 LEFT JOIN grams h3 ON h3.g = d.kd3 " +
-      "LEFT JOIN grams g2 ON g2.g = d.kn2 LEFT JOIN grams h2 ON h2.g = d.kd2 " +
-      "LEFT JOIN grams g1 ON g1.g = d.kn1 CROSS JOIN nt), " +
+      s"LEFT JOIN $g g3 ON g3.g = d.kn3 LEFT JOIN $g h3 ON h3.g = d.kd3 " +
+      s"LEFT JOIN $g g2 ON g2.g = d.kn2 LEFT JOIN $g h2 ON h2.g = d.kd2 " +
+      s"LEFT JOIN $g g1 ON g1.g = d.kn1 CROSS JOIN nt), " +
       "ps AS (SELECT doc_id, cn3, " +
       "CASE WHEN cn3 > 0 THEN (1000000000 * cn3) // cd3 " +
       "WHEN cn2 > 0 THEN (2000000000 * cn2) // (5 * cd2) " +
-      "ELSE (4000000000 * cn1) // (25 * n_tok) END AS s_e9 FROM sc) " +
-      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+      "ELSE (4000000000 * cn1) // (25 * n_tok) END AS s_e9 FROM sc)"
+  }
+
+  private def backoffRollup: String =
+    " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
       "CAST(SUM(CASE WHEN cn3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
       "CAST(SUM(s_e9) AS BIGINT) AS sum_s_e9, " +
       "CAST(SUM(s_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
       "FROM ps GROUP BY doc_id ORDER BY doc_id"
+
+  private def stupidBackoffOracle: String = backoffCtes(None) + backoffRollup
+
+  // CCNet-style perplexity bucketing (r10): Wenzek et al. 2020 split
+  // each language's corpus into head/middle/tail TERTILES by LM score
+  // and train on the head — the standard quality-mix move. Buckets are
+  // per-language (a cross-language score compare is meaningless), rank
+  // rule `bucket = ((rn-1)*3) div n_lang` with rn ordered by (score
+  // desc, doc_id) — deterministic, engine-portable, no NTILE tie
+  // ambiguity. Bucket 0 = head (highest mean backoff likelihood =
+  // lowest perplexity). Both windows ride ONE lang exchange.
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scores = graft.operators.NgramLm
+      .scoreDocsBackoff(docs.filter(col("doc_id") % 10 =!= 0), docs,
+        "doc_id", "text", n = 3)
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    scores
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("score_e9").desc, col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .withColumn("bucket", expr("((rn - 1) * 3) div n_lang"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_e9")).as("min_score_e9"),
+        max(col("score_e9")).as("max_score_e9"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private def perplexityBucketsOracle: String =
+    backoffCtes(None) +
+      ", ds AS (SELECT doc_id, CAST(SUM(s_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
+      "FROM ps GROUP BY doc_id), " +
+      "j AS (SELECT d.lang, s.doc_id, s.score_e9 FROM ds s " +
+      "JOIN documents d USING (doc_id)), " +
+      "r AS (SELECT lang, score_e9, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_e9 DESC, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM j) " +
+      "SELECT lang, CAST(((rn - 1) * 3) // n_lang AS BIGINT) AS bucket, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(MIN(score_e9) AS BIGINT) AS min_score_e9, " +
+      "CAST(MAX(score_e9) AS BIGINT) AS max_score_e9 " +
+      "FROM r GROUP BY 1, 2 ORDER BY lang, bucket"
+
+  // Count-pruned backoff model (r10): same train split and scoring walk
+  // as q161 but trigrams/bigrams seen once leave the model (KenLM-style
+  // count cutoff — the distributable half of model pruning; entropy
+  // pruning's log criterion is transcendental and stays out per the
+  // oracle-compat ruleset). Unigrams and N untouched, so the backoff
+  // floor is identical; pruned grams score through backoff instead.
+  // This is the knob that keeps the model relation vocabulary-bounded
+  // at 100 TB: singleton high-order grams dominate the type space.
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.NgramLm
+      .scoreDocsBackoff(docs.filter(col("doc_id") % 10 =!= 0), docs,
+        "doc_id", "text", n = 3, minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private def prunedBackoffOracle: String = backoffCtes(Some(2)) + backoffRollup
 
   // Gopher repetition battery (r9): top-n-gram character fraction
   // (n=2..4) and duplicated-n-gram character fraction (n=5..10) per
@@ -739,6 +814,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_pruned_backoff_lm" -> q166 _,
+    "q165_perplexity_buckets" -> q165 _,
     "q163_blocklist_stats" -> q163 _,
     "q162_repetition_battery" -> q162 _,
     "q161_stupid_backoff_lm" -> q161 _,
@@ -883,6 +960,8 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q166_pruned_backoff_lm" -> prunedBackoffOracle,
+    "q165_perplexity_buckets" -> perplexityBucketsOracle,
     "q163_blocklist_stats" -> blocklistOracle,
     "q162_repetition_battery" -> repetitionBatteryOracle,
     "q161_stupid_backoff_lm" -> stupidBackoffOracle,

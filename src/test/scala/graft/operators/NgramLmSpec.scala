@@ -117,12 +117,18 @@ class NgramLmSpec extends SparkSpec {
   /** Independent reference: literal recursive Stupid Backoff over
     * plain Scala Maps, exact-rational fixed point (2^d/5^d). */
   private def referenceBackoff(train: Seq[String], docs: Seq[(Long, String)],
-                               n: Int): Map[Long, (Long, Long, Long, Long)] = {
+                               n: Int, minCount: Int = 1)
+      : Map[Long, (Long, Long, Long, Long)] = {
     def toks(t: String) = t.split("\\s+", -1).toSeq
     def kgrams(t: String, k: Int) = toks(t).sliding(k).filter(_.size == k)
       .map(_.mkString(" ")).toSeq
-    val counts: Map[String, Long] = (1 to n).flatMap(k => train.flatMap(kgrams(_, k)))
+    val raw: Map[String, Long] = (1 to n).flatMap(k => train.flatMap(kgrams(_, k)))
       .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    // count-cutoff pruning: orders >= 2 below minCount leave the model;
+    // unigrams always stay. A surviving gram's context (its own prefix)
+    // always survives too — prefix count >= gram count — so the
+    // `counts(ctx)` lookup below stays total under pruning.
+    val counts = raw.filter { case (g, c) => !g.contains(" ") || c >= minCount }
     val nTok = train.map(toks(_).size.toLong).sum
     def score(ts: Seq[String]): Long = { // ts = one n-gram's tokens
       var l = n
@@ -150,10 +156,11 @@ class NgramLmSpec extends SparkSpec {
     }.toMap
   }
 
-  private def runBackoff(tr: Seq[String], ds: Seq[(Long, String)], n: Int)
+  private def runBackoff(tr: Seq[String], ds: Seq[(Long, String)], n: Int,
+                         minCount: Int = 1)
       : Map[Long, (Long, Long, Long, Long)] =
     NgramLm.scoreDocsBackoff(tr.toDF("text"), ds.toDF("doc_id", "text"),
-        "doc_id", "text", n)
+        "doc_id", "text", n, minCount)
       .as[(Long, Long, Long, Long, Long)].collect()
       .map { case (id, g, oov, s, sc) => id -> ((g, oov, s, sc)) }.toMap
 
@@ -183,6 +190,34 @@ class NgramLmSpec extends SparkSpec {
       assert(runBackoff(tr, ds, n) === referenceBackoff(tr, ds, n), s"order $n")
     }
   }
+
+  test("count-pruned backoff matches the reference; minCount=1 is the identity") {
+    val rnd = new scala.util.Random(166)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def sentence() =
+      Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val tr = Seq.fill(40)(sentence())
+    val ds = (1L to 25L).map(i => i -> sentence())
+    val unpruned = runBackoff(tr, ds, 3)
+    assert(runBackoff(tr, ds, 3, minCount = 1) === unpruned,
+      "minCount=1 must be plan-identical to the default")
+    Seq(2, 3).foreach { t =>
+      val got = runBackoff(tr, ds, 3, minCount = t)
+      assert(got === referenceBackoff(tr, ds, 3, minCount = t), s"minCount=$t")
+      assert(got !== unpruned,
+        s"minCount=$t should drop singleton trigrams on this corpus")
+    }
+    // a doc whose trigram was seen once: pruned model backs off, so its
+    // OOV count can only grow and its score can only move
+    val oovUp = ds.map(_._1).forall { id =>
+      (got2Oov(runBackoff(tr, ds, 3, minCount = 2), id)
+        >= got2Oov(unpruned, id))
+    }
+    assert(oovUp, "pruning can only increase per-doc OOV counts")
+  }
+
+  private def got2Oov(m: Map[Long, (Long, Long, Long, Long)], id: Long): Long =
+    m.get(id).map(_._2).getOrElse(0L)
 
   test("backoff depth d multiplies by exactly (2/5)^d: a found bigram in an " +
       "unseen trigram context scores 0.4x its bigram ratio") {

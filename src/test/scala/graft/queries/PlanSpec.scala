@@ -188,6 +188,28 @@ class PlanSpec extends SparkSpec {
       p) // the freq-state walk windows per source, never one task for facts
   }
 
+  test("q165 tertile windows and the bucket rollup share ONE lang exchange") {
+    val p = plan("q165_perplexity_buckets")
+    val langExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(lang"))
+    assert(langExchanges == 1,
+      s"row_number + count + groupBy(lang, bucket) must ride one lang shuffle:\n$p")
+    // both windows keyed per language — never a global (unkeyed) window
+    // that would serialize the corpus through one task
+    val windows = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(windows.size == 2 && windows.forall(_.contains("windowspecdefinition(lang")),
+      s"expected two lang-partitioned windows:\n$p")
+  }
+
+  test("q163 blocklist kernel: zero exchanges, kernel evaluated once, codegen'd scan") {
+    val p = plan("q163_blocklist_stats")
+    assert(!p.contains("Exchange"), s"row-local stats must not shuffle:\n$p")
+    // `*(n)` is the WholeStageCodegen marker in the tree string
+    assert(p.contains("*(1) Project"), s"projection left codegen:\n$p")
+    assert(p.linesIterator.count(_.contains("graft_blocklist(")) == 1,
+      s"kernel must be materialized once, not once per element_at:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
