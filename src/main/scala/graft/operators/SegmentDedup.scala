@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segment-level exact deduplication — CCNet's line dedup (Wenzek et
+  * al. 2020 §4.1: "we remove duplicated lines" BEFORE language ID, the
+  * first filter of the pipeline) and RefinedWeb/Dolma's paragraph dedup
+  * are this one operator at different delimiters: split each document
+  * into segments, keep only the GLOBAL first occurrence of each exact
+  * segment (ordered by (doc id, position) — deterministic across runs
+  * and engines), drop every later occurrence INCLUDING within-doc
+  * repeats, and rebuild the cleaned text in original segment order.
+  *
+  * Differs from [[Dedup.exactDedup]] (whole-doc granularity — a doc
+  * survives or dies) and [[SpanDedup]] (fixed-width token shingles,
+  * position spans): here the unit is a VARIABLE-width author-delimited
+  * segment and the output is rebuilt text, the shape CCNet actually
+  * ships — boilerplate lines ("cookies notice", nav headers) vanish
+  * from every page that repeats them while each page keeps its unique
+  * content.
+  *
+  * Plan shape (the 100 TB contract):
+  *  1. split + posexplode row-locally; blank segments are dropped (they
+  *     carry no content, and deduping '' against itself would delete
+  *     every blank line after the global first — noise, not signal);
+  *  2. ONE shuffle on the segment's 16-byte md5 — segment STRINGS never
+  *     enter an exchange (at corpus scale the string shuffle ≈ the
+  *     corpus itself; (hash, id, pos) is ~28 bytes flat per segment —
+  *     CCNet's own sharded-hash design). A row_number window ordered by
+  *     (id, pos) flags every occurrence after the first. Exactness:
+  *     equal strings always share a hash (no under-dedup ever); a
+  *     cross-segment md5 collision (~2⁻¹²⁸ per pair) could only
+  *     over-dedup, and the oracle replays the SAME md5 rule, so the
+  *     cross-engine gate is unconditional (the q112 fingerprint
+  *     precedent);
+  *  3. removed positions — typically the corpus' small duplicated
+  *     fraction — shuffle back by doc id and the rebuild is a row-local
+  *     indexed `filter` over the doc's own split array: kept segments
+  *     never move at all.
+  *
+  * Degenerate-key note: a segment repeated millions of times (the empty
+  * string is pre-dropped; think a boilerplate line at web scale) makes
+  * one straggler WINDOW partition — linear count work, never quadratic,
+  * same posture as SpanDedup's hash window; salt two-level if a corpus
+  * ever hits it.
+  */
+object SegmentDedup {
+
+  /** Cleaned corpus: (idCol, clean_text, n_segments, n_removed) — one
+    * row per input doc (docs whose every segment was removed, or with
+    * no nonblank segments at all, come back with clean_text = "").
+    * `delimRegex` splits (Java regex, e.g. "\n" for lines, "\n{2,}"
+    * for paragraphs); `joinDelim` rebuilds. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    delimRegex: String, joinDelim: String = "\n"): DataFrame = {
+    Seq("pos", "clean_text", "n_segments", "n_removed",
+        "__seg", "__h", "__rn", "__rm", "__all").foreach { c =>
+      require(idCol != c && textCol != c, s"'$c' is reserved by dedupSegments")
+    }
+    val segs = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "__seg")))
+      .filter(length(col("__seg")) > 0)
+    val removed = segs
+      .select(col(idCol), col("pos"), md5(col("__seg")).as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
+      .filter(col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__rm"))
+    docs.select(col(idCol), col(textCol))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .withColumn("__all", split(col(textCol), delimRegex))
+      .select(col(idCol),
+        array_join(filter(col("__all"), (s, i) =>
+          length(s) > 0 && !array_contains(col("__rm"), i)), joinDelim)
+          .as("clean_text"),
+        size(filter(col("__all"), s => length(s) > 0)).cast("long")
+          .as("n_segments"),
+        size(col("__rm")).cast("long").as("n_removed"))
+  }
+}

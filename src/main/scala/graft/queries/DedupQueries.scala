@@ -265,7 +265,35 @@ object DedupQueries {
       simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
   }
 
+  // Segment-level exact dedup (CCNet line dedup / RefinedWeb paragraph
+  // dedup): the testdata docs are single-line token streams, so the
+  // query first re-segments each doc deterministically into 3-token
+  // lines (an SQL-replayable reshaping — the operator itself is
+  // delimiter-regex generic and SegmentDedupSpec drives it on real
+  // multi-paragraph fixtures), then keeps only the global first
+  // occurrence of each exact line, ordered by (doc_id, position).
+  // 3-token lines over the ~40-word generator vocabulary collide
+  // heavily across docs, so both kept and removed populations are
+  // well-exercised at every SF.
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val lined = documents(s, d)
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("lined", array_join(
+        transform(
+          sequence(lit(1), expr("(size(__toks) + 2) div 3")),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
+        "\n"))
+      .select(col("doc_id"), col("lined"))
+    graft.operators.SegmentDedup
+      .dedupSegments(lined, "doc_id", "lined", "\n")
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_segment_dedup" -> q167 _,
     "q134_setsim_join" -> q134 _,
     "q140_setsim_cross_join" -> q140 _,
     "q121_leakage_safe_split" -> q121 _,
@@ -538,7 +566,25 @@ object DedupQueries {
        |  CAST(len(t.l) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
        |FROM t LEFT JOIN c ON c.doc_id = t.doc_id""".stripMargin
 
+  /** q167 twin: same 3-token re-segmentation (1-based chunk index i ↦
+    * pos i-1 preserves the (doc_id, pos) first-occurrence order), same
+    * md5 dedup rule, ordered string_agg rebuild. DuckDB list slices
+    * are 1-based inclusive and clamp like Spark's slice(arr, start, 3). */
+  private def segmentDedupOracle: String =
+    s"WITH t AS (SELECT doc_id, string_split_regex(text, $wsRe) AS l FROM documents), " +
+      "ch AS (SELECT doc_id, i - 1 AS pos, " +
+      "array_to_string(l[((i-1)*3+1):((i-1)*3+3)], ' ') AS seg " +
+      "FROM (SELECT doc_id, l, unnest(generate_series(1, (len(l)+2)//3)) AS i FROM t)), " +
+      "r AS (SELECT doc_id, pos, seg, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn " +
+      "FROM ch WHERE seg <> '') " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+      "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '')) AS clean_md5 " +
+      "FROM r GROUP BY doc_id ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
+    "q167_segment_dedup" -> segmentDedupOracle,
     "q121_leakage_safe_split" -> leakageSafeSplitOracle,
     "q123_substring_spans" -> substringSpansOracle,
     "q127_span_removal" -> spanRemovalOracle,

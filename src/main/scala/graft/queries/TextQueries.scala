@@ -714,6 +714,42 @@ object TextQueries {
 
   private def prunedBackoffOracle: String = backoffCtes(Some(2)) + backoffRollup
 
+  // Closed-form linear-model training (r10): q150 consumes a linear
+  // quality model as an external artifact — this TRAINS one in-engine.
+  // Regression of lexical diversity (100 × distinct tokens) on the two
+  // cheap surface features a filter would use (token count, char
+  // count): the entire corpus reduces to 9 sufficient statistics in
+  // ONE map-side-combined aggregate (the MLlib normal-equation shape),
+  // then an exact Cramer solve in Decimal(38,0) — no divisions, so
+  // the model (det + 3 numerators) is integer-exact and the DuckDB
+  // twin replays every product in HUGEINT.
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    graft.operators.LinearFit.normalEquations3(
+      documents(s, d),
+      x1 = size(toks).cast("long"),
+      x2 = length(col("text")).cast("long"),
+      y = (size(array_distinct(toks)) * 100).cast("long"))
+  }
+
+  private def linearFitOracle: String = {
+    val sp = "string_split_regex(text, '\\s+')"
+    s"WITH f AS (SELECT CAST(len($sp) AS HUGEINT) AS x1, " +
+      "CAST(length(text) AS HUGEINT) AS x2, " +
+      s"CAST(100 * len(list_distinct($sp)) AS HUGEINT) AS y FROM documents), " +
+      "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x1) AS sx1, " +
+      "SUM(x2) AS sx2, SUM(x1*x1) AS sx1x1, SUM(x1*x2) AS sx1x2, " +
+      "SUM(x2*x2) AS sx2x2, SUM(y) AS sy, SUM(x1*y) AS sx1y, " +
+      "SUM(x2*y) AS sx2y FROM f), " +
+      "a AS (SELECT *, sx1x1 AS a22, sx1x2 AS a23, sx2x2 AS a33 FROM s) " +
+      "SELECT n, sx1, sx2, sx1x1, sx1x2, sx2x2, sy, sx1y, sx2y, " +
+      "n*(a22*a33 - a23*a23) - sx1*(sx1*a33 - a23*sx2) + sx2*(sx1*a23 - a22*sx2) AS det, " +
+      "sy*(a22*a33 - a23*a23) - sx1*(sx1y*a33 - a23*sx2y) + sx2*(sx1y*a23 - a22*sx2y) AS w0_num, " +
+      "n*(sx1y*a33 - a23*sx2y) - sy*(sx1*a33 - a23*sx2) + sx2*(sx1*sx2y - sx1y*sx2) AS w1_num, " +
+      "n*(a22*sx2y - sx1y*a23) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*a23 - a22*sx2) AS w2_num " +
+      "FROM a"
+  }
+
   // Gopher repetition battery (r9): top-n-gram character fraction
   // (n=2..4) and duplicated-n-gram character fraction (n=5..10) per
   // document — Rae et al. 2021 Table A1, the standard pretraining
@@ -814,6 +850,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_linear_fit" -> q168 _,
     "q166_pruned_backoff_lm" -> q166 _,
     "q165_perplexity_buckets" -> q165 _,
     "q163_blocklist_stats" -> q163 _,
@@ -960,6 +997,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q168_linear_fit" -> linearFitOracle,
     "q166_pruned_backoff_lm" -> prunedBackoffOracle,
     "q165_perplexity_buckets" -> perplexityBucketsOracle,
     "q163_blocklist_stats" -> blocklistOracle,

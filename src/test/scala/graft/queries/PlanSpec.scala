@@ -201,6 +201,21 @@ class PlanSpec extends SparkSpec {
       s"expected two lang-partitioned windows:\n$p")
   }
 
+  test("q167 segment dedup: the dedup window is keyed by segment hash — " +
+      "never a global window — and strings stay out of the hash exchange") {
+    val p = plan("q167_segment_dedup")
+    val windows = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("windowspecdefinition(__h")),
+      s"dedup window must partition by the md5 key:\n$p")
+    // the window's exchange carries (__h, doc_id, pos) only — the
+    // rebuilt text rides the doc-side scan, never this shuffle
+    val hExchange = p.linesIterator
+      .find(_.contains("Exchange hashpartitioning(__h")).getOrElse("")
+    assert(hExchange.nonEmpty, s"expected the __h exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may collapse to one partition:\n$p")
+  }
+
   test("q163 blocklist kernel: zero exchanges, kernel evaluated once, codegen'd scan") {
     val p = plan("q163_blocklist_stats")
     assert(!p.contains("Exchange"), s"row-local stats must not shuffle:\n$p")
