@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer training + greedy encoding — the OTHER major
+  * subword family beside BPE (BERT's tokenizer; Schuster & Nakajima
+  * 2012, Wu et al. 2016 §4.1). Same merge LOOP as BPE, different merge
+  * SELECTION: instead of the most frequent pair, WordPiece fuses the
+  * pair maximizing the likelihood ratio count(ab) / (count(a) ·
+  * count(b)) — "merge where the pair is surprisingly common given its
+  * parts". Non-initial units carry the `##` continuation prefix, so
+  * word-initial and word-internal distributions stay separate (the
+  * BERT convention), and fusing strips the right part's `##`.
+  *
+  * Engine-portable selection rule: the score is ranked by the
+  * fixed-point key floor(count(ab)·10¹⁸ / (count(a)·count(b))), ties
+  * by code-point-ascending (a, b) — computed in BigInt here and
+  * replayed in HUGEINT by the q169 oracle, so training is hash-exact
+  * across engines (the q154 contract). The 10¹⁸ granularity coarsens
+  * the exact rational order only when two scores agree to 18
+  * significant digits; WordPieceSpec additionally pins the floor rule
+  * against an exact-rational reference trainer on random corpora.
+  *
+  * Scale shape = [[BpeTokenizer.train]]'s: ONE corpus pass builds the
+  * distinct-word histogram (map-side combined, vocabulary-bounded);
+  * merge rounds run driver-side below `localVocabMax`, or distributed
+  * as per-round pair + unit aggregates whose winner is a typed
+  * `reduce` — an associative max-by-total-order, so the cluster folds
+  * partials without ever collecting the pair table.
+  */
+object WordPiece {
+
+  private val ScoreScale = BigInt(10).pow(18)
+
+  /** Seed a word's parts with BERT's `##` continuation markers. */
+  def seedUnits(word: String, byteLevel: Boolean = false): Vector[String] = {
+    val u = if (byteLevel) BpeTokenizer.byteUnits(word)
+            else BpeTokenizer.codePoints(word)
+    if (u.isEmpty) u else u.head +: u.tail.map("##" + _)
+  }
+
+  /** Fuse (a, b) left-to-right non-overlapping; the fused token drops
+    * b's `##` (a continuation part merged INTO its left neighbour —
+    * the result continues wherever a did). */
+  def fuse(parts: Seq[String], a: String, b: String): Vector[String] = {
+    val fused = a + b.stripPrefix("##")
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < parts.length) {
+      if (i < parts.length - 1 && parts(i) == a && parts(i + 1) == b) {
+        out += fused; i += 2
+      } else { out += parts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The portable selection order over (a, b, n_ab, n_a, n_b):
+    * fixed-point score desc, then (a, b) code-point ascending.
+    * Returns true when x should be PREFERRED over y. */
+  private def prefer(x: (String, String, Long, Long, Long),
+                     y: (String, String, Long, Long, Long)): Boolean = {
+    val sx = BigInt(x._3) * ScoreScale / (BigInt(x._4) * BigInt(x._5))
+    val sy = BigInt(y._3) * ScoreScale / (BigInt(y._4) * BigInt(y._5))
+    if (sx != sy) sx > sy
+    else {
+      val ca = BpeTokenizer.codePointOrder.compare(x._1, y._1)
+      if (ca != 0) ca < 0
+      else BpeTokenizer.codePointOrder.compare(x._2, y._2) < 0
+    }
+  }
+
+  /** Learn `numMerges` WordPiece merges. Regime split and histogram
+    * pass as in [[BpeTokenizer.train]]; both paths spec-pinned equal. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            localVocabMax: Int = 1 << 20,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges < 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val head =
+      if (localVocabMax > 0) hist.limit(localVocabMax + 1)
+        .as[(String, Long)].collect()
+      else Array.empty[(String, Long)]
+    if (localVocabMax > 0 && head.length <= localVocabMax)
+      trainLocal(head, numMerges, byteLevel)
+    else trainDistributed(hist, numMerges, byteLevel)
+  }
+
+  private def trainLocal(hist: Array[(String, Long)], numMerges: Int,
+                         byteLevel: Boolean): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      hist.map { case (w, f) => (seedUnits(w, byteLevel), f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val units = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (ps, f) =>
+        var i = 0
+        while (i < ps.length) {
+          units.update(ps(i), units.getOrElse(ps(i), 0L) + f)
+          if (i < ps.length - 1) {
+            val k = (ps(i), ps(i + 1))
+            pairs.update(k, pairs.getOrElse(k, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val cands = pairs.iterator
+          .map { case ((a, b), n) => (a, b, n, units(a), units(b)) }
+        val best = cands.reduceLeft((x, y) => if (prefer(y, x)) y else x)
+        merges += ((best._1, best._2))
+        words = words.map { case (ps, f) => (fuse(ps, best._1, best._2), f) }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  private def trainDistributed(hist: DataFrame, numMerges: Int,
+                               byteLevel: Boolean): Seq[(String, String)] = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val bl = byteLevel
+    var words = hist.as[(String, Long)]
+      .map { case (w, f) => (seedUnits(w, bl), f) }
+      .toDF("parts", "freq")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val pairs = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("parts"), lit(1), size(col("parts")) - 1),
+          slice(col("parts"), lit(2), size(col("parts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val units = words
+        .select(col("freq"), explode(col("parts")).as("u"))
+        .groupBy(col("u")).agg(sum(col("freq")).as("nu"))
+      val cands = pairs
+        .join(units.withColumnRenamed("u", "a").withColumnRenamed("nu", "na"), "a")
+        .join(units.withColumnRenamed("u", "b").withColumnRenamed("nu", "nb"), "b")
+        .select(col("a"), col("b"), col("n"), col("na"), col("nb"))
+        .as[(String, String, Long, Long, Long)]
+      if (cands.isEmpty) exhausted = true
+      else {
+        // associative max under the portable total order — partials
+        // fold executor-side, nothing but one row reaches the driver
+        val best = cands.reduce((x, y) => if (prefer(y, x)) y else x)
+        merges += ((best._1, best._2))
+        val next = words.as[(Seq[String], Long)]
+          .map { case (ps, f) => (fuse(ps, best._1, best._2), f) }
+          .toDF("parts", "freq")
+          .localCheckpoint(true)
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** BERT's greedy longest-match-first encoder over a learned
+    * vocabulary (seed units ∪ fused tokens): repeatedly take the
+    * longest prefix of the remaining word that is in-vocab (with `##`
+    * prepended when not word-initial); a word with any unmatchable
+    * remainder encodes as the single `[UNK]`. Code-point slicing, so
+    * supplementary characters never split. */
+  def encodeWord(word: String, vocab: Set[String]): Vector[String] = {
+    val cps = BpeTokenizer.codePoints(word)
+    val out = Vector.newBuilder[String]
+    var start = 0
+    while (start < cps.length) {
+      var end = cps.length
+      var hit: String = null
+      while (hit == null && end > start) {
+        val cand0 = cps.slice(start, end).mkString
+        val cand = if (start == 0) cand0 else "##" + cand0
+        if (vocab.contains(cand)) hit = cand else end -= 1
+      }
+      if (hit == null) return Vector("[UNK]")
+      out += hit
+      start = end
+    }
+    out.result()
+  }
+
+  /** The vocabulary a trained merge list induces over a corpus
+    * histogram's seed units — what [[encodeWord]] matches against. */
+  def vocabFrom(seedWords: Iterable[String], merges: Seq[(String, String)],
+                byteLevel: Boolean = false): Set[String] =
+    seedWords.flatMap(seedUnits(_, byteLevel)).toSet ++
+      merges.map { case (a, b) => a + b.stripPrefix("##") }
+}

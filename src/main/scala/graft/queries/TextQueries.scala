@@ -500,6 +500,65 @@ object TextQueries {
       s" SELECT * FROM ($unions) ORDER BY merge_rank"
   }
 
+  // WordPiece merge training (r10): the OTHER subword family beside
+  // q154's BPE — same loop, likelihood-ratio merge selection
+  // count(ab)/(count(a)·count(b)) with BERT's ## continuation
+  // convention. The oracle unrolls the same 20 MATERIALIZED rounds as
+  // q154, plus a per-round UNIT-count table and the fixed-point
+  // HUGEINT score key floor(n·10¹⁸/(na·nb)) — the engine-portable
+  // selection rule WordPiece.train computes in BigInt.
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.WordPiece.train(documents(s, d), "text", bpeTrainK)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_rank", "a", "b")
+      .orderBy(col("merge_rank"))
+  }
+
+  private def wordPieceTrainOracle: String = {
+    val sep = "chr(31)"
+    val partsOf = s"string_split(substr(rep, 2, length(rep) - 2), $sep || $sep)"
+    val ctes = Seq.newBuilder[String]
+    ctes += ("w AS MATERIALIZED (SELECT u.word AS word FROM (SELECT " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(word))")
+    ctes += ("wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM w GROUP BY word)")
+    // seed: first code point bare, the rest ##-prefixed
+    ctes += (s"r0 AS MATERIALIZED (SELECT $sep || array_to_string(" +
+      "list_concat([cps[1]], list_transform(cps[2:], c -> '##' || c)), " +
+      s"$sep || $sep) || $sep AS rep, freq FROM " +
+      "(SELECT regexp_extract_all(word, '.') AS cps, freq FROM wf))")
+    (0 until bpeTrainK).foreach { i =>
+      ctes += (s"p$i AS MATERIALIZED (SELECT z.a AS a, z.b AS b, " +
+        "CAST(SUM(freq) AS BIGINT) AS n FROM (" +
+        "SELECT unnest(list_transform(generate_series(1, len(ps) - 1), " +
+        "j -> struct_pack(a := ps[j], b := ps[j+1]))) AS z, freq " +
+        s"FROM (SELECT $partsOf AS ps, freq FROM r$i)) GROUP BY 1, 2)")
+      ctes += (s"u$i AS MATERIALIZED (SELECT part AS u, " +
+        "CAST(SUM(freq) AS BIGINT) AS nu FROM (SELECT unnest(ps) AS part, freq " +
+        s"FROM (SELECT $partsOf AS ps, freq FROM r$i)) GROUP BY 1)")
+      ctes += (s"b$i AS MATERIALIZED (SELECT a, b FROM (" +
+        "SELECT p.a AS a, p.b AS b, " +
+        "CAST(p.n AS HUGEINT) * 1000000000000000000 " +
+        "// (CAST(ua.nu AS HUGEINT) * CAST(ub.nu AS HUGEINT)) AS s " +
+        s"FROM p$i p JOIN u$i ua ON ua.u = p.a JOIN u$i ub ON ub.u = p.b) " +
+        "ORDER BY s DESC, a, b LIMIT 1)")
+      if (i < bpeTrainK - 1)
+        ctes += (s"r${i + 1} AS MATERIALIZED (SELECT replace(rep, " +
+          s"$sep || (SELECT a FROM b$i) || $sep || $sep || (SELECT b FROM b$i) || $sep, " +
+          s"$sep || (SELECT a FROM b$i) || " +
+          s"(SELECT CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END FROM b$i) " +
+          s"|| $sep) AS rep, freq FROM r$i)")
+    }
+    val unions = (0 until bpeTrainK)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.result().mkString(", ") +
+      s" SELECT * FROM ($unions) ORDER BY merge_rank"
+  }
+
   // Smoothed bigram LM quality score (r8): train add-one bigram
   // likelihoods on the doc_id % 10 != 0 split, score EVERY document
   // by mean fixed-point likelihood + OOV-bigram count — the
@@ -850,6 +909,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_wordpiece_train" -> q169 _,
     "q168_linear_fit" -> q168 _,
     "q166_pruned_backoff_lm" -> q166 _,
     "q165_perplexity_buckets" -> q165 _,
@@ -997,6 +1057,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q169_wordpiece_train" -> wordPieceTrainOracle,
     "q168_linear_fit" -> linearFitOracle,
     "q166_pruned_backoff_lm" -> prunedBackoffOracle,
     "q165_perplexity_buckets" -> perplexityBucketsOracle,
