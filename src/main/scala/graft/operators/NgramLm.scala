@@ -273,14 +273,27 @@ object NgramLm {
       .crossJoin(broadcast(nd))
       .select(col("g"), sE9.as("s_e9"),
         when(col(s"cn$n") === 0, 1L).otherwise(0L).as("oov"))
-    docGrams
+    val scored = docGrams
       .join(perGram, Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(col("oov")).as("n_oov"),
         sum(col("s_e9")).as("sum_s_e9"))
       .withColumn("score_e9", expr("sum_s_e9 div n_ngrams"))
+    // The scored table is the LM family's warehouse artifact — CCNet
+    // materializes per-doc scores once and every downstream pass
+    // (tertile bucketing q165, pruning audits, mixture builds) joins
+    // them rather than re-walking the model. One-slot registry (the
+    // q158/q113 shape): the most recent (train, docs, n, minCount)
+    // plan's rollup stays warm; a different-parameter call swaps it.
+    registry.retainAll(Seq(scored)).head
   }
+
+  private val registry = new CacheRegistry
+
+  /** Release the retained scored rollup (idempotent; results stay
+    * correct afterwards — lineage recomputes). */
+  def releaseCaches(): Unit = registry.release()
 
   /** floor((1e9 * (c12+1)) / (c1+V)) with null counts as 0 — the one
     * multiply + one IEEE division + floor fixed-point rule. */

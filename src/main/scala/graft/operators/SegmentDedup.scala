@@ -55,30 +55,46 @@ object SegmentDedup {
     * for paragraphs); `joinDelim` rebuilds. */
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
                     delimRegex: String, joinDelim: String = "\n"): DataFrame = {
+    require(idCol != textCol, "id and text columns must differ")
+    dedupSegmentArray(
+      docs.select(col(idCol), split(col(textCol), delimRegex).as("__segs")),
+      idCol, "__segs", joinDelim)
+  }
+
+  /** Pre-segmented form — `segsCol` is already an array<string> column
+    * (a pipeline that tokenized/chunked upstream composes here WITHOUT
+    * rebuilding a delimiter string for this operator to re-split; the
+    * measured cost of the string round-trip is two extra full text
+    * passes). Same semantics as [[dedupSegments]]: blanks dropped,
+    * global (idCol, position) first occurrence wins, rebuild in order. */
+  def dedupSegmentArray(docs: DataFrame, idCol: String, segsCol: String,
+                        joinDelim: String = "\n"): DataFrame = {
     Seq("pos", "clean_text", "n_segments", "n_removed",
-        "__seg", "__h", "__rn", "__rm", "__all").foreach { c =>
-      require(idCol != c && textCol != c, s"'$c' is reserved by dedupSegments")
+        "__seg", "__h", "__rn", "__rm").foreach { c =>
+      require(idCol != c && segsCol != c, s"'$c' is reserved by dedupSegmentArray")
     }
-    val segs = docs
-      .select(col(idCol),
-        posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "__seg")))
+    val removed = docs
+      .select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "__seg")))
       .filter(length(col("__seg")) > 0)
-    val removed = segs
       .select(col(idCol), col("pos"), md5(col("__seg")).as("__h"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
       .filter(col("__rn") > 1)
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("__rm"))
-    docs.select(col(idCol), col(textCol))
+    // conservation-law output: n_segments = kept + removed, so the segs
+    // expression is referenced through ONE filter that codegen CSE
+    // dedupes — a second `size(filter(nonblank))` pass re-evaluated the
+    // caller's whole segmentation expression (HOF chains are interpreted;
+    // measured 2.2-2.6 s vs 1.2-1.4 s at sf0.1 on the q167 composition)
+    docs.select(col(idCol), col(segsCol))
       .join(removed, Seq(idCol), "left")
       .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
-      .withColumn("__all", split(col(textCol), delimRegex))
+      .withColumn("__kept", filter(col(segsCol), (s, i) =>
+        length(s) > 0 && !array_contains(col("__rm"), i)))
       .select(col(idCol),
-        array_join(filter(col("__all"), (s, i) =>
-          length(s) > 0 && !array_contains(col("__rm"), i)), joinDelim)
-          .as("clean_text"),
-        size(filter(col("__all"), s => length(s) > 0)).cast("long")
+        array_join(col("__kept"), joinDelim).as("clean_text"),
+        (size(col("__kept")) + size(col("__rm"))).cast("long")
           .as("n_segments"),
         size(col("__rm")).cast("long").as("n_removed"))
   }

@@ -276,17 +276,25 @@ object DedupQueries {
   // heavily across docs, so both kept and removed populations are
   // well-exercised at every SF.
   private def q167(s: SparkSession, d: String): DataFrame = {
+    // pre-segmented composition: chunks feed dedupSegmentArray directly —
+    // building a newline-joined string for the operator to re-split was
+    // measured as two wasted full text passes (the regex form exists for
+    // corpora that arrive with real delimiters)
     val lined = documents(s, d)
       .withColumn("__toks", split(col("text"), "\\s+"))
-      .withColumn("lined", array_join(
+      .withColumn("segs",
         transform(
           sequence(lit(1), expr("(size(__toks) + 2) div 3")),
           i => concat_ws(" ",
-            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
-        "\n"))
-      .select(col("doc_id"), col("lined"))
+            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))))
+      .select(col("doc_id"), col("segs"))
+      // materialize the segmentation ONCE (q146 precedent): the operator
+      // references segs from both its dedup and rebuild branches, and the
+      // interpreted HOF chunking chain defeats codegen CSE (measured:
+      // inline 2.2 s, string round-trip 1.3 s, this 0.9 s at sf0.1)
+      .localCheckpoint(true)
     graft.operators.SegmentDedup
-      .dedupSegments(lined, "doc_id", "lined", "\n")
+      .dedupSegmentArray(lined, "doc_id", "segs", "\n")
       .select(col("doc_id"), col("n_segments"), col("n_removed"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy(col("doc_id"))

@@ -270,4 +270,54 @@ class BatchEquivalenceSpec extends SparkSpec {
       s"streaming-only: ${(streamed -- batch).take(3)}; " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("streaming segment dedup chunked replay equals the batch operator " +
+      "(counts and the rebuilt text)") {
+    implicit val sqlCtx = spark.sqlContext
+    // q167's corpus: sf0.01 documents re-segmented into 3-token lines;
+    // replay ordered by doc_id so first-ARRIVAL == the batch operator's
+    // (doc_id, pos) first-occurrence rule
+    val lined: Seq[(Long, String)] = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        id -> t.split("\\s+").grouped(3).map(_.mkString(" ")).mkString("\n")
+      }
+    val base = 1700000000000L
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingSegmentDedup.dedupSegments(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "doc_id", "text", "ts", "\n",
+      idleMs = 100L * 24 * 3600 * 1000, watermark = "1 second")
+      .writeStream.format("memory").queryName("segdedup_replay")
+      .outputMode(OutputMode.Append).start()
+    val rows = lined.map { case (id, t) =>
+      (new java.sql.Timestamp(base + id), id, t)
+    }
+    chunks(rows, 10).foreach { c => input.addData(c); q.processAllAvailable() }
+    val streamed = spark.table("segdedup_replay")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    // rebuilt text: kept segments in pos order
+    val streamedText = spark.table("segdedup_replay")
+      .filter(col("kept"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(sort_array(collect_list(
+        struct(col("pos"), col("seg")))), s => s.getField("seg")), "\n")
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    q.stop()
+    val batch = graft.operators.SegmentDedup
+      .dedupSegments(lined.toDF("doc_id", "text"), "doc_id", "text", "\n")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(batch.exists(_._4 > 0), "fixture must exercise removal")
+    batch.foreach { case (id, clean, nSeg, nRem) =>
+      assert(streamed(id) === ((nSeg, nRem)), s"doc $id counts")
+      assert(streamedText.getOrElse(id, "") === clean, s"doc $id rebuild")
+    }
+  }
 }
