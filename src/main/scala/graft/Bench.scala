@@ -404,7 +404,11 @@ object Bench {
       // r9: backoff scoring is corpus-proportional through the distinct
       // n-gram score join (the count/score tables are vocab-bounded);
       // the repetition battery is a pure row-local kernel map
-      "q161_stupid_backoff_lm", "q162_repetition_battery")
+      "q161_stupid_backoff_lm", "q162_repetition_battery",
+      // r10: segment dedup shuffles one (md5, id, pos) row per corpus
+      // segment; the residual gate is one sufficient-stats pass + a
+      // broadcast model map — both corpus-proportional
+      "q167_segment_dedup", "q170_residual_gate")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
@@ -592,18 +596,27 @@ object Bench {
       .map(m => "\"" + keyOf(HealPolicy.shortName(m.name)) + "\":" +
         f"${m.median}%.2f")
       .mkString("{", ",", "}")
-    def renderFinal(susp: String, b36: Boolean): String = {
-      val kf = if (b36) "\"kf\":\"b36\"," else ""
-      val qs2 = if (b36) renderQs(HealPolicy.b36Key) else renderQs(identity)
+    def renderFinal(susp: String, kfMode: Option[String]): String = {
+      val kf = kfMode.map(m => s""""kf":"$m",""").getOrElse("")
+      val keyOf: String => String = kfMode match {
+        case Some("b36") => HealPolicy.b36Key
+        case Some("b36x") => k => HealPolicy.b36Key(HealPolicy.xShortKey(k))
+        case _ => identity
+      }
+      val qs2 = renderQs(keyOf)
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
     val finalLine = Seq(
-      renderFinal(suspectJson, b36 = false),
-      renderFinal("[]", b36 = false),
-      renderFinal(suspectJson, b36 = true),
-      renderFinal("[]", b36 = true))
+      renderFinal(suspectJson, None),
+      renderFinal("[]", None),
+      renderFinal(suspectJson, Some("b36")),
+      renderFinal("[]", Some("b36")),
+      // r10: fold the x10_qNNN keys too ("kf":"b36x") — at 169 queries
+      // + ~40 x10 lines the full x10 names became the dominant term
+      renderFinal(suspectJson, Some("b36x")),
+      renderFinal("[]", Some("b36x")))
       .find(_.length < 1900)
-      .getOrElse(renderFinal("[]", b36 = true))
+      .getOrElse(renderFinal("[]", Some("b36x")))
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

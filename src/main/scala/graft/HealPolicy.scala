@@ -118,18 +118,35 @@ object HealPolicy {
       java.lang.Long.toString(k.toLong, 36)
     else k
 
+  /** x10 scaled-line key compression ("x10_q167_segment_dedup" ->
+    * "x10_167") — the rung AFTER b36 (r10: ~40 x10 lines at full names
+    * were the dominant term once the base keys were already folded; the
+    * line carries `"kf":"b36x"`). Only x10_qNNN keys fold; the few
+    * x_ann/x_asof extras stay as-is. */
+  private val X10Name = "^x10_q(\\d+)_.*$".r
+
+  def xShortKey(k: String): String = k match {
+    case X10Name(num) => s"x10_$num"
+    case _ => k
+  }
+
   /** Decode a compact-artifact key back to the decimal form, given the
-    * artifact's declared key format ("b36" or absent/decimal) — lets
-    * the cross-round prior-median lookup read either generation. */
+    * artifact's declared key format ("b36"/"b36x" or absent/decimal) —
+    * lets the cross-round prior-median lookup read any generation.
+    * (x10_NNN stays short — [[canonKey]] folds BOTH generations to
+    * that form, so matching never needs the full name back.) */
   def decodeKey(k: String, keyFormat: Option[String]): String =
-    if (keyFormat.contains("b36") &&
+    if (keyFormat.exists(_.startsWith("b36")) &&
         k.nonEmpty && k.forall(c => c.isDigit || (c >= 'a' && c <= 'z')))
       java.lang.Long.parseLong(k, 36).toString
     else k
 
   /** Canonical match key for cross-round lookups: numeric keys lose
     * their zero padding ("05" and the b36 round-trip "5" must meet),
-    * everything else passes through. */
+    * x10 lines fold to their short form from EITHER generation
+    * ("x10_q167_segment_dedup" and "x10_167" must meet), everything
+    * else passes through. */
   def canonKey(k: String): String =
-    if (k.nonEmpty && k.forall(_.isDigit)) k.toLong.toString else k
+    if (k.nonEmpty && k.forall(_.isDigit)) k.toLong.toString
+    else xShortKey(k)
 }

@@ -83,4 +83,31 @@ object LinearFit {
         - a12 * (a12 * b3 - b2 * a13)
         + b1 * (a12 * a23 - a22 * a13)).as("w2_num"))
   }
+
+  /** Train-then-apply in one lazy plan — the quality-filter training
+    * loop closed end to end: fit on the corpus (ONE sufficient-stats
+    * aggregate), broadcast the 1-row exact model, flag every row whose
+    * target strays from the fit by more than τ = `tauNum/tauDen` in y
+    * units. Division-free throughout: the row residual is
+    * resid_num = y·det − (w0_num + w1_num·x1 + w2_num·x2)  (= residual
+    * × det exactly), and the gate |resid_num|·tauDen > tauNum·det
+    * cross-multiplies τ — XᵀX(+λ) is positive-definite for full-rank
+    * features so det > 0 and the inequality never flips. Output =
+    * `keepCols` ++ (x1, x2, y, resid_num, is_outlier). */
+  def residualGate(df: DataFrame, keepCols: Seq[String],
+                   x1: Column, x2: Column, y: Column,
+                   tauNum: Long, tauDen: Long,
+                   ridgeLambda: Long = 0L): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, s"tau $tauNum/$tauDen must be >= 0")
+    val model = normalEquations3(df, x1, x2, y, ridgeLambda)
+      .select(col("det"), col("w0_num"), col("w1_num"), col("w2_num"))
+    val resid = (y.cast(D) * col("det")) -
+      (col("w0_num") + col("w1_num") * x1.cast(D) + col("w2_num") * x2.cast(D))
+    df.crossJoin(broadcast(model))
+      .select(keepCols.map(col) ++ Seq(
+        x1.cast(D).as("x1"), x2.cast(D).as("x2"), y.cast(D).as("y"),
+        resid.as("resid_num"),
+        (abs(resid) * lit(tauDen).cast(D) >
+          lit(tauNum).cast(D) * col("det")).as("is_outlier")): _*)
+  }
 }

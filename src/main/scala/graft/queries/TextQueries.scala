@@ -791,23 +791,57 @@ object TextQueries {
       y = (size(array_distinct(toks)) * 100).cast("long"))
   }
 
-  private def linearFitOracle: String = {
+  /** Shared q168/q170 CTE prefix: per-doc integer features `f`, the 9
+    * sufficient statistics `s`, diagonal aliases `a`, and the Cramer
+    * model `m` (det + 3 numerators) — all HUGEINT. */
+  private def linearFitCtes: String = {
     val sp = "string_split_regex(text, '\\s+')"
-    s"WITH f AS (SELECT CAST(len($sp) AS HUGEINT) AS x1, " +
+    s"WITH f AS (SELECT doc_id, CAST(len($sp) AS HUGEINT) AS x1, " +
       "CAST(length(text) AS HUGEINT) AS x2, " +
       s"CAST(100 * len(list_distinct($sp)) AS HUGEINT) AS y FROM documents), " +
       "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x1) AS sx1, " +
       "SUM(x2) AS sx2, SUM(x1*x1) AS sx1x1, SUM(x1*x2) AS sx1x2, " +
       "SUM(x2*x2) AS sx2x2, SUM(y) AS sy, SUM(x1*y) AS sx1y, " +
       "SUM(x2*y) AS sx2y FROM f), " +
-      "a AS (SELECT *, sx1x1 AS a22, sx1x2 AS a23, sx2x2 AS a33 FROM s) " +
-      "SELECT n, sx1, sx2, sx1x1, sx1x2, sx2x2, sy, sx1y, sx2y, " +
+      "a AS (SELECT *, sx1x1 AS a22, sx1x2 AS a23, sx2x2 AS a33 FROM s), " +
+      "m AS (SELECT n, sx1, sx2, sx1x1, sx1x2, sx2x2, sy, sx1y, sx2y, " +
       "n*(a22*a33 - a23*a23) - sx1*(sx1*a33 - a23*sx2) + sx2*(sx1*a23 - a22*sx2) AS det, " +
       "sy*(a22*a33 - a23*a23) - sx1*(sx1y*a33 - a23*sx2y) + sx2*(sx1y*a23 - a22*sx2y) AS w0_num, " +
       "n*(sx1y*a33 - a23*sx2y) - sy*(sx1*a33 - a23*sx2) + sx2*(sx1*sx2y - sx1y*sx2) AS w1_num, " +
       "n*(a22*sx2y - sx1y*a23) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*a23 - a22*sx2) AS w2_num " +
-      "FROM a"
+      "FROM a)"
   }
+
+  private def linearFitOracle: String =
+    linearFitCtes +
+      " SELECT n, sx1, sx2, sx1x1, sx1x2, sx2x2, sy, sx1y, sx2y, " +
+      "det, w0_num, w1_num, w2_num FROM m"
+
+  // Residual outlier gate over the q168 fit (r10): the trained model
+  // applied back to the corpus in the SAME lazy plan — fit-then-filter,
+  // the quality-classifier loop closed end to end. Division-free: the
+  // per-doc residual is y·det − (w0 + w1·x1 + w2·x2) (= residual × det
+  // exactly), and the τ = 3-distinct-tokens gate cross-multiplies —
+  // |resid_num| · 1 > 300 · det. Docs whose lexical diversity the
+  // surface features cannot explain are the template/boilerplate
+  // suspects a curation pass reviews.
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    graft.operators.LinearFit.residualGate(
+      documents(s, d), Seq("doc_id"),
+      x1 = size(toks).cast("long"),
+      x2 = length(col("text")).cast("long"),
+      y = (size(array_distinct(toks)) * 100).cast("long"),
+      tauNum = 300L, tauDen = 1L)
+      .orderBy(col("doc_id"))
+  }
+
+  private def residualGateOracle: String =
+    linearFitCtes +
+      " SELECT doc_id, x1, x2, y, " +
+      "y*det - (w0_num + w1_num*x1 + w2_num*x2) AS resid_num, " +
+      "abs(y*det - (w0_num + w1_num*x1 + w2_num*x2)) * 1 > 300 * det AS is_outlier " +
+      "FROM f CROSS JOIN m ORDER BY doc_id"
 
   // Gopher repetition battery (r9): top-n-gram character fraction
   // (n=2..4) and duplicated-n-gram character fraction (n=5..10) per
@@ -909,6 +943,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_residual_gate" -> q170 _,
     "q169_wordpiece_train" -> q169 _,
     "q168_linear_fit" -> q168 _,
     "q166_pruned_backoff_lm" -> q166 _,
@@ -1057,6 +1092,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q170_residual_gate" -> residualGateOracle,
     "q169_wordpiece_train" -> wordPieceTrainOracle,
     "q168_linear_fit" -> linearFitOracle,
     "q166_pruned_backoff_lm" -> prunedBackoffOracle,

@@ -112,6 +112,22 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.canonKey("x132_pq_train") == "x132_pq_train")
   }
 
+  test("b36x rung folds x10 keys and both generations meet at canonKey (r10)") {
+    assert(HealPolicy.xShortKey("x10_q167_segment_dedup") == "x10_167")
+    assert(HealPolicy.xShortKey("x10_q05_group_summary") == "x10_05")
+    // only x10_qNNN folds — the ann/asof extras and base keys pass through
+    for (k <- Seq("x_ann_pq_index_build", "x132_pq_train", "134", "05",
+        "x10_ann_ivf256_index_build"))
+      assert(HealPolicy.xShortKey(k) == k, k)
+    // cross-generation matching: a prior artifact's full x10 name and a
+    // b36x artifact's short key canonicalize identically
+    assert(HealPolicy.canonKey("x10_q167_segment_dedup") ==
+      HealPolicy.canonKey(HealPolicy.decodeKey("x10_167", Some("b36x"))))
+    // b36x still decodes the base numeric keys like b36 did
+    assert(HealPolicy.decodeKey("3q", Some("b36x")) == "134")
+    assert(HealPolicy.decodeKey("3q", Some("b36")) == "134")
+  }
+
   test("r8 whole-suite-hot shape: per-line probes fire and CONFIRM, " +
       "nothing heals, floor_r announces the box (r9)") {
     // the r8 artifact: floor 0.110 -> 0.173 (1.57x), 17 code-untouched

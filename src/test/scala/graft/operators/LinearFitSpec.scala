@@ -93,6 +93,39 @@ class LinearFitSpec extends SparkSpec {
     assert(plain("det") !== ridged("det"))
   }
 
+  test("residualGate: an exactly-linear corpus has all-zero residuals " +
+      "and no outliers; a planted deviant row is the only flag") {
+    val clean = (for (x1 <- 1L to 6L; x2 <- 1L to 5L)
+      yield (x1 * 10 + x2, x1, x2, 7L + 2L * x1 + 3L * x2)).toSeq
+    val planted = (999L, 3L, 3L, 7L + 2L * 3 + 3L * 3 + 50L)
+    def gate(rows: Seq[(Long, Long, Long, Long)], tauNum: Long) =
+      LinearFit.residualGate(rows.toDF("id", "x1", "x2", "y"), Seq("id"),
+          col("x1"), col("x2"), col("y"), tauNum, 1L)
+        .select(col("id"), col("resid_num").cast("string"), col("is_outlier"))
+        .as[(Long, String, Boolean)].collect()
+    gate(clean, 1L).foreach { case (id, r, flag) =>
+      assert(BigInt(r) === BigInt(0), s"row $id residual")
+      assert(!flag, s"row $id flagged")
+    }
+    // with one deviant row the fit shifts, but only the plant's residual
+    // can exceed tau = 25 y-units (the other 30 rows share the blame in
+    // proportion to leverage, each far below it)
+    val flagged = gate(clean :+ planted, 25L).filter(_._3).map(_._1)
+    assert(flagged === Seq(999L), s"flagged: $flagged")
+  }
+
+  test("residualGate broadcasts the 1-row model — no shuffle lands on " +
+      "the corpus side") {
+    val df = LinearFit.residualGate(
+      (1L to 50L).map(i => (i, i % 7, i % 11, i % 5)).toDF("id", "x1", "x2", "y"),
+      Seq("id"), col("x1"), col("x2"), col("y"), 1L, 1L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"model must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus rows must not shuffle:\n$p")
+  }
+
   test("the plan is one partial-aggregated pass: no join, no window, " +
       "one single-partition combine") {
     val df = LinearFit.normalEquations3(
