@@ -99,7 +99,15 @@ object CorpusScaleSmoke {
       // position/score join; the distinct-gram score table is
       // vocab-bounded, so shuffle must track positions, not positions
       // × (2n-1) lookups
-      "q161_stupid_backoff_lm").filter(wanted).map { name =>
+      "q161_stupid_backoff_lm",
+      // r10: segment dedup must shuffle ONE (md5, id, pos) row per
+      // corpus segment (strings stay out of the exchange) + the sparse
+      // removed-position flowback; WordPiece training is q154's shape
+      // plus a per-round unit aggregate (histogram corpus-proportional,
+      // rounds vocab-bounded); the residual gate is one 9-sum stats
+      // pass + a broadcast model map — shuffle bytes must stay ~flat
+      "q167_segment_dedup", "q169_wordpiece_train",
+      "q170_residual_gate").filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }
