@@ -86,11 +86,54 @@ object SegmentDedup {
       .filter(col("__rn") > 1)
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("__rm"))
-    // conservation-law output: n_segments = kept + removed, so the segs
-    // expression is referenced through ONE filter that codegen CSE
-    // dedupes — a second `size(filter(nonblank))` pass re-evaluated the
-    // caller's whole segmentation expression (HOF chains are interpreted;
-    // measured 2.2-2.6 s vs 1.2-1.4 s at sf0.1 on the q167 composition)
+    rebuild(docs, idCol, segsCol, removed, joinDelim)
+  }
+
+  /** Incremental form — the production daily shape: a NEW batch is
+    * deduped against an accumulated corpus ("warehouse") plus itself.
+    * A batch segment is removed when its hash already exists anywhere
+    * in the warehouse, OR an earlier (idCol, pos) batch occurrence
+    * claimed it; the warehouse is touched ONLY to build its distinct
+    * hash relation (a deployment persists that — it is exactly the
+    * `seen` state the streaming twin carries), never rescanned per
+    * batch doc. Plan: the warehouse membership join and the
+    * within-batch first-occurrence window share ONE batch-side hash
+    * exchange (the window's requirement is satisfied by the join's
+    * partitioning — plan-asserted). */
+  def dedupSegmentsIncremental(warehouse: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               delimRegex: String,
+                               joinDelim: String = "\n"): DataFrame = {
+    require(idCol != textCol, "id and text columns must differ")
+    val whHashes = warehouse
+      .select(explode(split(col(textCol), delimRegex)).as("__seg"))
+      .filter(length(col("__seg")) > 0)
+      .select(unhex(md5(col("__seg"))).as("__h"))
+      .distinct()
+      .withColumn("__wh", lit(1))
+    val batchArr = batch
+      .select(col(idCol), split(col(textCol), delimRegex).as("__segs"))
+    val removed = batchArr
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("pos", "__seg")))
+      .filter(length(col("__seg")) > 0)
+      .select(col(idCol), col("pos"), unhex(md5(col("__seg"))).as("__h"))
+      .join(whHashes, Seq("__h"), "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
+      .filter(col("__wh").isNotNull || col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__rm"))
+    rebuild(batchArr, idCol, "__segs", removed, joinDelim)
+  }
+
+  /** Shared rebuild: conservation-law output (n_segments = kept +
+    * removed), so the segs expression is referenced through ONE filter
+    * that codegen CSE dedupes — a second `size(filter(nonblank))` pass
+    * re-evaluated the caller's whole segmentation expression (HOF
+    * chains are interpreted; measured 2.2-2.6 s vs 1.2-1.4 s at sf0.1
+    * on the q167 composition). */
+  private def rebuild(docs: DataFrame, idCol: String, segsCol: String,
+                      removed: DataFrame, joinDelim: String): DataFrame =
     docs.select(col(idCol), col(segsCol))
       .join(removed, Seq(idCol), "left")
       .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
@@ -101,5 +144,4 @@ object SegmentDedup {
         (size(col("__kept")) + size(col("__rm"))).cast("long")
           .as("n_segments"),
         size(col("__rm")).cast("long").as("n_removed"))
-  }
 }

@@ -300,7 +300,33 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Incremental segment dedup (r10): the daily-crawl shape — docs with
+  // doc_id % 7 == 0 play the incoming batch, the rest the accumulated
+  // warehouse; a batch line dies if the warehouse has EVER seen it or
+  // an earlier batch position claimed it. Same 3-token re-segmentation
+  // as q167 (here via the newline string + regex path, so BOTH public
+  // entry forms stay oracle-exercised).
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val lined = documents(s, d)
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("lined", array_join(
+        transform(
+          sequence(lit(1), expr("(size(__toks) + 2) div 3")),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
+        "\n"))
+      .select(col("doc_id"), col("lined"))
+    graft.operators.SegmentDedup.dedupSegmentsIncremental(
+        lined.filter(col("doc_id") % 7 =!= 0),
+        lined.filter(col("doc_id") % 7 === 0),
+        "doc_id", "lined", "\n")
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_segment_dedup_incr" -> q171 _,
     "q167_segment_dedup" -> q167 _,
     "q134_setsim_join" -> q134 _,
     "q140_setsim_cross_join" -> q140 _,
@@ -591,7 +617,27 @@ object DedupQueries {
       "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '')) AS clean_md5 " +
       "FROM r GROUP BY doc_id ORDER BY doc_id"
 
+  /** q171 twin: same chunking CTE, warehouse membership via a distinct
+    * hash set, within-batch rank only over batch occurrences. */
+  private def segmentDedupIncrOracle: String =
+    s"WITH t AS (SELECT doc_id, string_split_regex(text, $wsRe) AS l FROM documents), " +
+      "ch AS (SELECT doc_id, i - 1 AS pos, " +
+      "array_to_string(l[((i-1)*3+1):((i-1)*3+3)], ' ') AS seg " +
+      "FROM (SELECT doc_id, l, unnest(generate_series(1, (len(l)+2)//3)) AS i FROM t)), " +
+      "wh AS (SELECT DISTINCT md5(seg) AS h FROM ch WHERE doc_id % 7 <> 0 AND seg <> ''), " +
+      "b AS (SELECT doc_id, pos, seg, md5(seg) AS h, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn " +
+      "FROM ch WHERE doc_id % 7 = 0 AND seg <> ''), " +
+      "r AS (SELECT b.doc_id, b.pos, b.seg, " +
+      "(wh.h IS NOT NULL OR b.rn > 1) AS dead " +
+      "FROM b LEFT JOIN wh ON wh.h = b.h) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+      "CAST(SUM(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "md5(COALESCE(string_agg(CASE WHEN NOT dead THEN seg END, chr(10) ORDER BY pos), '')) AS clean_md5 " +
+      "FROM r GROUP BY doc_id ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
+    "q171_segment_dedup_incr" -> segmentDedupIncrOracle,
     "q167_segment_dedup" -> segmentDedupOracle,
     "q121_leakage_safe_split" -> leakageSafeSplitOracle,
     "q123_substring_spans" -> substringSpansOracle,

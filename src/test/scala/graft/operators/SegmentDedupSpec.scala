@@ -75,6 +75,70 @@ class SegmentDedupSpec extends SparkSpec {
       "(doc_id, pos) ordering makes the winner partitioning-independent")
   }
 
+  /** Reference for the incremental form: the same fold, seeded with
+    * every warehouse segment before the batch plays. */
+  private def referenceIncr(warehouse: Seq[String], docs: Seq[(Long, String)],
+                            delim: String, join: String)
+      : Map[Long, (String, Long, Long)] = {
+    val seen = scala.collection.mutable.Set[String]()
+    warehouse.foreach(t => t.split(delim, -1).filter(_.nonEmpty).foreach(seen.add))
+    docs.sortBy(_._1).map { case (id, text) =>
+      val segs = text.split(delim, -1).toSeq.filter(_.nonEmpty)
+      val (kept, removed) = segs.foldLeft((Vector[String](), 0L)) {
+        case ((k, r), s) =>
+          if (seen.add(s)) (k :+ s, r) else (k, r + 1L)
+      }
+      id -> ((kept.mkString(join), segs.size.toLong, removed))
+    }.toMap
+  }
+
+  private def runIncr(wh: Seq[String], docs: Seq[(Long, String)],
+                      delim: String): Map[Long, (String, Long, Long)] =
+    SegmentDedup.dedupSegmentsIncremental(
+        wh.toDF("text").withColumn("doc_id", lit(0L)),
+        docs.toDF("doc_id", "text"), "doc_id", "text", delim)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, n, r) => id -> ((t, n, r)) }.toMap
+
+  test("incremental dedup: warehouse-seen segments die on arrival, " +
+      "batch-internal dedup still applies, matches the seeded reference") {
+    val wh = Seq("old boilerplate\nwarehouse only line", "old boilerplate")
+    val batch = Seq(
+      10L -> "old boilerplate\nfresh alpha",
+      11L -> "fresh alpha\nfresh beta\nfresh beta",
+      12L -> "warehouse only line")
+    val got = runIncr(wh, batch, "\n")
+    assert(got === referenceIncr(wh, batch, "\n", "\n"))
+    assert(got(10L) === (("fresh alpha", 2L, 1L)))
+    assert(got(11L) === (("fresh beta", 3L, 2L)),
+      "within-batch repeats and cross-doc batch repeats both die")
+    assert(got(12L) === (("", 1L, 1L)))
+  }
+
+  test("an empty warehouse makes the incremental form identical to the " +
+      "plain operator on the batch") {
+    val rnd = new scala.util.Random(171)
+    val lines = Vector.tabulate(20)(i => s"line $i")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(6))(lines(rnd.nextInt(lines.size)))
+        .mkString("\n")
+    }
+    assert(runIncr(Seq(), docs, "\n") === run(docs, "\n"))
+  }
+
+  test("incremental plan: the membership join and the first-occurrence " +
+      "window share ONE batch-side hash exchange") {
+    val df = SegmentDedup.dedupSegmentsIncremental(
+      Seq("a\nb").toDF("text"), Seq((1L, "a\nc")).toDF("doc_id", "text"),
+      "doc_id", "text", "\n")
+    val p = df.queryExecution.executedPlan.toString
+    val hExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(__h"))
+    assert(hExchanges <= 2,
+      s"expected one __h exchange per side (window must reuse the join's):\n$p")
+    assert(p.contains("- Window ["), s"first-occurrence window missing:\n$p")
+  }
+
   test("conservation: kept + removed = nonblank segments, and total kept " +
       "equals total distinct segments across the corpus") {
     val rnd = new scala.util.Random(42)
