@@ -316,6 +316,11 @@ object DedupQueries {
             slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
         "\n"))
       .select(col("doc_id"), col("lined"))
+      // materialize once — warehouse AND batch sides both derive from
+      // this relation, and the batch side additionally feeds the
+      // operator's two branches (the q167 lesson: 1.6-2.0 s unchecked,
+      // ~1.0 s materialized at sf0.1)
+      .localCheckpoint(true)
     graft.operators.SegmentDedup.dedupSegmentsIncremental(
         lined.filter(col("doc_id") % 7 =!= 0),
         lined.filter(col("doc_id") % 7 === 0),
