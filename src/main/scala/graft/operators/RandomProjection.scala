@@ -83,7 +83,14 @@ object RandomProjection {
     require(shortlist >= topK, s"shortlist $shortlist must be >= topK=$topK")
     val sm = signs(seed, query.length, k)
     val qp = projectQuery(query, sm)
-    val short = project(df, vecCol, "__y", sm)
+    // The projected corpus is the rung's recomputable probe-side state —
+    // every ANN system amortizes it across probes. One-slot registry
+    // (the NgramLm/q158 shape): repeated probes against one (corpus,
+    // seed, k) reuse the projection; a different corpus/seed swaps it.
+    // Still index-FREE: nothing persists, lineage recomputes anywhere.
+    val projected =
+      registry.retainAll(Seq(project(df, vecCol, "__y", sm))).head
+    val short = projected
       .withColumn("__d2",
         aggregate(
           zip_with(col("__y"), typedlit(qp), (a, b) => (a - b) * (a - b)),
@@ -101,4 +108,9 @@ object RandomProjection {
       .limit(topK)
       .drop("sim", vecCol)
   }
+
+  private val registry = new CacheRegistry
+
+  /** Release the retained projected corpus (idempotent). */
+  def releaseCaches(): Unit = registry.release()
 }
