@@ -271,6 +271,39 @@ class BatchEquivalenceSpec extends SparkSpec {
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming linear-model training: the sufficient-statistics " +
+      "aggregate maintains the exact model online — final state equals " +
+      "the batch fit") {
+    // LinearFit.normalEquations3 IS the streaming twin: the 9 Decimal
+    // sums are an associative aggregate, so the SAME code runs over a
+    // streaming frame in Complete mode and each micro-batch emits the
+    // current exact model (online training, no operator fork to drift)
+    implicit val sqlCtx = spark.sqlContext
+    val feats: Seq[(Long, Long, Long)] = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long"),
+        length(col("text")).cast("long"),
+        (size(array_distinct(split(col("text"), "\\s+"))) * 100).cast("long"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .map { case (_, x1, x2, y) => (x1, x2, y) }
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.operators.LinearFit.normalEquations3(
+        input.toDF().toDF("x1", "x2", "y"),
+        col("x1"), col("x2"), col("y"))
+      .writeStream.format("memory").queryName("linfit_replay")
+      .outputMode(OutputMode.Complete).start()
+    chunks(feats, 10).foreach { c => input.addData(c); q.processAllAvailable() }
+    val streamed = spark.table("linfit_replay").head()
+    q.stop()
+    val batch = graft.operators.LinearFit.normalEquations3(
+      feats.toDF("x1", "x2", "y"), col("x1"), col("x2"), col("y")).head()
+    (0 until batch.length).foreach { i =>
+      assert(streamed.getDecimal(i) === batch.getDecimal(i),
+        s"column ${batch.schema(i).name}")
+    }
+  }
+
   test("streaming segment dedup chunked replay equals the batch operator " +
       "(counts and the rebuilt text)") {
     implicit val sqlCtx = spark.sqlContext
