@@ -100,13 +100,38 @@ object CorpusPipelineSmoke {
       graft.operators.Dedup.exactDedup(ingested, "text", "doc_id")
     }
 
+    // 2a. segment-level dedup (r10 — the CCNet line-dedup stage at its
+    // real position, right after exact dedup): 3-token lines, global
+    // first occurrence wins, text rebuilt; docs that empty out drop.
+    // Token counts re-derived from the rebuilt text.
+    val segDeduped = stage("s2a_segment_dedup") {
+      val lined = exact
+        .withColumn("__toks", split(col("text"), "\\s+"))
+        .withColumn("segs", transform(
+          sequence(lit(1), expr("(size(__toks) + 2) div 3")),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))))
+        .select(col("doc_id"), col("segs"))
+        .localCheckpoint(true) // the q167 lesson: segment once, not per branch
+      graft.operators.SegmentDedup
+        .dedupSegmentArray(lined, "doc_id", "segs", " ")
+        .filter(length(col("clean_text")) > 0)
+        .join(exact.select(col("doc_id"), col("lang"), col("source")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text").as("text"))
+        .withColumn("n_tokens",
+          size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long"))
+    }
+
     // 3. near-dup prune: every J >= 0.9 pair within (lang, source)
     // blocks; survivor = lowest doc_id (greedy drop of id_b)
     val pruned = stage("s3_setsim_prune") {
       val pairs = graft.operators.SetSimJoin.selfJoin(
-        exact, "doc_id", graft.functions.TextAnalysis.tokens(col("text")),
+        segDeduped, "doc_id",
+        graft.functions.TextAnalysis.tokens(col("text")),
         simNum = 9, simDen = 10, blockCols = Seq("lang", "source"))
-      exact.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      segDeduped.join(pairs.select(col("id_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     }
 
@@ -136,14 +161,34 @@ object CorpusPipelineSmoke {
         .filter(col("quality") >= 0.5)
     }
 
+    // 5b. LM perplexity tertile (r10 — the CCNet head/middle keep): a
+    // backoff trigram model trains on the surviving corpus' own
+    // doc_id % 10 != 0 split, every doc scores against it, and the
+    // per-language TAIL tertile drops. Docs too short for any trigram
+    // carry no LM evidence and drop with the tail.
+    val lmGated = stage("s5b_lm_tertile") {
+      val scores = graft.operators.NgramLm.scoreDocsBackoff(
+        gated.filter(col("doc_id") % 10 =!= 0), gated,
+        "doc_id", "text", n = 3)
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      gated
+        .join(scores.select(col("doc_id"), col("score_e9")), Seq("doc_id"))
+        .withColumn("__rn", row_number().over(
+          byLang.orderBy(col("score_e9").desc, col("doc_id"))))
+        .withColumn("__nl", count(lit(1)).over(byLang))
+        .filter(expr("((__rn - 1) * 3) div __nl") < 2)
+        .drop("__rn", "__nl", "score_e9")
+    }
+
     // 6. token-budget fill: best-quality-first under half the surviving
     // token mass — the two-pass distributed prefix sum, never a
     // single-partition window
     val budget = math.max(1L,
-      gated.agg(sum(col("n_tokens"))).head().getLong(0) / 2)
+      lmGated.agg(sum(col("n_tokens"))).head().getLong(0) / 2)
     val filled = stage("s6_budget_fill") {
       graft.operators.PrefixSum.budgetFill(
-        gated, "n_tokens", budget,
+        lmGated, "n_tokens", budget,
         col("quality").desc, col("doc_id").asc)
     }
 

@@ -107,7 +107,8 @@ object CorpusScaleSmoke {
       // rounds vocab-bounded); the residual gate is one 9-sum stats
       // pass + a broadcast model map — shuffle bytes must stay ~flat
       "q167_segment_dedup", "q169_wordpiece_train",
-      "q170_residual_gate").filter(wanted).map { name =>
+      "q170_residual_gate", "q171_segment_dedup_incr")
+      .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
     }
