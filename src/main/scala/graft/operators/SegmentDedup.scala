@@ -105,6 +105,11 @@ object SegmentDedup {
                                delimRegex: String,
                                joinDelim: String = "\n"): DataFrame = {
     require(idCol != textCol, "id and text columns must differ")
+    Seq("pos", "clean_text", "n_segments", "n_removed",
+        "__seg", "__segs", "__h", "__rn", "__rm", "__wh").foreach { c =>
+      require(idCol != c && textCol != c,
+        s"'$c' is reserved by dedupSegmentsIncremental")
+    }
     val whHashes = warehouse
       .select(explode(split(col(textCol), delimRegex)).as("__seg"))
       .filter(length(col("__seg")) > 0)

@@ -843,6 +843,65 @@ object TextQueries {
       "abs(y*det - (w0_num + w1_num*x1 + w2_num*x2)) * 1 > 300 * det AS is_outlier " +
       "FROM f CROSS JOIN m ORDER BY doc_id"
 
+  // Vocabulary coverage curve (r10): THE tokenizer-design dashboard —
+  // rank token types by corpus frequency and read off (a) the corpus
+  // fraction a vocab budget of V types covers (Zipf head mass) and
+  // (b) how many types 50/90/99% coverage costs. Scalable shape: the
+  // type table is vocabulary-bounded and BOTH the cumulative mass and
+  // the rank come from the two-pass distributed prefix sum — never a
+  // single-partition window (the q136 machinery at type granularity).
+  // "Types needed for p%" never touches rank at all: a type belongs to
+  // the minimal covering prefix iff its EXCLUSIVE cum mass is still
+  // under p% — a conditional count. All integer; coverage fractions
+  // are (cum·10⁶) div total computed in 128-bit.
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val types = documents(s, d)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("__one", lit(1L))
+    val (r1, total) = graft.operators.PrefixSum.withRunningTotal(
+      types, "c", "cum", col("c").desc, col("tok").asc)
+    val (r2, nTypes) = graft.operators.PrefixSum.withRunningTotal(
+      r1, "__one", "rnk", col("c").desc, col("tok").asc)
+    // cum·10⁶ can pass 2⁶³ at corpus scale → the multiply runs in
+    // Decimal(38,0) and `div` (IntegralDivide) floors exactly like
+    // DuckDB's `//`; the percentile compares stay in longs (·100 keeps
+    // 2⁶³ headroom to ~9·10¹⁶ tokens)
+    def covE6(v: Int) = expr(
+      s"cast((cast(coalesce(max(case when rnk <= $v then cum end), 0) " +
+        s"as decimal(38,0)) * 1000000) div $total as bigint)")
+      .as(s"cov${v}_e6")
+    def typesFor(p: Int) = sum(
+      when((col("cum") - col("c")) * 100 < lit(p) * lit(total), 1L)
+        .otherwise(0L)).as(s"types_p$p")
+    r2.agg(
+      lit(total).as("total_tokens"), lit(nTypes).as("n_types"),
+      covE6(10), covE6(100), covE6(1000),
+      typesFor(50), typesFor(90), typesFor(99))
+  }
+
+  private def vocabCoverageOracle: String =
+    "WITH ty AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents) " +
+      "GROUP BY 1), " +
+      "r AS (SELECT c, " +
+      "SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk FROM ty), " +
+      "t AS (SELECT CAST(SUM(c) AS BIGINT) AS total, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_types FROM ty) " +
+      "SELECT t.total AS total_tokens, t.n_types, " +
+      "CAST(CAST(COALESCE(MAX(CASE WHEN rnk <= 10 THEN cum END), 0) AS HUGEINT) " +
+      "* 1000000 // t.total AS BIGINT) AS cov10_e6, " +
+      "CAST(CAST(COALESCE(MAX(CASE WHEN rnk <= 100 THEN cum END), 0) AS HUGEINT) " +
+      "* 1000000 // t.total AS BIGINT) AS cov100_e6, " +
+      "CAST(CAST(COALESCE(MAX(CASE WHEN rnk <= 1000 THEN cum END), 0) AS HUGEINT) " +
+      "* 1000000 // t.total AS BIGINT) AS cov1000_e6, " +
+      "CAST(SUM(CASE WHEN CAST(cum - c AS HUGEINT) * 100 < 50 * t.total THEN 1 ELSE 0 END) AS BIGINT) AS types_p50, " +
+      "CAST(SUM(CASE WHEN CAST(cum - c AS HUGEINT) * 100 < 90 * t.total THEN 1 ELSE 0 END) AS BIGINT) AS types_p90, " +
+      "CAST(SUM(CASE WHEN CAST(cum - c AS HUGEINT) * 100 < 99 * t.total THEN 1 ELSE 0 END) AS BIGINT) AS types_p99 " +
+      "FROM r, t GROUP BY t.total, t.n_types"
+
   // Gopher repetition battery (r9): top-n-gram character fraction
   // (n=2..4) and duplicated-n-gram character fraction (n=5..10) per
   // document — Rae et al. 2021 Table A1, the standard pretraining
@@ -943,6 +1002,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_vocab_coverage" -> q172 _,
     "q170_residual_gate" -> q170 _,
     "q169_wordpiece_train" -> q169 _,
     "q168_linear_fit" -> q168 _,
@@ -1092,6 +1152,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q172_vocab_coverage" -> vocabCoverageOracle,
     "q170_residual_gate" -> residualGateOracle,
     "q169_wordpiece_train" -> wordPieceTrainOracle,
     "q168_linear_fit" -> linearFitOracle,

@@ -216,6 +216,20 @@ class PlanSpec extends SparkSpec {
       s"no stage may collapse to one partition:\n$p")
   }
 
+  test("q172 vocab coverage: cumulative mass and rank come from the " +
+      "range-partitioned prefix sum — no Window operator at all") {
+    val p = plan("q172_vocab_coverage")
+    assert(!p.contains("Window"),
+      s"a window here would serialize the type table through one task:\n$p")
+    // the prefix sum's range exchange lives BEHIND its RDD boundary
+    // (withRunningTotal materializes via createDataFrame) — what this
+    // plan must show is that boundary plus a map-side-combined rollup
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the prefix-sum RDD boundary:\n$p")
+    assert(p.contains("partial_max"),
+      s"final rollup must combine map-side:\n$p")
+  }
+
   test("q163 blocklist kernel: zero exchanges, kernel evaluated once, codegen'd scan") {
     val p = plan("q163_blocklist_stats")
     assert(!p.contains("Exchange"), s"row-local stats must not shuffle:\n$p")
