@@ -295,6 +295,90 @@ object NgramLm {
     * correct afterwards — lineage recomputes). */
   def releaseCaches(): Unit = registry.release()
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §2.7) — the smoothing the
+    * LM family's other two estimators bracket: [[scoreDocs]] is add-one
+    * (simplest), [[scoreDocsBackoff]] is Stupid Backoff (Brants' web
+    * -scale approximation OF Kneser–Ney), and this is the real thing —
+    * absolute discounting with the CONTINUATION unigram:
+    *
+    *   P(w|v) = (c(vw) − D)⁺ / c(v·)  +  D·N1+(v·)/c(v·) · N1+(·w)/B
+    *
+    * where c(v·) = Σ_w c(vw), N1+(v·) = #{w : c(vw)>0}, N1+(·w) =
+    * #{v : c(vw)>0}, B = bigram types. "Glasses" scores low even
+    * though "Francisco" is frequent — N1+(·w) counts CONTEXTS, not
+    * occurrences (the KN insight add-one and Stupid Backoff lack).
+    *
+    * Hash-exactness: the discount D = 3/4 is an exact dyadic rational,
+    * so on the common denominator 4·c(v·)·B the probability is the
+    * exact integer fraction
+    *
+    *   p = [ (4·c(vw) − 3)⁺ · B  +  3 · N1+(v·) · N1+(·w) ]
+    *       / [ 4 · c(v·) · B ]
+    *
+    * and `p_e9 = (1e9 · num) div den` — the multiply rides
+    * Decimal(38,0) (num can pass 2^63/1e9 at corpus scale; `div` is
+    * IntegralDivide, flooring exactly like DuckDB's HUGEINT `//`), den
+    * and num themselves are exact in longs while c(vw)·B < 2^61 (past
+    * that the same plan flips to log-space doubles — the
+    * [[Collocations]] caveat). An UNSEEN context (c(v·) = 0, so the
+    * discounted term has no denominator) falls to the add-one-smoothed
+    * continuation distribution `(N1+(·w) + 1) / (B + Vc)` with Vc =
+    * #distinct continuation types — proper (positive, ≤ 1), exact, and
+    * OOV-safe. Per-document score is the order-free integer mean.
+    *
+    * Scale shape: ONE bigram count aggregate over train; c(v·)/N1+(v·)
+    * and N1+(·w) are two vocabulary-bounded rollups OF that relation
+    * (no second train pass); B and Vc ride 1-row broadcasts. Scoring
+    * is factored through DISTINCT document bigrams (the
+    * [[scoreDocsBackoff]] shape): each distinct bigram takes the three
+    * model joins once, the corpus positions join the scored table by
+    * gram and roll up per document.
+    *
+    * Output: (idCol, n_bigrams, n_oov, sum_p_e9, score_e9) — the
+    * [[scoreDocs]] schema; n_oov counts UNSEEN BIGRAMS (c(vw) = 0:
+    * positions scored entirely by the interpolation mass). */
+  def scoreDocsKneserNey(train: DataFrame, docs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val bi = train
+      .select(explode(call_function("graft_shingles", col(textCol), lit(2)))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctx_v"), count(lit(1)).as("n1p_v"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w"))
+    val tot = bi.agg(count(lit(1)).as("b_types"))
+    val cv = cont.agg(count(lit(1)).as("v_cont"))
+    val pE9 = expr(
+      "CASE WHEN ctx_v IS NOT NULL THEN " +
+        "(cast(1000000000 as decimal(38,0)) * " +
+        "(greatest(4L * coalesce(c12, 0L) - 3L, 0L) * b_types + " +
+        "3L * n1p_v * coalesce(n1p_w, 0L))) div (4L * ctx_v * b_types) " +
+        "ELSE (cast(1000000000 as decimal(38,0)) * " +
+        "(coalesce(n1p_w, 0L) + 1L)) div (b_types + v_cont) END")
+    val docBg = docs
+      .select(col(idCol),
+        explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
+    val perBg = docBg.select(col("bg")).distinct()
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(bi.select(col("bg"), col("c12")), Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(cv))
+      .select(col("bg"), pE9.cast("long").as("p_e9"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+    docBg.join(perBg, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("p_e9")).as("sum_p_e9"))
+      .withColumn("score_e9", expr("sum_p_e9 div n_bigrams"))
+  }
+
   /** floor((1e9 * (c12+1)) / (c1+V)) with null counts as 0 — the one
     * multiply + one IEEE division + floor fixed-point rule. */
   private def pE9(c12: org.apache.spark.sql.Column,

@@ -1001,7 +1001,55 @@ object TextQueries {
       "FROM c GROUP BY doc_id ORDER BY doc_id"
   }
 
+  // Interpolated Kneser–Ney bigram scoring (r9): the canonical LM
+  // smoothing completing the estimator family — q155 is add-one, q161
+  // is Stupid Backoff (Brants' web-scale approximation OF KN), this is
+  // the real discount+continuation model. D = 3/4 exactly, so every
+  // probability is an exact integer fraction on the common denominator
+  // 4·c(v·)·B; the oracle replays num/den in HUGEINT and `//`.
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.NgramLm
+      .scoreDocsKneserNey(docs.filter(col("doc_id") % 10 =!= 0), docs,
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private def kneserNeyOracle: String =
+    "WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0), " +
+      "bi AS (SELECT bg, string_split(bg, ' ')[1] AS w1, " +
+      "string_split(bg, ' ')[2] AS w2, CAST(count(*) AS BIGINT) AS c12 FROM (" +
+      "SELECT unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) AS bg " +
+      "FROM (SELECT string_split_regex(text, '\\s+') AS l FROM tr)) GROUP BY 1, 2, 3), " +
+      "ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx_v, " +
+      "CAST(COUNT(*) AS BIGINT) AS n1p_v FROM bi GROUP BY 1), " +
+      "cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bi GROUP BY 1), " +
+      "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bi), " +
+      "cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_cont FROM cont), " +
+      "db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, " +
+      "string_split(bg, ' ')[2] AS w2 FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), " +
+      "i -> l[i] || ' ' || l[i+1])) AS bg " +
+      "FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents))), " +
+      "sc AS (SELECT d.doc_id, b.c12, " +
+      "CASE WHEN x.ctx_v IS NOT NULL THEN " +
+      "CAST((CAST(1000000000 AS HUGEINT) * " +
+      "(GREATEST(4 * COALESCE(b.c12, 0) - 3, 0) * t.b_types + " +
+      "3 * x.n1p_v * COALESCE(n.n1p_w, 0))) " +
+      "// (4 * CAST(x.ctx_v AS HUGEINT) * t.b_types) AS BIGINT) " +
+      "ELSE CAST((CAST(1000000000 AS HUGEINT) * (COALESCE(n.n1p_w, 0) + 1)) " +
+      "// (t.b_types + v.v_cont) AS BIGINT) END AS p_e9 " +
+      "FROM db d LEFT JOIN bi b ON b.bg = d.bg LEFT JOIN ctx x ON x.w1 = d.w1 " +
+      "LEFT JOIN cont n ON n.w2 = d.w2 CROSS JOIN tot t CROSS JOIN cv v) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(SUM(p_e9) AS BIGINT) AS sum_p_e9, " +
+      "CAST(SUM(p_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
+      "FROM sc GROUP BY doc_id ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_kneser_ney_lm" -> q173 _,
     "q172_vocab_coverage" -> q172 _,
     "q170_residual_gate" -> q170 _,
     "q169_wordpiece_train" -> q169 _,
@@ -1152,6 +1200,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q173_kneser_ney_lm" -> kneserNeyOracle,
     "q172_vocab_coverage" -> vocabCoverageOracle,
     "q170_residual_gate" -> residualGateOracle,
     "q169_wordpiece_train" -> wordPieceTrainOracle,

@@ -243,4 +243,78 @@ class NgramLmSpec extends SparkSpec {
       .map { case (id, n, oov, s, sc) => id -> ((n, oov, s, sc)) }.toMap
     assert(got === reference(tr, ds))
   }
+
+  // ---- interpolated Kneser-Ney ----
+
+  /** Independent KN reference: exact BigInt rationals on the common
+    * denominator 4·c(v·)·B, D = 3/4, unseen-context fallback
+    * (N1+(·w)+1)/(B+Vc) — plain Scala Maps, no DataFrames. */
+  private def referenceKn(train: Seq[String], docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def toks(t: String) = t.split("\\s+").toSeq
+    def bigrams(t: String) = { val l = toks(t); l.zip(l.drop(1)) }
+    val bi = train.flatMap(bigrams).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    val ctxTot = bi.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val ctxTypes = bi.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val contTypes = bi.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val b = bi.size.toLong
+    val vc = contTypes.size.toLong
+    docs.flatMap { case (id, t) =>
+      val bgs = bigrams(t)
+      if (bgs.isEmpty) None
+      else {
+        val ps = bgs.map { case (v, w) =>
+          val c12 = bi.getOrElse((v, w), 0L)
+          val pe9 = ctxTot.get(v) match {
+            case Some(cv) =>
+              val num = BigInt(math.max(4L * c12 - 3L, 0L)) * b +
+                BigInt(3L) * ctxTypes(v) * BigInt(contTypes.getOrElse(w, 0L))
+              (BigInt(1000000000L) * num / (BigInt(4L) * cv * b)).toLong
+            case None =>
+              (BigInt(1000000000L) * (contTypes.getOrElse(w, 0L) + 1L) /
+                BigInt(b + vc)).toLong
+          }
+          (pe9, c12 == 0L)
+        }
+        val sum = ps.map(_._1).sum
+        Some(id -> ((bgs.size.toLong, ps.count(_._2).toLong, sum, sum / bgs.size)))
+      }
+    }.toMap
+  }
+
+  private def runKn(tr: Seq[String], ds: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long)] =
+    NgramLm.scoreDocsKneserNey(tr.toDF("text"), ds.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, n, oov, s, sc) => id -> ((n, oov, s, sc)) }.toMap
+
+  test("Kneser-Ney matches the independent reference on the crafted corpus") {
+    assert(runKn(train, docs) === referenceKn(train, docs))
+  }
+
+  test("Kneser-Ney matches the reference on a random corpus") {
+    val rnd = new scala.util.Random(173)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def sentence() =
+      Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val tr = Seq.fill(50)(sentence())
+    val ds = (1L to 30L).map(i => i -> sentence())
+    assert(runKn(tr, ds) === referenceKn(tr, ds))
+  }
+
+  test("the continuation count drives unseen-bigram mass (the Francisco effect)") {
+    // 'francisco' is FREQUENT but occurs after a single context;
+    // 'cup' is rarer but follows four distinct contexts. After an
+    // unseen context both bigrams are unseen — KN gives the
+    // diverse-context continuation MORE mass, the reverse of raw
+    // unigram frequency (the discrimination add-one cannot make).
+    val tr = Seq.fill(6)("san francisco") ++
+      Seq("tea cup", "coffee cup", "paper cup", "metal cup")
+    val got = runKn(tr, Seq(1L -> "unseen francisco", 2L -> "unseen cup"))
+    assert(got(1L)._2 === 1L && got(2L)._2 === 1L, "both bigrams must be OOV")
+    assert(got(2L)._4 > got(1L)._4,
+      "4-context 'cup' must out-score 1-context 'francisco' despite 6 raw occurrences")
+  }
 }
