@@ -330,7 +330,31 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Content-defined chunk dedup (r9): the CDC rung of the dedup ladder
+  // — boundaries are a pure function of the local 16-char window's md5
+  // nibble, so an edited document's chunk grid RE-ALIGNS past the edit
+  // and the shared tail dedupes chunk-for-chunk (the rsync/FastCDC
+  // argument; SpanDedup's fixed shingles and SegmentDedup's author
+  // delimiters both lose alignment there). Chunking is row-local and
+  // shuffle-free; the dedup + exact-concatenation rebuild is the
+  // oracle-green SegmentDedup machinery (joinDelim = "").
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val chunked = graft.operators.ContentChunking
+      .withCdcChunks(documents(s, d).select(col("doc_id"), col("text")),
+        "text", "chunks", w = 16)
+      .select(col("doc_id"), col("chunks"))
+      // materialize the md5-per-position chunking ONCE (q167 lesson):
+      // the operator references it from both dedup and rebuild branches
+      .localCheckpoint(true)
+    graft.operators.SegmentDedup
+      .dedupSegmentArray(chunked, "doc_id", "chunks", "")
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_cdc_chunk_dedup" -> q174 _,
     "q171_segment_dedup_incr" -> q171 _,
     "q167_segment_dedup" -> q167 _,
     "q134_setsim_join" -> q134 _,
@@ -641,7 +665,30 @@ object DedupQueries {
       "md5(COALESCE(string_agg(CASE WHEN NOT dead THEN seg END, chr(10) ORDER BY pos), '')) AS clean_md5 " +
       "FROM r GROUP BY doc_id ORDER BY doc_id"
 
+  /** q174 twin: same window-md5 boundary rule (first hex nibble '0' on
+    * the 16-char window ending at i, i in [16, len-1], plus the forced
+    * final end), same chunk slicing, same md5 dedup + ordered rebuild.
+    * DuckDB substr/length are code-point-based like Spark's. */
+  private def cdcChunkDedupOracle: String =
+    "WITH ch AS (SELECT doc_id, text, list_append(" +
+      "CASE WHEN length(text) - 1 >= 16 THEN " +
+      "list_filter(generate_series(16, length(text) - 1), " +
+      "i -> substr(md5(substr(text, CAST(i - 15 AS INTEGER), 16)), 1, 1) = '0') " +
+      "ELSE CAST([] AS BIGINT[]) END, length(text)) AS ends FROM documents), " +
+      "cks AS (SELECT doc_id, k AS pos, " +
+      "substr(text, CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INTEGER), " +
+      "CAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END AS INTEGER)) AS chunk " +
+      "FROM (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM ch)), " +
+      "r AS (SELECT doc_id, pos, chunk, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn " +
+      "FROM cks WHERE chunk <> '') " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+      "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, '' ORDER BY pos), '')) AS clean_md5 " +
+      "FROM r GROUP BY doc_id ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
+    "q174_cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "q171_segment_dedup_incr" -> segmentDedupIncrOracle,
     "q167_segment_dedup" -> segmentDedupOracle,
     "q121_leakage_safe_split" -> leakageSafeSplitOracle,

@@ -5,7 +5,10 @@ Reads the Verify output dir (one parquet dir per query + oracle_sql.json),
 runs each oracle SQL in DuckDB over the same sf tables, and compares:
 schema (column names sorted), row count, and a canonicalized value hash.
 
-Usage: tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: tools/oracle_check.py <sfDir> <verifyOutDir> [only1,only2,...]
+(the optional third arg restricts the check to named queries — the dev
+loop pairs it with SPARK_GRAFT_VERIFY_ONLY so a one-query verify run
+doesn't print 170 missing-file FAILs)
 """
 import sys, os, json, glob, math, hashlib
 import duckdb
@@ -38,7 +41,7 @@ def table_rows(tbl):
     return cols, rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -46,6 +49,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         sql = oracle[name]
         qdir = f"{out_dir}/{name}"
         try:
@@ -74,7 +79,7 @@ def main(sf_dir, out_dir):
     # queries with no oracle → rows-only check
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
-        if name not in oracle:
+        if name not in oracle and (not only or name in only):
             try:
                 t = pq.read_table(qdir)
                 print(f"ROWS {name}: {t.num_rows} rows (no oracle)")
@@ -86,4 +91,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+        set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None))
