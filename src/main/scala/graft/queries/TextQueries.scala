@@ -1048,7 +1048,101 @@ object TextQueries {
       "CAST(SUM(p_e9) // COUNT(*) AS BIGINT) AS score_e9 " +
       "FROM sc GROUP BY doc_id ORDER BY doc_id"
 
+  // Unigram-LM (SentencePiece) tokenizer training (r9): the third
+  // subword family beside q154's BPE and q169's WordPiece — hard-EM
+  // (Viterbi) over a seeded substring vocabulary, selection by the
+  // exact fixed-point log2 cost (IntLog2 — integer shift-and-square,
+  // zero transcendentals). The oracle replays the WHOLE loop: seed
+  // counting, the 16-step ilog2 chain, per-word Viterbi as a
+  // recursive-CTE path enumeration, usage re-estimation, pruning.
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.UnigramLm.train(documents(s, d), "text",
+        m = 4, rounds = 2, seedSize = 80, vocabSize = 40, maxWordLen = 16)
+      .zipWithIndex
+      .map { case ((p, c), i) => (i.toLong, p, c) }
+      .toDF("piece_rank", "piece", "cnt")
+      .orderBy(col("piece_rank"))
+  }
+
+  /** q175 twin — the full hard-EM training loop in SQL. Per round r:
+    * T, the 16-step exact ilog2 chain over distinct counts ∪ T (the
+    * IntLog2 algorithm literally: 32-bit mantissa squaring with the
+    * same truncating renormalization, HUGEINT for the square), costs,
+    * Viterbi as a recursive-CTE enumeration of all piece paths (word
+    * length is capped at 16 and the corpus vocabulary is bounded, so
+    * the path count is small by construction) picked by (cost, np,
+    * seg) — the operator's exact tie ladder, binary VARCHAR compare ==
+    * code-point order — then usage counts and the M-step prune. */
+  private def unigramTrainOracle: String = {
+    val rounds = 2; val m = 4; val seed = 80; val vocab = 40; val maxw = 16
+    val ctes = Seq.newBuilder[String]
+    ctes += ("w AS MATERIALIZED (SELECT u.word AS word FROM (SELECT " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), " +
+      s"x -> x <> '' AND length(x) <= $maxw) AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(word))")
+    ctes += ("wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq " +
+      "FROM w GROUP BY word)")
+    ctes += ("sub AS MATERIALIZED (SELECT substr(t1.word, CAST(t1.s AS INTEGER), " +
+      "CAST(t2.l AS INTEGER)) AS p, t1.freq AS freq " +
+      "FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS s FROM wf) t1, " +
+      s"UNNEST(generate_series(1, least($m, length(t1.word) - t1.s + 1))) AS t2(l))")
+    ctes += "sc AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM sub GROUP BY 1)"
+    ctes += ("v0 AS MATERIALIZED (SELECT p, cnt FROM sc WHERE length(p) = 1 " +
+      "UNION ALL SELECT p, cnt FROM (" +
+      s"SELECT p, cnt FROM sc WHERE length(p) > 1 ORDER BY cnt DESC, p LIMIT $seed))")
+    (0 until rounds).foreach { r =>
+      ctes += s"t$r AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v$r)"
+      ctes += s"lv$r AS MATERIALIZED (SELECT DISTINCT cnt AS x FROM v$r UNION SELECT t FROM t$r)"
+      ctes += (s"g${r}0 AS MATERIALIZED (SELECT x, " +
+        "CAST(length(format('{:b}', x)) - 1 AS BIGINT) AS msb, " +
+        "CASE WHEN length(format('{:b}', x)) - 1 <= 31 " +
+        "THEN CAST(x AS HUGEINT) << (31 - (length(format('{:b}', x)) - 1)) " +
+        "ELSE CAST(x AS HUGEINT) >> ((length(format('{:b}', x)) - 1) - 31) END AS mant, " +
+        s"CAST(0 AS BIGINT) AS frac FROM lv$r)")
+      (1 to 16).foreach { i =>
+        ctes += (s"g$r$i AS MATERIALIZED (SELECT x, msb, " +
+          "CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) THEN (mant*mant) >> 32 " +
+          "ELSE (mant*mant) >> 31 END AS mant, " +
+          "frac + CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) " +
+          s"THEN (CAST(1 AS BIGINT) << ${16 - i}) ELSE 0 END AS frac FROM g$r${i - 1})")
+      }
+      ctes += s"lg$r AS MATERIALIZED (SELECT x, (msb << 16) + frac AS lg FROM g${r}16)"
+      ctes += (s"c$r AS MATERIALIZED (SELECT v.p, " +
+        s"(SELECT lg FROM lg$r WHERE x = (SELECT t FROM t$r)) - l.lg AS cost " +
+        s"FROM v$r v JOIN lg$r l ON l.x = v.cnt)")
+      ctes += (s"dp$r AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, " +
+        "0 AS np, '' AS seg FROM wf " +
+        "UNION ALL " +
+        "SELECT d.word, d.pos + CAST(length(c.p) AS INTEGER), d.cost + c.cost, d.np + 1, " +
+        "CASE WHEN d.seg = '' THEN c.p ELSE d.seg || chr(31) || c.p END " +
+        s"FROM dp$r d JOIN c$r c ON substr(d.word, d.pos + 1, CAST(length(c.p) AS INTEGER)) = c.p " +
+        "WHERE d.pos < length(d.word))")
+      ctes += (s"sg$r AS MATERIALIZED (SELECT word, seg FROM (" +
+        "SELECT word, seg, ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn " +
+        s"FROM dp$r WHERE pos = length(word)) WHERE rn = 1)")
+      ctes += (s"u$r AS MATERIALIZED (SELECT piece AS p, CAST(SUM(freq) AS BIGINT) AS u FROM (" +
+        s"SELECT s.word, u.piece, f.freq FROM sg$r s JOIN wf f ON f.word = s.word, " +
+        "UNNEST(string_split(s.seg, chr(31))) AS u(piece)) GROUP BY 1)")
+      ctes += (s"v${r + 1} AS MATERIALIZED (" +
+        s"SELECT v.p, GREATEST(COALESCE(u.u, 0), 1) AS cnt FROM v$r v " +
+        s"LEFT JOIN u$r u ON u.p = v.p WHERE length(v.p) = 1 " +
+        "UNION ALL " +
+        s"SELECT v.p, u.u AS cnt FROM v$r v JOIN u$r u ON u.p = v.p WHERE length(v.p) > 1)")
+    }
+    ctes += s"ns AS (SELECT COUNT(*) AS n FROM v$rounds WHERE length(p) = 1)"
+    ctes += ("keepm AS (SELECT p, cnt FROM (" +
+      "SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rn " +
+      s"FROM v$rounds WHERE length(p) > 1) WHERE rn <= $vocab - (SELECT n FROM ns))")
+    ctes += (s"fin AS (SELECT p, cnt FROM v$rounds WHERE length(p) = 1 " +
+      "UNION ALL SELECT p, cnt FROM keepm)")
+    "WITH RECURSIVE " + ctes.result().mkString(", ") +
+      " SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, p) - 1 AS BIGINT) AS piece_rank, " +
+      "p AS piece, CAST(cnt AS BIGINT) AS cnt FROM fin ORDER BY piece_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_unigram_train" -> q175 _,
     "q173_kneser_ney_lm" -> q173 _,
     "q172_vocab_coverage" -> q172 _,
     "q170_residual_gate" -> q170 _,
@@ -1200,6 +1294,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q175_unigram_train" -> unigramTrainOracle,
     "q173_kneser_ney_lm" -> kneserNeyOracle,
     "q172_vocab_coverage" -> vocabCoverageOracle,
     "q170_residual_gate" -> residualGateOracle,
