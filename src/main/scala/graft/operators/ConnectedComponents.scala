@@ -90,6 +90,51 @@ object ConnectedComponents {
     (labels, converged, round)
   }
 
+  /** Incremental maintenance — the daily-crawl shape (the q171/q129
+    * precedent applied to the near-dup graph): a warehouse holds the
+    * accumulated labeling `(id, component)`; a new batch contributes
+    * edges and nodes. New edges can only MERGE components, and the prior
+    * labeling is a certificate of connectivity, so the batch graph
+    * CONTRACTS: each new edge maps its endpoints to their prior
+    * components (new nodes to themselves), self-loops vanish, and the
+    * component-merge CC runs on a graph bounded by the BATCH edge count
+    * — never the warehouse. The final labeling is one join of the
+    * warehouse against the (batch-bounded) relabel table; untouched
+    * components pass through unchanged. Labels stay canonical (min node
+    * id): contracted node ids ARE their components' min ids, so the
+    * contracted minimum is the merged set's global minimum.
+    *
+    * A node appearing in both the warehouse and `newNodes` (re-ingest)
+    * keeps its warehouse label (component ≤ id always, so the min
+    * aggregate is exact, not a tie-break). Edge endpoints must appear in
+    * the warehouse or `newNodes` — unknown endpoints drop with the inner
+    * join, the [[minLabel]] contract.
+    *
+    * Equivalence contract: incremental(CC(old), batch) ≡ CC(old ∪ batch)
+    * — oracle-gated end to end by q176 (Spark answers incrementally,
+    * DuckDB rebuilds the FULL closure from scratch). */
+  def incrementalMinLabel(labels: DataFrame, newEdges: DataFrame,
+                          newNodes: DataFrame,
+                          diameterBudget: Int = 15): DataFrame = {
+    val base = labels.select(col("id"), col("component"))
+      .unionByName(newNodes.select(col("id"), col("id").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("comp0"))
+    // contracted merge graph — bounded by the batch, reused across the
+    // CC iterations (and its upstream, e.g. an LSH pipeline, runs once)
+    val contracted = newEdges
+      .join(base.select(col("id").as("src"), col("comp0").as("csrc")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("comp0").as("cdst")), Seq("dst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val touched = contracted.select(col("src").as("id"))
+      .union(contracted.select(col("dst").as("id"))).distinct()
+    val relabel = auto(contracted, touched, diameterBudget)
+      .select(col("id").as("comp0"), col("component").as("comp1"))
+    base.join(relabel, Seq("comp0"), "left")
+      .select(col("id"), coalesce(col("comp1"), col("comp0")).as("component"))
+  }
+
   /** Large-star/small-star alternation (Kiveris et al. SoCC'14 Alg. 5):
     * maintains a smaller-endpoint-oriented edge set; each round hangs
     * every node off the minimum of its (half-)neighborhood. Converges in

@@ -353,7 +353,38 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Incremental connected components (r9): the daily-crawl shape for
+  // the NEAR-DUP GRAPH — docs with doc_id % 5 == 0 play the incoming
+  // batch; the warehouse holds the accumulated (id, component)
+  // labeling of the rest. The batch's LSH pairs contract onto prior
+  // component labels, CC runs on that batch-bounded merge graph, and
+  // one relabel join updates the warehouse — work independent of
+  // warehouse size. The oracle rebuilds the FULL recursive closure
+  // from scratch (the q129/q171 contract): incremental ≡ batch,
+  // hash-identical to q69's shape.
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minHashLshPortable(documents(s, d), "doc_id", "text",
+        numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // both splits filter this relation — the LSH chain must run once
+      .localCheckpoint(true)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    val docs = documents(s, d)
+    val warehouse = graft.operators.ConnectedComponents.auto(
+      pairs.filter(!isNew(col("src")) && !isNew(col("dst"))),
+      docs.filter(!isNew(col("doc_id"))).select(col("doc_id").as("id")))
+    val full = graft.operators.ConnectedComponents.incrementalMinLabel(
+      warehouse,
+      pairs.filter(isNew(col("src")) || isNew(col("dst"))),
+      docs.filter(isNew(col("doc_id"))).select(col("doc_id").as("id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    full.select(col("id").as("doc_id"), col("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_components_incr" -> q176 _,
     "q174_cdc_chunk_dedup" -> q174 _,
     "q171_segment_dedup_incr" -> q171 _,
     "q167_segment_dedup" -> q167 _,
@@ -688,6 +719,9 @@ object DedupQueries {
       "FROM r GROUP BY doc_id ORDER BY doc_id"
 
   val oracle: Map[String, String] = Map(
+    // q176: the incremental path must answer exactly what a from-scratch
+    // closure over ALL pairs answers — the q69 oracle verbatim
+    "q176_components_incr" -> nearDupComponentsOracle,
     "q174_cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "q171_segment_dedup_incr" -> segmentDedupIncrOracle,
     "q167_segment_dedup" -> segmentDedupOracle,

@@ -77,4 +77,65 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  // ---- incremental maintenance ----
+
+  private def fullCC(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    ConnectedComponents.auto(edges.toDF("src", "dst"), nodes.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+
+  private def incr(oldEdges: Seq[(Long, Long)], oldNodes: Seq[Long],
+                   newEdges: Seq[(Long, Long)], newNodes: Seq[Long]): Map[Long, Long] = {
+    val warehouse = ConnectedComponents.auto(
+      oldEdges.toDF("src", "dst"), oldNodes.toDF("id"))
+    ConnectedComponents.incrementalMinLabel(
+        warehouse, newEdges.toDF("src", "dst"), newNodes.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("incremental: bridge edge merges two warehouse components; new chain attaches") {
+    // warehouse: {1,2} and {10,11}, isolated 20; batch: bridge 2-10,
+    // new node 30 chained to 20, brand-new pair {40,41}
+    val got = incr(
+      oldEdges = Seq((1L, 2L), (10L, 11L)), oldNodes = Seq(1L, 2L, 10L, 11L, 20L),
+      newEdges = Seq((2L, 10L), (30L, 20L), (40L, 41L)),
+      newNodes = Seq(30L, 40L, 41L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 30L -> 20L, 40L -> 40L, 41L -> 40L))
+  }
+
+  test("incremental: no new edges leaves the warehouse labeling unchanged") {
+    val old = fullCC(Seq((1L, 2L), (3L, 4L)), Seq(1L, 2L, 3L, 4L))
+    val got = incr(Seq((1L, 2L), (3L, 4L)), Seq(1L, 2L, 3L, 4L),
+      Seq.empty, Seq(9L))
+    assert(got === old + (9L -> 9L))
+  }
+
+  test("incremental: empty warehouse is plain CC") {
+    val edges = Seq((5L, 6L), (6L, 7L))
+    val got = incr(Seq.empty, Seq.empty, edges, Seq(5L, 6L, 7L, 8L))
+    assert(got === fullCC(edges, Seq(5L, 6L, 7L, 8L)))
+  }
+
+  test("incremental: re-ingested node keeps its warehouse label") {
+    val got = incr(Seq((1L, 2L)), Seq(1L, 2L),
+      newEdges = Seq.empty, newNodes = Seq(2L))
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("incremental equals from-scratch CC at random splits of random graphs") {
+    val rnd = new scala.util.Random(176)
+    (1 to 5).foreach { trial =>
+      val n = 40
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val cut = 10 + rnd.nextInt(20)
+      val oldNodes = nodes.filter(_ < cut)
+      val newNodes = nodes.filter(_ >= cut)
+      val (oldE, newE) = edges.partition { case (a, b) => a < cut && b < cut }
+      val got = incr(oldE, oldNodes, newE, newNodes)
+      assert(got === fullCC(edges, nodes), s"trial $trial cut $cut")
+    }
+  }
 }
