@@ -210,6 +210,47 @@ object UnigramLm {
     (singles ++ top).toMap
   }
 
+  /** Viterbi encoding of a corpus under a trained vocabulary — the
+    * apply side of the train/apply loop (the q148 shape for the unigram
+    * family). Fully row-local: the (vocabulary-bounded) cost table
+    * broadcasts, each document's words segment where the document
+    * lives, zero shuffle, one stat row per document.
+    *
+    * Words longer than `maxWordLen` code points are counted
+    * (`n_long_words`) and skipped — the training cap's apply-side
+    * mirror and the oracle's enumeration bound; a word containing a
+    * code point the vocabulary cannot cover counts as `n_unk_words`
+    * (zero on the training corpus by the single-cp coverage
+    * invariant). */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  vocab: Seq[(String, Long)], m: Int,
+                  maxWordLen: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = IntLog2.ilog2e16(vocab.iterator.map(_._2).sum)
+    val costs = vocab.map { case (p, c) => p -> (t - IntLog2.ilog2e16(c)) }.toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    val mm = m
+    val cap = maxWordLen
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var nw = 0L; var np = 0L; var nc = 0L; var nl = 0L; var nu = 0L
+        Option(text).getOrElse("").split("\\s+").iterator
+          .filter(_.nonEmpty).foreach { w =>
+            val len = w.codePointCount(0, w.length)
+            if (len > cap) nl += 1
+            else try {
+              val ps = viterbi(w, bc.value, mm)
+              nw += 1; np += ps.size; nc += len
+            } catch { case _: IllegalArgumentException => nu += 1 }
+          }
+        (id, nw, np, nc, nl, nu)
+      }
+      .toDF(idCol, "n_words", "n_pieces", "n_chars",
+        "n_long_words", "n_unk_words")
+  }
+
   private def usageLocal(hist: Array[(String, Long)])
       : Map[String, Long] => Map[String, Long] = costs => {
     val mFromCosts = costs.keysIterator.map(cpLen).max

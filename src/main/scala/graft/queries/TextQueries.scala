@@ -1074,7 +1074,51 @@ object TextQueries {
     * the path count is small by construction) picked by (cost, np,
     * seg) — the operator's exact tie ladder, binary VARCHAR compare ==
     * code-point order — then usage counts and the M-step prune. */
-  private def unigramTrainOracle: String = {
+  /** Cost + Viterbi machinery over the vocabulary CTE `vcte`, names
+    * suffixed by `tag`: the scalar T, the 16-step exact ilog2 chain
+    * (the IntLog2 algorithm literally — 32-bit mantissa squaring with
+    * the same truncating renormalization, HUGEINT for the square),
+    * costs, the recursive-CTE path enumeration, and the best
+    * segmentation per word picked by the operator's exact (cost, np,
+    * seg) tie ladder (binary VARCHAR compare == code-point order).
+    * Shared by q175's per-round blocks and q177's final-vocab encode. */
+  private def unigramScoreCtes(tag: String, vcte: String): Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"t$tag AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM $vcte)"
+    ctes += s"lv$tag AS MATERIALIZED (SELECT DISTINCT cnt AS x FROM $vcte UNION SELECT t FROM t$tag)"
+    ctes += (s"g${tag}0 AS MATERIALIZED (SELECT x, " +
+      "CAST(length(format('{:b}', x)) - 1 AS BIGINT) AS msb, " +
+      "CASE WHEN length(format('{:b}', x)) - 1 <= 31 " +
+      "THEN CAST(x AS HUGEINT) << (31 - (length(format('{:b}', x)) - 1)) " +
+      "ELSE CAST(x AS HUGEINT) >> ((length(format('{:b}', x)) - 1) - 31) END AS mant, " +
+      s"CAST(0 AS BIGINT) AS frac FROM lv$tag)")
+    (1 to 16).foreach { i =>
+      ctes += (s"g$tag$i AS MATERIALIZED (SELECT x, msb, " +
+        "CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) THEN (mant*mant) >> 32 " +
+        "ELSE (mant*mant) >> 31 END AS mant, " +
+        "frac + CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) " +
+        s"THEN (CAST(1 AS BIGINT) << ${16 - i}) ELSE 0 END AS frac FROM g$tag${i - 1})")
+    }
+    ctes += s"lg$tag AS MATERIALIZED (SELECT x, (msb << 16) + frac AS lg FROM g${tag}16)"
+    ctes += (s"c$tag AS MATERIALIZED (SELECT v.p, " +
+      s"(SELECT lg FROM lg$tag WHERE x = (SELECT t FROM t$tag)) - l.lg AS cost " +
+      s"FROM $vcte v JOIN lg$tag l ON l.x = v.cnt)")
+    ctes += (s"dp$tag AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, " +
+      "0 AS np, '' AS seg FROM wf " +
+      "UNION ALL " +
+      "SELECT d.word, d.pos + CAST(length(c.p) AS INTEGER), d.cost + c.cost, d.np + 1, " +
+      "CASE WHEN d.seg = '' THEN c.p ELSE d.seg || chr(31) || c.p END " +
+      s"FROM dp$tag d JOIN c$tag c ON substr(d.word, d.pos + 1, CAST(length(c.p) AS INTEGER)) = c.p " +
+      "WHERE d.pos < length(d.word))")
+    ctes += (s"sg$tag AS MATERIALIZED (SELECT word, seg FROM (" +
+      "SELECT word, seg, ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn " +
+      s"FROM dp$tag WHERE pos = length(word)) WHERE rn = 1)")
+    ctes.result()
+  }
+
+  /** The q175 training chain through `fin` (the pruned final
+    * vocabulary) — q177 appends one more score block over it. */
+  private def unigramTrainCtes: Seq[String] = {
     val rounds = 2; val m = 4; val seed = 80; val vocab = 40; val maxw = 16
     val ctes = Seq.newBuilder[String]
     ctes += ("w AS MATERIALIZED (SELECT u.word AS word FROM (SELECT " +
@@ -1092,35 +1136,7 @@ object TextQueries {
       "UNION ALL SELECT p, cnt FROM (" +
       s"SELECT p, cnt FROM sc WHERE length(p) > 1 ORDER BY cnt DESC, p LIMIT $seed))")
     (0 until rounds).foreach { r =>
-      ctes += s"t$r AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v$r)"
-      ctes += s"lv$r AS MATERIALIZED (SELECT DISTINCT cnt AS x FROM v$r UNION SELECT t FROM t$r)"
-      ctes += (s"g${r}0 AS MATERIALIZED (SELECT x, " +
-        "CAST(length(format('{:b}', x)) - 1 AS BIGINT) AS msb, " +
-        "CASE WHEN length(format('{:b}', x)) - 1 <= 31 " +
-        "THEN CAST(x AS HUGEINT) << (31 - (length(format('{:b}', x)) - 1)) " +
-        "ELSE CAST(x AS HUGEINT) >> ((length(format('{:b}', x)) - 1) - 31) END AS mant, " +
-        s"CAST(0 AS BIGINT) AS frac FROM lv$r)")
-      (1 to 16).foreach { i =>
-        ctes += (s"g$r$i AS MATERIALIZED (SELECT x, msb, " +
-          "CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) THEN (mant*mant) >> 32 " +
-          "ELSE (mant*mant) >> 31 END AS mant, " +
-          "frac + CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) " +
-          s"THEN (CAST(1 AS BIGINT) << ${16 - i}) ELSE 0 END AS frac FROM g$r${i - 1})")
-      }
-      ctes += s"lg$r AS MATERIALIZED (SELECT x, (msb << 16) + frac AS lg FROM g${r}16)"
-      ctes += (s"c$r AS MATERIALIZED (SELECT v.p, " +
-        s"(SELECT lg FROM lg$r WHERE x = (SELECT t FROM t$r)) - l.lg AS cost " +
-        s"FROM v$r v JOIN lg$r l ON l.x = v.cnt)")
-      ctes += (s"dp$r AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, " +
-        "0 AS np, '' AS seg FROM wf " +
-        "UNION ALL " +
-        "SELECT d.word, d.pos + CAST(length(c.p) AS INTEGER), d.cost + c.cost, d.np + 1, " +
-        "CASE WHEN d.seg = '' THEN c.p ELSE d.seg || chr(31) || c.p END " +
-        s"FROM dp$r d JOIN c$r c ON substr(d.word, d.pos + 1, CAST(length(c.p) AS INTEGER)) = c.p " +
-        "WHERE d.pos < length(d.word))")
-      ctes += (s"sg$r AS MATERIALIZED (SELECT word, seg FROM (" +
-        "SELECT word, seg, ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn " +
-        s"FROM dp$r WHERE pos = length(word)) WHERE rn = 1)")
+      ctes ++= unigramScoreCtes(r.toString, s"v$r")
       ctes += (s"u$r AS MATERIALIZED (SELECT piece AS p, CAST(SUM(freq) AS BIGINT) AS u FROM (" +
         s"SELECT s.word, u.piece, f.freq FROM sg$r s JOIN wf f ON f.word = s.word, " +
         "UNNEST(string_split(s.seg, chr(31))) AS u(piece)) GROUP BY 1)")
@@ -1136,12 +1152,59 @@ object TextQueries {
       s"FROM v$rounds WHERE length(p) > 1) WHERE rn <= $vocab - (SELECT n FROM ns))")
     ctes += (s"fin AS (SELECT p, cnt FROM v$rounds WHERE length(p) = 1 " +
       "UNION ALL SELECT p, cnt FROM keepm)")
-    "WITH RECURSIVE " + ctes.result().mkString(", ") +
+    ctes.result()
+  }
+
+  private def unigramTrainOracle: String =
+    "WITH RECURSIVE " + unigramTrainCtes.mkString(", ") +
       " SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, p) - 1 AS BIGINT) AS piece_rank, " +
       "p AS piece, CAST(cnt AS BIGINT) AS cnt FROM fin ORDER BY piece_rank"
+
+  /** q177 twin: the q175 chain + one more score block over the pruned
+    * final vocabulary, then every corpus word (with multiplicity) joins
+    * its best segmentation and rolls up per document. Long words (> 16
+    * cp — never in `wf`) are counted, not encoded; a word without a
+    * complete path would surface as n_unk_words (zero here by the
+    * single-cp coverage invariant, but the rule is defined on both
+    * sides). */
+  private def unigramEncodeOracle: String = {
+    val ctes = unigramTrainCtes ++ unigramScoreCtes("f", "fin") ++ Seq(
+      "dw AS (SELECT t.doc_id, u.word AS word FROM (SELECT doc_id, " +
+        "string_split_regex(COALESCE(text, ''), '\\s+') AS ws FROM documents) t, " +
+        "UNNEST(t.ws) AS u(word) WHERE u.word <> '')",
+      "ag AS (SELECT d.doc_id, " +
+        "CAST(SUM(CASE WHEN length(d.word) <= 16 AND s.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_words, " +
+        "CAST(COALESCE(SUM(CASE WHEN length(d.word) <= 16 AND s.seg IS NOT NULL " +
+        "THEN len(string_split(s.seg, chr(31))) END), 0) AS BIGINT) AS n_pieces, " +
+        "CAST(COALESCE(SUM(CASE WHEN length(d.word) <= 16 AND s.seg IS NOT NULL " +
+        "THEN length(d.word) END), 0) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(CASE WHEN length(d.word) > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_words, " +
+        "CAST(SUM(CASE WHEN length(d.word) <= 16 AND s.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words " +
+        "FROM dw d LEFT JOIN sgf s ON s.word = d.word GROUP BY 1)")
+    "WITH RECURSIVE " + ctes.mkString(", ") +
+      " SELECT d0.doc_id, COALESCE(a.n_words, 0) AS n_words, " +
+      "COALESCE(a.n_pieces, 0) AS n_pieces, COALESCE(a.n_chars, 0) AS n_chars, " +
+      "COALESCE(a.n_long_words, 0) AS n_long_words, " +
+      "COALESCE(a.n_unk_words, 0) AS n_unk_words " +
+      "FROM documents d0 LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"
+  }
+
+  // Unigram encoding stats (r9): the apply side of q175's trainer —
+  // the trained vocabulary broadcasts and every document Viterbi
+  // -segments where it lives (zero shuffle, one stat row per doc; the
+  // q148 shape for the unigram family). The oracle replays train AND
+  // encode end to end.
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val vocab = graft.functions.UnigramLm.train(docs, "text",
+      m = 4, rounds = 2, seedSize = 80, vocabSize = 40, maxWordLen = 16)
+    graft.functions.UnigramLm
+      .encodeStats(docs, "doc_id", "text", vocab, m = 4, maxWordLen = 16)
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_unigram_encode" -> q177 _,
     "q175_unigram_train" -> q175 _,
     "q173_kneser_ney_lm" -> q173 _,
     "q172_vocab_coverage" -> q172 _,
@@ -1294,6 +1357,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q177_unigram_encode" -> unigramEncodeOracle,
     "q175_unigram_train" -> unigramTrainOracle,
     "q173_kneser_ney_lm" -> kneserNeyOracle,
     "q172_vocab_coverage" -> vocabCoverageOracle,

@@ -159,6 +159,36 @@ class UnigramLmSpec extends SparkSpec {
       s"expected an 'ab*' piece in $vocab")
   }
 
+  test("encodeStats matches a brute-force per-doc encode under the trained vocab") {
+    val docs = crafted.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((99L, "supercalifragilisticexpialidocious tiny"), (100L, ""))
+    val vocab = UnigramLm.train(crafted.toDF("text"), "text",
+      m = 4, rounds = 2, seedSize = 30, vocabSize = 20)
+    val t = IntLog2.ilog2e16(vocab.map(_._2).sum)
+    val costs = vocab.map { case (p, c) => p -> (t - IntLog2.ilog2e16(c)) }.toMap
+    val want = docs.map { case (id, text) =>
+      var nw = 0L; var np = 0L; var nc = 0L; var nl = 0L; var nu = 0L
+      text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val len = w.codePointCount(0, w.length)
+        if (len > 16) nl += 1
+        else bruteBest(w, costs, 4) match {
+          case Some(ps) => nw += 1; np += ps.size; nc += len
+          case None => nu += 1
+        }
+      }
+      id -> ((nw, np, nc, nl, nu))
+    }.toMap
+    val got = UnigramLm.encodeStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", vocab, m = 4, maxWordLen = 16)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, dd, e) => id -> ((a, b, c, dd, e)) }.toMap
+    assert(got === want)
+    assert(want(99L)._4 === 1L, "the 34-char word must count as long")
+    // doc 99's 'tiny' has chars outside the crafted training corpus ->
+    // uncoverable -> unk... unless covered; assert via the reference
+    assert(got(99L) === want(99L))
+  }
+
   test("vocabSize bounds the multi-cp pieces kept (singles exempt)") {
     val corpus = Seq("abcdefgh abcd efgh abcdefgh")
     val vocab = UnigramLm.train(corpus.toDF("text"), "text",
