@@ -234,18 +234,28 @@ object UnigramLm {
     val cap = maxWordLen
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        var nw = 0L; var np = 0L; var nc = 0L; var nl = 0L; var nu = 0L
-        Option(text).getOrElse("").split("\\s+").iterator
-          .filter(_.nonEmpty).foreach { w =>
-            val len = w.codePointCount(0, w.length)
-            if (len > cap) nl += 1
-            else try {
-              val ps = viterbi(w, bc.value, mm)
-              nw += 1; np += ps.size; nc += len
-            } catch { case _: IllegalArgumentException => nu += 1 }
-          }
-        (id, nw, np, nc, nl, nu)
+      .mapPartitions { rows =>
+        // per-partition word memo: Zipfian corpora repeat words heavily,
+        // so the DP runs ~once per distinct word per partition (the
+        // Brants distinct-gram factoring, kept zero-shuffle)
+        val memo = scala.collection.mutable.HashMap.empty[String, (Int, Int)]
+        rows.map { case (id, text) =>
+          var nw = 0L; var np = 0L; var nc = 0L; var nl = 0L; var nu = 0L
+          Option(text).getOrElse("").split("\\s+").iterator
+            .filter(_.nonEmpty).foreach { w =>
+              val len = w.codePointCount(0, w.length)
+              if (len > cap) nl += 1
+              else {
+                // np > 0: encodable with np pieces; np == -1: unk
+                val (pieces, wl) = memo.getOrElseUpdate(w,
+                  try { (viterbi(w, bc.value, mm).size, len) }
+                  catch { case _: IllegalArgumentException => (-1, len) })
+                if (pieces >= 0) { nw += 1; np += pieces; nc += wl }
+                else nu += 1
+              }
+            }
+          (id, nw, np, nc, nl, nu)
+        }
       }
       .toDF(idCol, "n_words", "n_pieces", "n_chars",
         "n_long_words", "n_unk_words")

@@ -290,10 +290,11 @@ object NgramLm {
   }
 
   private val registry = new CacheRegistry
+  private val knRegistry = new CacheRegistry
 
   /** Release the retained scored rollup (idempotent; results stay
     * correct afterwards — lineage recomputes). */
-  def releaseCaches(): Unit = registry.release()
+  def releaseCaches(): Unit = { registry.release(); knRegistry.release() }
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * interpolated form of Chen & Goodman 1999 §2.7) — the smoothing the
@@ -340,12 +341,20 @@ object NgramLm {
     * positions scored entirely by the interpolation mass). */
   def scoreDocsKneserNey(train: DataFrame, docs: DataFrame,
                          idCol: String, textCol: String): DataFrame = {
-    val bi = train
+    // The bigram count relation feeds FIVE consumers (ctx, cont, B, Vc,
+    // and the scoring join) whose pruned projections canonicalize
+    // differently — without retention each one re-scans and re-explodes
+    // the train corpus (plan-audited r9: 7 parquet scans, 0
+    // ReusedExchange; 1.49 s -> see BASELINE r9). One-slot registry
+    // (NOT the backoff rollup's slot — KN gets its own, so a
+    // q161-family call cannot evict a warm KN model mid-plan), lazy,
+    // vocabulary-bounded.
+    val bi = knRegistry.retainAll(Seq(train
       .select(explode(call_function("graft_shingles", col(textCol), lit(2)))
         .as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .withColumn("w2", split(col("bg"), " ").getItem(1)))).head
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("c12")).as("ctx_v"), count(lit(1)).as("n1p_v"))
     val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w"))
