@@ -39,12 +39,30 @@ import org.apache.spark.sql.functions._
 object ContentChunking {
 
   /** Adds `outCol` (array&lt;string&gt; of content-defined chunks) to
-    * `docs`. The boundary array is materialized as its own projection
-    * column so the md5-per-position pass runs ONCE per row (the q31/q167
-    * CollapseProject convention: the chunk transform references it once
-    * per element and CSE cannot dedupe interpreted HOF chains). */
+    * `docs` via the codegen'd [[graft.plans.GraftCdcChunks]] kernel —
+    * one byte walk, windows digested in place from the UTF-8 buffer,
+    * zero-copy chunk slices (the interpreted HOF twin pays a lambda +
+    * hex-string md5 + substring per POSITION; A-B-A measured 2.8× at
+    * sf0.1 — BASELINE.md round-10 post-closing). Requires graft
+    * functions on the session
+    * (GraftExtensions.ensure — every SparkEntry query does this). */
   def withCdcChunks(docs: DataFrame, textCol: String, outCol: String,
                     w: Int = 16): DataFrame = {
+    require(w >= 1, s"window width $w < 1")
+    docs.withColumn(outCol,
+      call_function("graft_cdc_chunks", col(textCol), lit(w)))
+  }
+
+  /** The declarative HOF twin of [[withCdcChunks]] — same rule through
+    * Spark's own `filter`/`transform`/`md5`/`substr`, kept as the
+    * independent in-engine replica ContentChunkingSpec pins the kernel
+    * against (the GraftWinnow/GraftMinHash kernel-twin convention).
+    * The boundary array is materialized as its own projection column so
+    * the md5-per-position pass runs ONCE per row (the q31/q167
+    * CollapseProject convention: the chunk transform references it once
+    * per element and CSE cannot dedupe interpreted HOF chains). */
+  def withCdcChunksHof(docs: DataFrame, textCol: String, outCol: String,
+                       w: Int = 16): DataFrame = {
     require(w >= 1, s"window width $w < 1")
     require(textCol != "__cdc_ends" && outCol != "__cdc_ends",
       "'__cdc_ends' is reserved by withCdcChunks")

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKEntry)
     ext.injectFunction(GraftExtensions.freqStatsEntry)
     ext.injectFunction(GraftExtensions.blocklistEntry)
+    ext.injectFunction(GraftExtensions.cdcChunksEntry)
   }
 }
 
@@ -104,6 +105,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "graft_repetition(text) takes one argument")
       GraftRepetition(children.head): Expression
+    })
+
+
+  private[graft] val cdcChunksEntry = (
+    new FunctionIdentifier("graft_cdc_chunks"),
+    new ExpressionInfo(classOf[GraftCdcChunks].getName, "graft_cdc_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cdc_chunks(text, w) takes two arguments")
+      GraftCdcChunks(children(0), children(1)): Expression
     })
 
   private[graft] val shinglesEntry = (
@@ -260,7 +270,8 @@ object GraftExtensions {
       tokensEntry, shingleHashesEntry, jsonLongEntry,
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
-      tsNanosEntry, topKEntry, freqStatsEntry, blocklistEntry).foreach { e =>
+      tsNanosEntry, topKEntry, freqStatsEntry, blocklistEntry,
+      cdcChunksEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

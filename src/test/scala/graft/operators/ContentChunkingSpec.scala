@@ -43,6 +43,26 @@ class ContentChunkingSpec extends SparkSpec {
       .select(col("doc_id"), col("chunks"))
       .as[(Long, Seq[String])].collect().toMap
 
+  private def runHof(docs: Seq[(Long, String)], w: Int): Map[Long, Seq[String]] =
+    ContentChunking
+      .withCdcChunksHof(docs.toDF("doc_id", "text"), "text", "chunks", w)
+      .select(col("doc_id"), col("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+
+  test("kernel equals the declarative HOF twin (crafted + random + unicode)") {
+    val rnd = new scala.util.Random(99)
+    // code-point alphabet (indexing a raw string would split the
+    // emoji's surrogate pair into invalid lone surrogates)
+    val alpha = Vector("a", "b", "c", "d", "e", "f", " ", "😀", "\n", "é")
+    val docs = Seq(1L -> "", 2L -> "tiny", 3L -> ("abcdefgh" * 12)) ++
+      (10L to 40L).map { i =>
+        i -> Seq.fill(rnd.nextInt(150))(alpha(rnd.nextInt(alpha.length))).mkString
+      }
+    Seq(1, 8, 16).foreach { w =>
+      assert(run(docs, w) === runHof(docs, w), s"w=$w")
+    }
+  }
+
   private val w = 8
 
   test("chunks partition the text exactly (concatenation identity)") {
