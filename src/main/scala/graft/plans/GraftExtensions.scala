@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.freqStatsEntry)
     ext.injectFunction(GraftExtensions.blocklistEntry)
     ext.injectFunction(GraftExtensions.cdcChunksEntry)
+    ext.injectFunction(GraftExtensions.ilog2Entry)
+    ext.injectFunction(GraftExtensions.charEntropyEntry)
   }
 }
 
@@ -107,6 +109,22 @@ object GraftExtensions {
       GraftRepetition(children.head): Expression
     })
 
+
+  private[graft] val ilog2Entry = (
+    new FunctionIdentifier("graft_ilog2_e16"),
+    new ExpressionInfo(classOf[GraftIlog2].getName, "graft_ilog2_e16"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_ilog2_e16(x) takes one argument")
+      GraftIlog2(children.head): Expression
+    })
+
+  private[graft] val charEntropyEntry = (
+    new FunctionIdentifier("graft_char_entropy"),
+    new ExpressionInfo(classOf[GraftCharEntropy].getName, "graft_char_entropy"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_char_entropy(text) takes one argument")
+      GraftCharEntropy(children.head): Expression
+    })
 
   private[graft] val cdcChunksEntry = (
     new FunctionIdentifier("graft_cdc_chunks"),
@@ -271,7 +289,7 @@ object GraftExtensions {
       keywordCountsEntry, argmaxCosineEntry, bloomAggEntry,
       bloomContainsEntry, cmsEstimateEntry, argminL2Entry,
       tsNanosEntry, topKEntry, freqStatsEntry, blocklistEntry,
-      cdcChunksEntry).foreach { e =>
+      cdcChunksEntry, ilog2Entry, charEntropyEntry).foreach { e =>
       if (!reg.functionExists(e._1)) {
         reg.registerFunction(e._1, e._2, e._3)
       }

@@ -1203,7 +1203,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Per-source KL divergence matrix (r9): the mixture-design domain
+  // -shift diagnostic — add-one smoothed unigram distributions over the
+  // global vocabulary, every log2 the exact fixed-point ilog2 chain
+  // (graft_ilog2_e16 — the q175 cost scale exposed as a column), the
+  // pairwise sum factored so the only per-pair work is the shared-word
+  // inner join (see SourceDivergence scaladoc for the algebra).
+  private def q179(s: SparkSession, d: String): DataFrame =
+    graft.operators.SourceDivergence
+      .klMatrix(documents(s, d), "source", "text")
+      .orderBy(col("source_a"), col("source_b"))
+
+  // Character-entropy quality gate (r9): the repetitive-garbage filter
+  // (Gopher/C4 family) as exact integers — per-doc code-point histogram
+  // + n·lg(n) − Σ c·lg(c) in ONE row-local kernel pass (zero shuffle;
+  // the declarative twin shuffles a row per CHARACTER), entropy in
+  // bits·1e9 by one integral division.
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val m = col("__m")
+    documents(s, d)
+      .withColumn("__m", call_function("graft_char_entropy", col("text")))
+      .select(col("doc_id"),
+        m.getItem(0).as("n_cp"),
+        m.getItem(1).as("n_distinct"),
+        expr("CAST((cast(1000000000 as decimal(38,0)) * __m[2]) div " +
+          "(greatest(__m[0], 1L) * 65536L) AS BIGINT)").as("ent_e9"))
+      .withColumn("low_entropy", col("ent_e9") < 3900000000L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_char_entropy" -> q180 _,
+    "q179_source_kl" -> q179 _,
     "q177_unigram_encode" -> q177 _,
     "q175_unigram_train" -> q175 _,
     "q173_kneser_ney_lm" -> q173 _,
@@ -1356,7 +1387,103 @@ object TextQueries {
       "FROM bpe WHERE done GROUP BY doc_id) "
   }
 
+  /** The bare 16-step exact ilog2 chain (the IntLog2 algorithm
+    * literally — 32-bit mantissa squaring with the same truncating
+    * renormalization, HUGEINT for the square) over a caller-supplied
+    * CTE `lv<tag>` of distinct positive BIGINTs `x`, ending in
+    * `lg<tag>(x, lg)`. The same blocks `unigramScoreCtes` inlines;
+    * factored bare for the q179/q180 information-measure oracles. */
+  private def ilog2ChainCtes(tag: String): Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes += (s"g${tag}0 AS MATERIALIZED (SELECT x, " +
+      "CAST(length(format('{:b}', x)) - 1 AS BIGINT) AS msb, " +
+      "CASE WHEN length(format('{:b}', x)) - 1 <= 31 " +
+      "THEN CAST(x AS HUGEINT) << (31 - (length(format('{:b}', x)) - 1)) " +
+      "ELSE CAST(x AS HUGEINT) >> ((length(format('{:b}', x)) - 1) - 31) END AS mant, " +
+      s"CAST(0 AS BIGINT) AS frac FROM lv$tag)")
+    (1 to 16).foreach { i =>
+      ctes += (s"g$tag$i AS MATERIALIZED (SELECT x, msb, " +
+        "CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) THEN (mant*mant) >> 32 " +
+        "ELSE (mant*mant) >> 31 END AS mant, " +
+        "frac + CASE WHEN mant*mant >= (CAST(1 AS HUGEINT) << 63) " +
+        s"THEN (CAST(1 AS BIGINT) << ${16 - i}) ELSE 0 END AS frac FROM g$tag${i - 1})")
+    }
+    ctes += s"lg$tag AS MATERIALIZED (SELECT x, (msb << 16) + frac AS lg FROM g${tag}16)"
+    ctes.result()
+  }
+
+  /** q179 twin: same counts, same factored algebra (A_a − B_b − J_ab −
+    * K_ab·(N_a+|V|)), same ilog2 chain over the distinct (c+1) values ∪
+    * the per-source smoothing denominators, HUGEINT sums, the identical
+    * GREATEST(·,0) noise clamp and `//` of non-negatives. */
+  private def sourceKlOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("tok AS (SELECT source AS src, u.w AS w FROM (SELECT source, " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(w))")
+    ctes += ("cnt AS MATERIALIZED (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM tok GROUP BY 1, 2)")
+    ctes += "vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt)"
+    ctes += "pn AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1)"
+    ctes += ("lvK AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cnt " +
+      "UNION SELECT DISTINCT n + (SELECT v FROM vv) FROM pn)")
+    ctes ++= ilog2ChainCtes("K")
+    ctes += ("ps AS (SELECT t.src, t.n, t.n + (SELECT v FROM vv) AS nv, " +
+      "(SELECT lg FROM lgK WHERE x = t.n + (SELECT v FROM vv)) AS lgnv, " +
+      "ab.a_term, ab.b_term FROM pn t JOIN (" +
+      "SELECT src, SUM(CAST(c + 1 AS HUGEINT) * l.lg) AS a_term, " +
+      "SUM(CAST(l.lg AS HUGEINT)) AS b_term " +
+      "FROM cnt JOIN lgK l ON l.x = cnt.c + 1 GROUP BY src) ab ON ab.src = t.src)")
+    ctes += ("j AS (SELECT a.src AS sa, b.src AS sb, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_shared, " +
+      "SUM(CAST(a.c AS HUGEINT) * l.lg) AS j_term " +
+      "FROM cnt a JOIN cnt b ON a.w = b.w AND a.src <> b.src " +
+      "JOIN lgK l ON l.x = b.c + 1 GROUP BY 1, 2)")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT pa.src AS source_a, pb.src AS source_b, " +
+      "COALESCE(j.n_shared, 0) AS n_shared, " +
+      "CAST((CAST(1000000000 AS HUGEINT) * GREATEST(" +
+      "pa.a_term - pb.b_term - COALESCE(j.j_term, 0) - " +
+      "(CAST(pa.lgnv AS HUGEINT) - pb.lgnv) * pa.nv, 0)) " +
+      "// (CAST(pa.nv AS HUGEINT) * 65536) AS BIGINT) AS kl_e9 " +
+      "FROM ps pa JOIN ps pb ON pa.src <> pb.src " +
+      "LEFT JOIN j ON j.sa = pa.src AND j.sb = pb.src " +
+      "ORDER BY source_a, source_b"
+  }
+
+  /** q180 twin: per-doc code-point histogram by position explode
+    * (DuckDB substr/length are code-point-based like the kernel's byte
+    * walk), the same ilog2 chain over distinct counts ∪ doc lengths,
+    * n·lg(n) − Σ c·lg(c), one `//`. */
+  private def charEntropyOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch " +
+      "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i " +
+      "FROM documents))")
+    ctes += ("hc AS MATERIALIZED (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM ch GROUP BY 1, 2)")
+    ctes += "dn AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)"
+    ctes += ("lvE AS MATERIALIZED (SELECT DISTINCT c AS x FROM hc " +
+      "UNION SELECT DISTINCT n FROM dn WHERE n >= 1)")
+    ctes ++= ilog2ChainCtes("E")
+    ctes += ("ag AS (SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+      "SUM(CAST(h.c AS HUGEINT) * l.lg) AS s " +
+      "FROM hc h JOIN lgE l ON l.x = h.c GROUP BY 1)")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT d.doc_id, d.n AS n_cp, COALESCE(a.n_distinct, 0) AS n_distinct, " +
+      "CAST((CAST(1000000000 AS HUGEINT) * " +
+      "(CAST(d.n AS HUGEINT) * COALESCE(ln.lg, 0) - COALESCE(a.s, 0))) " +
+      "// (GREATEST(d.n, 1) * 65536) AS BIGINT) AS ent_e9, " +
+      "(CAST((CAST(1000000000 AS HUGEINT) * " +
+      "(CAST(d.n AS HUGEINT) * COALESCE(ln.lg, 0) - COALESCE(a.s, 0))) " +
+      "// (GREATEST(d.n, 1) * 65536) AS BIGINT) < 3900000000) AS low_entropy " +
+      "FROM dn d LEFT JOIN ag a USING (doc_id) LEFT JOIN lgE ln ON ln.x = d.n " +
+      "ORDER BY doc_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q180_char_entropy" -> charEntropyOracle,
+    "q179_source_kl" -> sourceKlOracle,
     "q177_unigram_encode" -> unigramEncodeOracle,
     "q175_unigram_train" -> unigramTrainOracle,
     "q173_kneser_ney_lm" -> kneserNeyOracle,
