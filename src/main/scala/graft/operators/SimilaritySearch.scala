@@ -167,4 +167,72 @@ object SimilaritySearch {
     annFilterRank(spark.table(table), idCol, vecCol, probe, k,
       probeSignature(probe, planes), maxHamming)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * top-`k` of an `m`-row relevance shortlist, greedily trading probe
+    * relevance against redundancy with the already-selected set —
+    * `mmr = λ·rel − (1−λ)·max_sim_to_selected` at λ = 1/2, emitted as
+    * the positively-scaled exact integer `mmr_e6 = rel_e6 −
+    * maxsim_e6` so ordering and ties (mmr desc, id asc) are
+    * engine-portable longs, never doubles (the sim_e6 convention).
+    * Diversified retrieval is how eval/demo sets are drawn from
+    * deduplicated corpora without k near-copies of the best hit.
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus scan — one
+    * broadcast-probe scoring pass and a TakeOrderedAndProject
+    * shortlist (no global sort). The greedy loop is inherently
+    * sequential in k, so it runs on the driver over the m-row
+    * shortlist + its m² pairwise cosines — both bounded by the m
+    * parameter exactly like PQ codebook sidecars; every float op
+    * (cosine, ×1e6 floor) stays in the codegen'd graft_cosine kernel
+    * so driver involvement never touches float arithmetic. Selection
+    * state is O(k); candidates drop out as picked.
+    *
+    * Output: (rank 1..k, id, rel_e6, maxsim_e6 at selection time,
+    * mmr_e6). Fewer than k shortlist rows → that many ranks. */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                probe: DataFrame, probeVecCol: String,
+                m: Int = 20, k: Int = 8): DataFrame = {
+    require(m >= 1 && k >= 1, s"mmrRerank needs m, k >= 1, got m=$m k=$k")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val sl = scoreAllVs(df, vecCol, probe, probeVecCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("__id"))
+      .limit(m)
+      // three consumers (rel collect + both sides of the pair join) —
+      // score the corpus once
+      .localCheckpoint(true)
+    val rel: Seq[(Long, Long)] = sl
+      .select(col("__id"), col("sim_e6")).as[(Long, Long)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    val half = sl.as("a").join(sl.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id"), col("b.__id"),
+        floor(call_function("graft_cosine", col("a.__v"), col("b.__v")) * 1e6)
+          .cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val pairSim: Map[(Long, Long), Long] =
+      (half.map { case (a, b, s) => (a, b) -> s } ++
+        half.map { case (a, b, s) => (b, a) -> s }).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val scoredCands = remaining.iterator.map { case (id, r) =>
+        val ms = if (selected.isEmpty) 0L
+                 else selected.iterator.map(s => pairSim((id, s))).max
+        (id, r, ms, r - ms)
+      }.toSeq
+      val (id, r, ms, mmr) = scoredCands.minBy { case (i, _, _, s) => (-s, i) }
+      out += ((rank, id, r, ms, mmr))
+      selected += id
+      remaining.remove(id)
+      rank += 1
+    }
+    spark.createDataFrame(out.result())
+      .toDF("rank", idCol, "rel_e6", "maxsim_e6", "mmr_e6")
+  }
 }

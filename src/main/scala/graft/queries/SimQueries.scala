@@ -111,7 +111,21 @@ object SimQueries {
         col("sim_e6"))
   }
 
+  // MMR diversified re-rank (r9): top-8 of the 20-row relevance
+  // shortlist, greedily trading probe relevance against redundancy with
+  // the already-picked set (λ = 1/2 as the exact integer rel_e6 −
+  // maxsim_e6). The corpus scan + shortlist are distributed; the greedy
+  // loop is driver-bounded at m like PQ codebooks; every cosine stays
+  // in the graft_cosine kernel. Oracle: the greedy unrolled as 8
+  // chained CTE steps (the q154 convention).
+  private def q178(s: SparkSession, d: String): DataFrame =
+    graft.operators.SimilaritySearch.mmrRerank(
+      embeddings(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      probeRow(s, d), "embedding", m = 20, k = 8)
+      .orderBy(col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_mmr_rerank" -> q178 _,
     "q141_ivf_batch_topk" -> q141 _,
     "q40_cosine_scores" -> q40 _,
     "q41_cosine_topk" -> q41 _,
@@ -224,7 +238,42 @@ object SimQueries {
       "ORDER BY CAST(FLOOR(sim * 1000000.0) AS BIGINT) DESC, vec_id) AS rnk " +
       "FROM scored WHERE sim > 0) WHERE rnk <= 10"
 
+  /** q178 twin: same shortlist (floor-e6 relevance, desc, id
+    * tie-break, LIMIT m), same pairwise e6 cosines, and the greedy
+    * selection unrolled as k chained single-row CTEs — each step's
+    * maxsim is a correlated MAX over the pair table restricted to the
+    * picked-so-far list, each pick ORDER BY (mmr_e6 DESC, vec_id)
+    * LIMIT 1, exactly the operator's tie ladder. */
+  private def mmrOracle: String = {
+    val m = 20; val k = 8
+    val b = Seq.newBuilder[String]
+    b += "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)"
+    b += ("sl AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
+      "CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) * 1000000.0) AS BIGINT) AS rel_e6 " +
+      s"FROM embeddings, probe WHERE vec_id <> 0 ORDER BY rel_e6 DESC, vec_id LIMIT $m)")
+    b += ("ps AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+      "CAST(FLOOR(list_cosine_similarity(a.emb, b.emb) * 1000000.0) AS BIGINT) AS sim " +
+      "FROM sl a JOIN sl b ON a.vec_id <> b.vec_id)")
+    b += ("s1 AS MATERIALIZED (SELECT vec_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6, " +
+      "rel_e6 AS mmr_e6 FROM sl ORDER BY rel_e6 DESC, vec_id LIMIT 1)")
+    b += "p1 AS (SELECT vec_id FROM s1)"
+    (2 to k).foreach { r =>
+      val ms = "(SELECT MAX(ps.sim) FROM ps WHERE ps.ia = c.vec_id " +
+        s"AND ps.ib IN (SELECT vec_id FROM p${r - 1}))"
+      b += (s"s$r AS MATERIALIZED (SELECT c.vec_id, c.rel_e6, " +
+        s"$ms AS maxsim_e6, c.rel_e6 - $ms AS mmr_e6 " +
+        s"FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM p${r - 1}) " +
+        "ORDER BY mmr_e6 DESC, vec_id LIMIT 1)")
+      b += s"p$r AS (SELECT vec_id FROM p${r - 1} UNION ALL SELECT vec_id FROM s$r)"
+    }
+    "WITH " + b.result().mkString(", ") + " " +
+      (1 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, vec_id, rel_e6, maxsim_e6, mmr_e6 FROM s$r")
+        .mkString(" UNION ALL ") + " ORDER BY rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q178_mmr_rerank" -> mmrOracle,
     "q141_ivf_batch_topk" -> ivfBatchOracle,
     "q43_ann_lsh_topk" -> annLshOracle,
     "q59_ivf_topk" -> ivfOracle,
