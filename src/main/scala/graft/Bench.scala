@@ -408,7 +408,16 @@ object Bench {
       // r10: segment dedup shuffles one (md5, id, pos) row per corpus
       // segment; the residual gate is one sufficient-stats pass + a
       // broadcast model map — both corpus-proportional
-      "q167_segment_dedup", "q170_residual_gate")
+      "q167_segment_dedup", "q170_residual_gate",
+      // r9-late: KN scoring and the unigram train/encode pair are
+      // corpus-proportional through their histogram/score passes (the
+      // model tables are vocab-bounded); CDC chunking and char entropy
+      // are row-local kernel maps; the KL matrix's pair algebra rides
+      // one corpus token-count shuffle + a vocab-bounded self-join.
+      // q178 MMR stays out (shortlist-bound by design, the q135 rule);
+      // q176's LSH→CC chain is dossier'd separately like q69/q121.
+      "q173_kneser_ney_lm", "q174_cdc_chunk_dedup", "q175_unigram_train",
+      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
@@ -502,10 +511,16 @@ object Bench {
             case _ => None
           }
           def key(k: String) = HealPolicy.canonKey(HealPolicy.decodeKey(k, kf))
+          // "vf":"cs" (r9 rung): medians are centisecond INTEGERS —
+          // decode back to seconds
+          val vScale = (parsed \ "vf") match {
+            case JString("cs") => 0.01
+            case _ => 1.0
+          }
           val meds = qs.obj.collect {
-            case (k, JDouble(v)) => key(k) -> v
-            case (k, JInt(v)) => key(k) -> v.toDouble
-            case (k, JDecimal(v)) => key(k) -> v.toDouble
+            case (k, JDouble(v)) => key(k) -> v * vScale
+            case (k, JInt(v)) => key(k) -> v.toDouble * vScale
+            case (k, JDecimal(v)) => key(k) -> v.toDouble * vScale
           }.toMap
           val pf = (parsed \ "floor") match {
             case JDouble(v) => Some(v)
@@ -592,19 +607,28 @@ object Bench {
     // suspect list; 3) base-36 keys ("134"->"3q", marked "kf":"b36" so
     // the cross-round prior-median loader can decode — ~1 char per
     // 3-digit key, ~2 per future 4-digit key). The require bar stays.
-    def renderQs(keyOf: String => String): String = healedBase
-      .map(m => "\"" + keyOf(HealPolicy.shortName(m.name)) + "\":" +
-        f"${m.median}%.2f")
+    def renderQs(keyOf: String => String, vf: Option[String]): String = healedBase
+      .map { m =>
+        val v = vf match {
+          // centisecond ints ("vf":"cs") — 2 chars shorter than "0.12"
+          // per entry; the prior-median loader scales back by 0.01
+          case Some("cs") => math.round(m.median * 100).toString
+          case _ => f"${m.median}%.2f"
+        }
+        "\"" + keyOf(HealPolicy.shortName(m.name)) + "\":" + v
+      }
       .mkString("{", ",", "}")
-    def renderFinal(susp: String, kfMode: Option[String]): String = {
+    def renderFinal(susp: String, kfMode: Option[String],
+                    vfMode: Option[String] = None): String = {
       val kf = kfMode.map(m => s""""kf":"$m",""").getOrElse("")
+      val vf = vfMode.map(m => s""""vf":"$m",""").getOrElse("")
       val keyOf: String => String = kfMode match {
         case Some("b36") => HealPolicy.b36Key
         case Some("b36x") => k => HealPolicy.b36Key(HealPolicy.xShortKey(k))
         case _ => identity
       }
-      val qs2 = renderQs(keyOf)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
+      val qs2 = renderQs(keyOf, vfMode)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
     val finalLine = Seq(
       renderFinal(suspectJson, None),
@@ -614,9 +638,14 @@ object Bench {
       // r10: fold the x10_qNNN keys too ("kf":"b36x") — at 169 queries
       // + ~40 x10 lines the full x10 names became the dominant term
       renderFinal(suspectJson, Some("b36x")),
-      renderFinal("[]", Some("b36x")))
+      renderFinal("[]", Some("b36x")),
+      // r9 final rung: centisecond integer medians ("vf":"cs") — at
+      // 179+ base entries even bare-b36 keys with "0.12" values brush
+      // the budget; ints buy ~2 chars per entry
+      renderFinal(suspectJson, Some("b36x"), Some("cs")),
+      renderFinal("[]", Some("b36x"), Some("cs")))
       .find(_.length < 1900)
-      .getOrElse(renderFinal("[]", Some("b36x")))
+      .getOrElse(renderFinal("[]", Some("b36x"), Some("cs")))
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

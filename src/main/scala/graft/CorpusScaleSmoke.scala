@@ -107,7 +107,17 @@ object CorpusScaleSmoke {
       // rounds vocab-bounded); the residual gate is one 9-sum stats
       // pass + a broadcast model map — shuffle bytes must stay ~flat
       "q167_segment_dedup", "q169_wordpiece_train",
-      "q170_residual_gate", "q171_segment_dedup_incr")
+      "q170_residual_gate", "q171_segment_dedup_incr",
+      // r9 late: KN scoring rides the q155 shape (one bigram count
+      // shuffle, vocab-bounded rollups); CDC chunking + char entropy
+      // are row-local kernels (chunk dedup shuffles one md5 row per
+      // CHUNK; entropy shuffles only the per-doc stat rows); unigram
+      // train/encode shuffle the word histogram once (piece table
+      // driver-bounded); the KL matrix must shuffle token counts once
+      // + the vocab-bounded shared-word self-join — its pair fan-out
+      // is SOURCE-bounded, never corpus-sized
+      "q173_kneser_ney_lm", "q174_cdc_chunk_dedup", "q175_unigram_train",
+      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

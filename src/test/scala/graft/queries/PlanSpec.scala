@@ -239,6 +239,33 @@ class PlanSpec extends SparkSpec {
       s"kernel must be materialized once, not once per element_at:\n$p")
   }
 
+  test("q180 char entropy: kernel evaluated once, only the output-order exchange") {
+    val p = plan("q180_char_entropy")
+    // the q31 CollapseProject convention: the __m array column holds the
+    // one kernel evaluation; the per-stat element_at projections must
+    // not re-run the histogram pass
+    assert(p.linesIterator.count(_.contains("graft_char_entropy(")) == 1,
+      s"kernel must be materialized once, not once per stat column:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"per-doc entropy is row-local — only the output orderBy may shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q179 KL matrix: map-side-combined counts, broadcast scalars, no Window") {
+    val p = plan("q179_source_kl")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the (source, word) count and per-source scalar aggregates must " +
+        s"combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the |V| scalar and per-source rows must broadcast, never shuffle " +
+        s"the pair frame:\n$p")
+    assert(!p.contains("Window"), p)
+    // the tokenize+count relation is checkpointed once for its three
+    // consumers — the plan reads it back as an RDD boundary
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the one-slot counts materialization:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
