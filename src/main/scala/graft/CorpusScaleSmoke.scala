@@ -117,7 +117,12 @@ object CorpusScaleSmoke {
       // + the vocab-bounded shared-word self-join — its pair fan-out
       // is SOURCE-bounded, never corpus-sized
       "q173_kneser_ney_lm", "q174_cdc_chunk_dedup", "q175_unigram_train",
-      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy")
+      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy",
+      // r9 latest: the incremental matrix must shuffle state + batch
+      // counts, never re-tokenized corpus; the term ranking's fanned
+      // S²·|V| table is the claim to watch — the bounded-heap top-k
+      // must keep the FINAL exchange at k per pair per partition
+      "q181_source_kl_incr", "q182_kl_terms")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

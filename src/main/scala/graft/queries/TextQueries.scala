@@ -1232,7 +1232,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Incremental KL matrix (r9): the daily-crawl shape for the
+  // information measures — token counts are EXACTLY mergeable state
+  // (they add), so yesterday's persisted count relation plus today's
+  // tokenized batch answers what a from-scratch corpus run answers,
+  // hash-identically; only the batch is ever tokenized. The oracle is
+  // q179's SQL VERBATIM (the q129/q171/q176 full-rebuild contract).
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 5 === 0
+    val warehouse = graft.operators.SourceDivergence
+      .tokenCounts(docs.filter(!isNew), "source", "text")
+    graft.operators.SourceDivergence
+      .klMatrixIncremental(warehouse, docs.filter(isNew), "source", "text")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // Divergence-explaining terms (r9): WHICH words drive each source
+  // pair's KL — top-5 per ordered pair by the exact per-word
+  // contribution, via the bounded-heap grouped top-k (shuffle ≤ k per
+  // pair per map partition, never the S²·|V| term table).
+  private def q182(s: SparkSession, d: String): DataFrame =
+    graft.operators.SourceDivergence
+      .divergingTerms(documents(s, d), "source", "text", k = 5)
+      .orderBy(col("source_a"), col("source_b"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_kl_terms" -> q182 _,
+    "q181_source_kl_incr" -> q181 _,
     "q180_char_entropy" -> q180 _,
     "q179_source_kl" -> q179 _,
     "q177_unigram_encode" -> q177 _,
@@ -1481,7 +1508,46 @@ object TextQueries {
       "ORDER BY doc_id"
   }
 
+  /** q182 twin: same counts, same unfactored per-word contribution
+    * (explicit lgK joins — lg(1) for words absent in b COALESCEs to 0,
+    * the algorithm's exact value), ROW_NUMBER over (contrib DESC,
+    * word DESC) — the operator's sort_array struct tie order. */
+  private def klTermsOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("tok AS (SELECT source AS src, u.w AS w FROM (SELECT source, " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(w))")
+    ctes += ("cnt AS MATERIALIZED (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM tok GROUP BY 1, 2)")
+    ctes += "vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt)"
+    ctes += "pn AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1)"
+    ctes += ("lvK AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cnt " +
+      "UNION SELECT DISTINCT n + (SELECT v FROM vv) FROM pn)")
+    ctes ++= ilog2ChainCtes("K")
+    ctes += ("sc AS (SELECT src, " +
+      "(SELECT lg FROM lgK WHERE x = pn.n + (SELECT v FROM vv)) AS lgnv FROM pn)")
+    ctes += ("pk AS (SELECT a.src AS sa, b.src AS sb, a.lgnv - b.lgnv AS k_ab " +
+      "FROM sc a JOIN sc b ON a.src <> b.src)")
+    ctes += ("tm AS (SELECT ca.src AS source_a, pk.sb AS source_b, ca.w AS word, " +
+      "CAST((ca.c + 1) * (la.lg - COALESCE(lb.lg, 0) - pk.k_ab) AS BIGINT) AS contrib " +
+      "FROM cnt ca JOIN pk ON pk.sa = ca.src " +
+      "JOIN lgK la ON la.x = ca.c + 1 " +
+      "LEFT JOIN cnt cb ON cb.w = ca.w AND cb.src = pk.sb " +
+      "LEFT JOIN lgK lb ON lb.x = COALESCE(cb.c, 0) + 1)")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT source_a, source_b, rank, contrib, word FROM (" +
+      "SELECT source_a, source_b, contrib, word, " +
+      "ROW_NUMBER() OVER (PARTITION BY source_a, source_b " +
+      "ORDER BY contrib DESC, word DESC) AS rank FROM tm) " +
+      "WHERE rank <= 5 ORDER BY source_a, source_b, rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q182_kl_terms" -> klTermsOracle,
+    // q181: the incremental path must answer exactly what a
+    // from-scratch run over the full corpus answers — q179's SQL
+    // verbatim (the q129/q171/q176 contract)
+    "q181_source_kl_incr" -> sourceKlOracle,
     "q180_char_entropy" -> charEntropyOracle,
     "q179_source_kl" -> sourceKlOracle,
     "q177_unigram_encode" -> unigramEncodeOracle,

@@ -88,4 +88,56 @@ class SourceDivergenceSpec extends SparkSpec {
     val docs = Seq("a" -> "x y", "a" -> "", "b" -> "x z", "b" -> "   ")
     assert(run(docs) === reference(docs))
   }
+
+  test("incremental ≡ from-scratch at random batch splits (counts are mergeable)") {
+    val rnd = new scala.util.Random(53)
+    val words = Vector("u", "vv", "w", "xx", "y", "zz")
+    val docs = (0 until 40).map { i =>
+      s"s${i % 3}" -> Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val full = run(docs)
+    for (seed <- Seq(1, 2, 3)) {
+      val r2 = new scala.util.Random(seed)
+      val (wh, batch) = docs.partition(_ => r2.nextBoolean())
+      val whCounts = SourceDivergence.tokenCounts(
+        wh.toDF("source", "text"), "source", "text")
+      val got = SourceDivergence.klMatrixIncremental(
+        whCounts, batch.toDF("source", "text"), "source", "text")
+        .as[(String, String, Long, Long)].collect()
+        .map { case (a, b, s, k) => (a, b) -> (s, k) }.toMap
+      assert(got === full, s"seed=$seed")
+    }
+  }
+
+  test("diverging terms: exact per-word contributions, top-k, tie order") {
+    val docs = Seq(
+      "a" -> "alpha alpha alpha beta shared shared",
+      "b" -> "gamma gamma shared shared shared")
+    val lg = (x: Long) => IntLog2.ilog2e16(x)
+    val counts = Map(
+      "a" -> Map("alpha" -> 3L, "beta" -> 1L, "shared" -> 2L),
+      "b" -> Map("gamma" -> 2L, "shared" -> 3L))
+    val v = 4L // alpha beta gamma shared
+    val n = Map("a" -> 6L, "b" -> 5L)
+    def contrib(src: String, dst: String, w: String): Long = {
+      val ca = counts(src).getOrElse(w, 0L); val cb = counts(dst).getOrElse(w, 0L)
+      val kab = lg(n(src) + v) - lg(n(dst) + v)
+      (ca + 1) * (lg(ca + 1) - lg(cb + 1) - kab)
+    }
+    val got = SourceDivergence
+      .divergingTerms(docs.toDF("source", "text"), "source", "text", k = 2)
+      .as[(String, String, Long, Long, String)].collect()
+      .map { case (a, b, r, c, w) => (a, b, r) -> (w, c) }.toMap
+    // a vs b: alpha (over-represented, absent in b) must lead
+    val expAB = counts("a").keys.map(w => w -> contrib("a", "b", w)).toSeq
+      .sortBy { case (w, c) => (-c, w) } // word DESC on ties == reverse asc only if no ties; none here
+    assert(got(("a", "b", 1L)) === ((expAB.head._1, expAB.head._2)))
+    assert(got(("a", "b", 1L))._1 === "alpha")
+    val expBA = counts("b").keys.map(w => w -> contrib("b", "a", w)).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    assert(got(("b", "a", 1L)) === ((expBA.head._1, expBA.head._2)))
+    assert(got(("b", "a", 1L))._1 === "gamma")
+    // k caps the per-pair output
+    assert(got.keys.count { case (a, b, _) => a == "a" && b == "b" } === 2)
+  }
 }
