@@ -367,6 +367,11 @@ object NgramLm {
         "3L * n1p_v * coalesce(n1p_w, 0L))) div (4L * ctx_v * b_types) " +
         "ELSE (cast(1000000000 as decimal(38,0)) * " +
         "(coalesce(n1p_w, 0L) + 1L)) div (b_types + v_cont) END")
+    // docBg feeds two consumers (the distinct model probe and the final
+    // positions join). Checkpointing it was MEASURED NEGATIVE (r9 A/B:
+    // 1.31-1.40 vs 1.08-1.12 s ONLY-mode at sf0.1 — materializing ~1M
+    // position rows costs more than re-running the row-local shingle
+    // kernel), so both consumers recompute the cheap explode.
     val docBg = docs
       .select(col(idCol),
         explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
