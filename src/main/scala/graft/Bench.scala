@@ -511,16 +511,15 @@ object Bench {
             case _ => None
           }
           def key(k: String) = HealPolicy.canonKey(HealPolicy.decodeKey(k, kf))
-          // "vf":"cs" (r9 rung): medians are centisecond INTEGERS —
-          // decode back to seconds
-          val vScale = (parsed \ "vf") match {
-            case JString("cs") => 0.01
-            case _ => 1.0
+          val vf = (parsed \ "vf") match {
+            case JString(s) => Some(s)
+            case _ => None
           }
+          def med(v: Double) = HealPolicy.decodeMedian(v, vf)
           val meds = qs.obj.collect {
-            case (k, JDouble(v)) => key(k) -> v * vScale
-            case (k, JInt(v)) => key(k) -> v.toDouble * vScale
-            case (k, JDecimal(v)) => key(k) -> v.toDouble * vScale
+            case (k, JDouble(v)) => key(k) -> med(v)
+            case (k, JInt(v)) => key(k) -> med(v.toDouble)
+            case (k, JDecimal(v)) => key(k) -> med(v.toDouble)
           }.toMap
           val pf = (parsed \ "floor") match {
             case JDouble(v) => Some(v)

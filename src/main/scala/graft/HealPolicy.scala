@@ -149,4 +149,15 @@ object HealPolicy {
   def canonKey(k: String): String =
     if (k.nonEmpty && k.forall(_.isDigit)) k.toLong.toString
     else xShortKey(k)
+
+  /** Decode a compact-artifact median back to seconds, given the
+    * artifact's declared value format — "cs" (r9 rung: centisecond
+    * INTEGERS, ~2 chars shorter per entry) or absent/seconds. The
+    * encode side is `round(median·100)` in Bench.renderQs; 10 ms
+    * resolution is well inside the 1.4× regression-probe bar. */
+  def decodeMedian(v: Double, valueFormat: Option[String]): Double =
+    valueFormat match {
+      case Some("cs") => v / 100.0
+      case _ => v
+    }
 }

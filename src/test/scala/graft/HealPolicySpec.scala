@@ -112,6 +112,21 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.canonKey("x132_pq_train") == "x132_pq_train")
   }
 
+  test("cs rung medians round-trip through decodeMedian (r9)") {
+    // encode side is round(median*100) in Bench.renderQs
+    for (m <- Seq(0.12, 1.005, 2.74, 15.3, 0.0)) {
+      val enc = math.round(m * 100).toDouble
+      val dec = HealPolicy.decodeMedian(enc, Some("cs"))
+      assert(math.abs(dec - m) <= 0.005, s"$m -> $enc -> $dec")
+    }
+    // seconds artifacts (no vf) pass through untouched
+    assert(HealPolicy.decodeMedian(0.12, None) == 0.12)
+    // 10 ms quantization stays far inside the 1.4x regression bar for
+    // any line at/above the job floor (~0.10 s): worst-case relative
+    // error at the floor is 0.005/0.10 = 5%
+    assert(HealPolicy.decodeMedian(10.0, Some("cs")) == 0.1)
+  }
+
   test("b36x rung folds x10 keys and both generations meet at canonKey (r10)") {
     assert(HealPolicy.xShortKey("x10_q167_segment_dedup") == "x10_167")
     assert(HealPolicy.xShortKey("x10_q05_group_summary") == "x10_05")
