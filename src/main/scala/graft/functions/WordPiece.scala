@@ -203,4 +203,44 @@ object WordPiece {
                 byteLevel: Boolean = false): Set[String] =
     seedWords.flatMap(seedUnits(_, byteLevel)).toSet ++
       merges.map { case (a, b) => a + b.stripPrefix("##") }
+
+  /** Per-document greedy-encode statistics — the APPLY side of
+    * [[train]] (the q177 shape for the WordPiece family: q148 gates
+    * BPE's encode, q177 unigram's, this one closes the third). The
+    * vocabulary builds DISTRIBUTED: seed units are charset-bounded
+    * (one bare + one ## form per corpus code point — the
+    * KMeans-centroid collect rule), merged tokens come straight off
+    * the merge list; the union broadcasts and every document encodes
+    * where it lives via the row-local [[encodeWord]] greedy
+    * longest-match — zero shuffle beyond the unit distinct.
+    *
+    * Output: (idCol, n_words, n_pieces, n_unk_words) — a word that
+    * greedy cannot tile counts 1 piece ([UNK]) and 1 unk. */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units: Array[String] = df
+      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .as[String]
+      .flatMap(w => seedUnits(w))
+      .distinct().collect()
+    val vocab: Set[String] = units.toSet ++
+      merges.map { case (a, b) => a + b.stripPrefix("##") }
+    val bc = spark.sparkContext.broadcast(vocab)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        var nPieces = 0L
+        var nUnk = 0L
+        words.foreach { w =>
+          val enc = encodeWord(w, bc.value)
+          nPieces += enc.length
+          if (enc.length == 1 && enc.head == "[UNK]") nUnk += 1
+        }
+        (id, words.length.toLong, nPieces, nUnk)
+      }.toDF(idCol, "n_words", "n_pieces", "n_unk_words")
+  }
 }

@@ -517,6 +517,16 @@ object TextQueries {
   }
 
   private def wordPieceTrainOracle: String = {
+    val unions = (0 until bpeTrainK)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + wordPieceTrainCtes.mkString(", ") +
+      s" SELECT * FROM ($unions) ORDER BY merge_rank"
+  }
+
+  /** The q169 training chain (w/wf/r0..b19) as a bare CTE list —
+    * shared by the q169 oracle and q183's encode replay. */
+  private def wordPieceTrainCtes: Seq[String] = {
     val sep = "chr(31)"
     val partsOf = s"string_split(substr(rep, 2, length(rep) - 2), $sep || $sep)"
     val ctes = Seq.newBuilder[String]
@@ -552,11 +562,7 @@ object TextQueries {
           s"(SELECT CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END FROM b$i) " +
           s"|| $sep) AS rep, freq FROM r$i)")
     }
-    val unions = (0 until bpeTrainK)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b FROM b$i")
-      .mkString(" UNION ALL ")
-    "WITH " + ctes.result().mkString(", ") +
-      s" SELECT * FROM ($unions) ORDER BY merge_rank"
+    ctes.result()
   }
 
   // Smoothed bigram LM quality score (r8): train add-one bigram
@@ -1257,7 +1263,24 @@ object TextQueries {
       .divergingTerms(documents(s, d), "source", "text", k = 5)
       .orderBy(col("source_a"), col("source_b"), col("rank"))
 
+  // WordPiece encoding stats (r9): the APPLY side of q169's trainer —
+  // closes the train→apply loop for the THIRD subword family (q148
+  // gates BPE's encode, q177 unigram's). Vocabulary = charset-bounded
+  // seed units ∪ merge products, broadcast; greedy longest-match
+  // encode row-local, zero shuffle. The oracle replays train AND the
+  // greedy walk (a recursive CTE whose step keeps ONLY the longest
+  // match via a no-longer-candidate left anti pattern).
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = graft.functions.WordPiece.train(docs, "text", bpeTrainK)
+    graft.functions.WordPiece.encodeStats(docs, "doc_id", "text", merges)
+      .withColumn("fertility_e6",
+        expr("(n_pieces * 1000000L) div greatest(n_words, 1L)"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_wordpiece_encode" -> q183 _,
     "q182_kl_terms" -> q182 _,
     "q181_source_kl_incr" -> q181 _,
     "q180_char_entropy" -> q180 _,
@@ -1542,7 +1565,74 @@ object TextQueries {
       "WHERE rank <= 5 ORDER BY source_a, source_b, rank"
   }
 
+  /** q183 twin: the q169 training chain verbatim, then the greedy
+    * longest-match walk replayed per distinct word — a recursive CTE
+    * whose step joins the vocabulary at the current position (bare
+    * slice at pos 0, "##"+slice past it — RAW string matching, exactly
+    * WordPiece.encodeWord's vocab.contains) and keeps only the longest
+    * match by left-joining "a strictly longer candidate" and requiring
+    * NULL. The greedy path is unique, so the terminal state is the
+    * max-pos row; a word whose walk stalls short of its length is
+    * [UNK] — 1 piece, 1 unk. */
+  private def wordPieceEncodeOracle: String = {
+    val sep = "chr(31)"
+    val partsOf = s"string_split(substr(rep, 2, length(rep) - 2), $sep || $sep)"
+    val merged = "a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END"
+    val mUnion = (0 until bpeTrainK)
+      .map(i => s"SELECT $merged AS p FROM b$i").mkString(" UNION ALL ")
+    // candidate match at (word w, position q, piece p): consumed length
+    def consumed(p: String) =
+      s"CASE WHEN {q} = 0 THEN length($p) ELSE length($p) - 2 END"
+    // pos 0 is RAW containment (no ##-exclusion): encodeWord checks
+    // vocab.contains(slice) unprefixed, so a word literally starting
+    // "##" may legally consume a continuation-form piece there
+    def matches(w: String, q: String, p: String): String =
+      (s"CASE WHEN $q = 0 " +
+        s"THEN substr($w, 1, CAST(length($p) AS INTEGER)) = $p " +
+        s"ELSE $p LIKE '##%' AND length($p) > 2 " +
+        s"AND substr($w, CAST($q + 1 AS INTEGER), " +
+        s"CAST(length($p) - 2 AS INTEGER)) = substr($p, 3) END")
+    val ctes = wordPieceTrainCtes ++ Seq(
+      s"mg AS (SELECT DISTINCT p FROM ($mUnion))",
+      s"sv AS (SELECT DISTINCT part AS p FROM (SELECT unnest(ps) AS part " +
+        s"FROM (SELECT $partsOf AS ps FROM r0)))",
+      "vocab AS MATERIALIZED (SELECT p FROM sv UNION SELECT p FROM mg)",
+      "wd AS (SELECT DISTINCT word FROM w)",
+      "dp AS (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np FROM wd " +
+        "UNION ALL " +
+        "SELECT d.word, d.pos + " +
+        consumed("v.p").replace("{q}", "d.pos") + ", d.np + 1 " +
+        "FROM dp d JOIN vocab v ON " +
+        matches("d.word", "d.pos", "v.p") + " " +
+        "LEFT JOIN vocab v2 ON (" +
+        matches("d.word", "d.pos", "v2.p") + ") AND (" +
+        consumed("v2.p").replace("{q}", "d.pos") + ") > (" +
+        consumed("v.p").replace("{q}", "d.pos") + ") " +
+        "WHERE d.pos < length(d.word) AND v2.p IS NULL)",
+      "st AS (SELECT word, pos, np, " +
+        "ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos DESC) AS rn FROM dp)",
+      "we AS (SELECT word, " +
+        "CASE WHEN pos = length(word) THEN np ELSE 1 END AS pieces, " +
+        "CASE WHEN pos = length(word) THEN 0 ELSE 1 END AS unk " +
+        "FROM st WHERE rn = 1)",
+      "dwx AS (SELECT t.doc_id, u.word AS word FROM (SELECT doc_id, " +
+        "string_split_regex(COALESCE(text, ''), '\\s+') AS ws FROM documents) t, " +
+        "UNNEST(t.ws) AS u(word) WHERE u.word <> '')",
+      "agx AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(e.pieces) AS BIGINT) AS n_pieces, " +
+        "CAST(SUM(e.unk) AS BIGINT) AS n_unk_words " +
+        "FROM dwx d JOIN we e USING (word) GROUP BY 1)")
+    "WITH RECURSIVE " + ctes.mkString(", ") +
+      " SELECT d0.doc_id, COALESCE(a.n_words, 0) AS n_words, " +
+      "COALESCE(a.n_pieces, 0) AS n_pieces, " +
+      "COALESCE(a.n_unk_words, 0) AS n_unk_words, " +
+      "CAST((COALESCE(a.n_pieces, 0) * 1000000) " +
+      "// GREATEST(COALESCE(a.n_words, 0), 1) AS BIGINT) AS fertility_e6 " +
+      "FROM documents d0 LEFT JOIN agx a USING (doc_id) ORDER BY doc_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q183_wordpiece_encode" -> wordPieceEncodeOracle,
     "q182_kl_terms" -> klTermsOracle,
     // q181: the incremental path must answer exactly what a
     // from-scratch run over the full corpus answers — q179's SQL

@@ -125,4 +125,27 @@ class WordPieceSpec extends SparkSpec {
     assert(u.head === "Ġ", "space maps to the printable byte alias")
     assert(u(1) === "##a")
   }
+
+  test("encodeStats ≡ per-word encodeWord fold (stats, unk accounting, empties)") {
+    val docs = Seq(
+      (1L, "hugging huggable hub"),
+      (2L, ""),
+      (3L, "  zz  qq hugging  "),
+      (4L, "hug"))
+    val merges = WordPiece.train(docs.toDF("doc_id", "text"), "text", 4)
+    val vocab = WordPiece.vocabFrom(
+      docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty), merges)
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val encs = ws.map(w => WordPiece.encodeWord(w, vocab))
+      id -> ((ws.length.toLong, encs.map(_.length.toLong).sum,
+        encs.count(e => e.length == 1 && e.head == "[UNK]").toLong))
+    }.toMap
+    val got = WordPiece
+      .encodeStats(docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got === expected)
+    assert(got(2L) === ((0L, 0L, 0L)))
+  }
 }
