@@ -1279,7 +1279,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Tokenizer fertility comparison (r9 capstone): corpus-level
+  // pieces-per-word for the three subword families' APPLY paths as
+  // deployed — BPE over the external merge artifact (q148), WordPiece
+  // over its in-engine trained vocab (q183), unigram over its
+  // in-engine trained vocab (q177). Each family keeps its OWN counting
+  // rules (unigram caps words at 16 cps, BPE counts unknown fragments
+  // as pieces) — the comparison is of the pipelines, not an
+  // idealized metric. One row per family; exact integer fertility.
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    def tot(df: DataFrame, pieces: String, fam: String): DataFrame =
+      df.agg(sum(col("n_words")).as("n_words"),
+        sum(col(pieces)).as("n_pieces"))
+        .select(lit(fam).as("family"), col("n_words"), col("n_pieces"),
+          expr("(n_pieces * 1000000L) div greatest(n_words, 1L)")
+            .as("fertility_e6"))
+    tot(q148(s, d), "n_subwords", "bpe")
+      .unionByName(tot(q177(s, d), "n_pieces", "unigram"))
+      .unionByName(tot(q183(s, d), "n_pieces", "wordpiece"))
+      .orderBy(col("family"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_tokenizer_fertility" -> q184 _,
     "q183_wordpiece_encode" -> q183 _,
     "q182_kl_terms" -> q182 _,
     "q181_source_kl_incr" -> q181 _,
@@ -1631,7 +1653,23 @@ object TextQueries {
       "FROM documents d0 LEFT JOIN agx a USING (doc_id) ORDER BY doc_id"
   }
 
+  /** q184 twin: the three per-doc encode oracles nested verbatim as
+    * subqueries (a WITH chain inside a parenthesized subquery is
+    * legal), each aggregated to its family row. */
+  private def tokenizerFertilityOracle: String = {
+    def tot(fam: String, pieces: String, inner: String): String =
+      s"SELECT '$fam' AS family, CAST(SUM(n_words) AS BIGINT) AS n_words, " +
+        s"CAST(SUM($pieces) AS BIGINT) AS n_pieces, " +
+        s"CAST(SUM($pieces) * 1000000 // GREATEST(SUM(n_words), 1) AS BIGINT) " +
+        s"AS fertility_e6 FROM ( $inner )"
+    tot("bpe", "n_subwords", bpeOracle) + " UNION ALL " +
+      tot("unigram", "n_pieces", unigramEncodeOracle) + " UNION ALL " +
+      tot("wordpiece", "n_pieces", wordPieceEncodeOracle) +
+      " ORDER BY family"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q184_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q183_wordpiece_encode" -> wordPieceEncodeOracle,
     "q182_kl_terms" -> klTermsOracle,
     // q181: the incremental path must answer exactly what a
