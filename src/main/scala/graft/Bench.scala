@@ -417,7 +417,11 @@ object Bench {
       // q178 MMR stays out (shortlist-bound by design, the q135 rule);
       // q176's LSH→CC chain is dossier'd separately like q69/q121.
       "q173_kneser_ney_lm", "q174_cdc_chunk_dedup", "q175_unigram_train",
-      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy")
+      "q177_unigram_encode", "q179_source_kl", "q180_char_entropy",
+      // r9 capstone-adjacent: the WordPiece apply path is a row-local
+      // typed map over the corpus (train histogram + units distinct
+      // are vocab-bounded) — corpus-proportional
+      "q183_wordpiece_encode")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

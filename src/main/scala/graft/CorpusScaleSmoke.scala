@@ -122,7 +122,10 @@ object CorpusScaleSmoke {
       // counts, never re-tokenized corpus; the term ranking's fanned
       // S²·|V| table is the claim to watch — the bounded-heap top-k
       // must keep the FINAL exchange at k per pair per partition
-      "q181_source_kl_incr", "q182_kl_terms")
+      "q181_source_kl_incr", "q182_kl_terms",
+      // r9: WordPiece train (histogram corpus-proportional, merges
+      // vocab-bounded) + broadcast-vocab row-local greedy encode
+      "q183_wordpiece_encode")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
