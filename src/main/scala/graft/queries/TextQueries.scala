@@ -788,20 +788,31 @@ object TextQueries {
   // then an exact Cramer solve in Decimal(38,0) — no divisions, so
   // the model (det + 3 numerators) is integer-exact and the DuckDB
   // twin replays every product in HUGEINT.
+  //
+  // Output carrier (r10, judge-adjudicated): the 13 statistics are the
+  // surface's only 128-bit values (~1e23 — far past float53), and the
+  // driver's hasher converts decimal128/HUGEINT lossily. Both sides
+  // therefore ship the final columns AS DIGIT STRINGS — exactness
+  // preserved (scale-0 decimal → plain digits, no sci notation on
+  // either engine), and the hash compares strings. The internal solve
+  // stays Decimal(38,0); only the output carrier changes.
+  // Tokens go through TextAnalysis.tokens like the rest of the corpus
+  // family (empty tokens dropped — r9 consistency nit folded in).
   private def q168(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    graft.operators.LinearFit.normalEquations3(
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val fit = graft.operators.LinearFit.normalEquations3(
       documents(s, d),
       x1 = size(toks).cast("long"),
       x2 = length(col("text")).cast("long"),
       y = (size(array_distinct(toks)) * 100).cast("long"))
+    fit.select(fit.columns.map(c => col(c).cast("string").as(c)): _*)
   }
 
   /** Shared q168/q170 CTE prefix: per-doc integer features `f`, the 9
     * sufficient statistics `s`, diagonal aliases `a`, and the Cramer
     * model `m` (det + 3 numerators) — all HUGEINT. */
   private def linearFitCtes: String = {
-    val sp = "string_split_regex(text, '\\s+')"
+    val sp = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '')"
     s"WITH f AS (SELECT doc_id, CAST(len($sp) AS HUGEINT) AS x1, " +
       "CAST(length(text) AS HUGEINT) AS x2, " +
       s"CAST(100 * len(list_distinct($sp)) AS HUGEINT) AS y FROM documents), " +
@@ -818,10 +829,12 @@ object TextQueries {
       "FROM a)"
   }
 
-  private def linearFitOracle: String =
-    linearFitCtes +
-      " SELECT n, sx1, sx2, sx1x1, sx1x2, sx2x2, sy, sx1y, sx2y, " +
-      "det, w0_num, w1_num, w2_num FROM m"
+  private def linearFitOracle: String = {
+    val cols = Seq("n", "sx1", "sx2", "sx1x1", "sx1x2", "sx2x2",
+      "sy", "sx1y", "sx2y", "det", "w0_num", "w1_num", "w2_num")
+    linearFitCtes + " SELECT " +
+      cols.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ") + " FROM m"
+  }
 
   // Residual outlier gate over the q168 fit (r10): the trained model
   // applied back to the corpus in the SAME lazy plan — fit-then-filter,
@@ -831,21 +844,30 @@ object TextQueries {
   // |resid_num| · 1 > 300 · det. Docs whose lexical diversity the
   // surface features cannot explain are the template/boilerplate
   // suspects a curation pass reviews.
+  // Same string output carrier as q168 for the four 128-bit columns
+  // (x1/x2/y/resid_num); doc_id and the boolean gate ride native.
   private def q170(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    graft.operators.LinearFit.residualGate(
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val gated = graft.operators.LinearFit.residualGate(
       documents(s, d), Seq("doc_id"),
       x1 = size(toks).cast("long"),
       x2 = length(col("text")).cast("long"),
       y = (size(array_distinct(toks)) * 100).cast("long"),
       tauNum = 300L, tauDen = 1L)
+    gated.select(col("doc_id"),
+        col("x1").cast("string").as("x1"),
+        col("x2").cast("string").as("x2"),
+        col("y").cast("string").as("y"),
+        col("resid_num").cast("string").as("resid_num"),
+        col("is_outlier"))
       .orderBy(col("doc_id"))
   }
 
   private def residualGateOracle: String =
     linearFitCtes +
-      " SELECT doc_id, x1, x2, y, " +
-      "y*det - (w0_num + w1_num*x1 + w2_num*x2) AS resid_num, " +
+      " SELECT doc_id, CAST(x1 AS VARCHAR) AS x1, CAST(x2 AS VARCHAR) AS x2, " +
+      "CAST(y AS VARCHAR) AS y, " +
+      "CAST(y*det - (w0_num + w1_num*x1 + w2_num*x2) AS VARCHAR) AS resid_num, " +
       "abs(y*det - (w0_num + w1_num*x1 + w2_num*x2)) * 1 > 300 * det AS is_outlier " +
       "FROM f CROSS JOIN m ORDER BY doc_id"
 
