@@ -541,23 +541,40 @@ object Bench {
     val floorR = HealPolicy.floorRatio(floor, priorFloor)
     val floorRJson = floorR.map(r => f"$r%.2f").getOrElse("null")
 
+    // r10 (r9 VERDICT #2): cross-round-regressed lines used to leave
+    // ZERO trace when their probe read high — q52's confirmed 2.6x was
+    // invisible because "suspect" only names healed (= polluted)
+    // windows. Every regressed-flagged line now logs its full evidence
+    // [prior, original median, probe (-1 = none ran), final median];
+    // lines whose FINAL median still clears the regression bar are
+    // confirmed regressions and ride the compact line as "regr".
+    val regrLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
+
     def heal(m: Measure): (Measure, Option[Double]) = {
       if (noRerun(m.name)) return (m, None)
       val prior =
         priorMedians.get(HealPolicy.canonKey(HealPolicy.shortName(m.name)))
-      if (!HealPolicy.flagged(m.median, m.samples) &&
-          !HealPolicy.regressed(m.median, prior))
+      val isRegr = HealPolicy.regressed(m.median, prior)
+      def logRegr(probe: Double, fin: Double): Unit =
+        if (isRegr) regrLog(m.name) = (prior.get, m.median, probe, fin)
+      if (!HealPolicy.flagged(m.median, m.samples) && !isRegr)
         return (m, None)
-      val thunk = thunks.getOrElse(m.name, return (m, None))
+      val thunk = thunks.getOrElse(m.name, { logRegr(-1, m.median); return (m, None) })
+      var probeVal = -1.0
       val remeasure = HealPolicy.bimodal(m.median, m.samples) || {
-        val p = try time(thunk()) catch { case _: Throwable => return (m, None) }
+        val p = try time(thunk()) catch {
+          case _: Throwable => logRegr(-1, m.median); return (m, None)
+        }
+        probeVal = p
         HealPolicy.probeConfirms(p, m.median)
       }
-      if (!remeasure) return (m, None)
+      if (!remeasure) { logRegr(probeVal, m.median); return (m, None) }
       val again = measure(m.name, thunk())
-      if (again.median >= 0 && again.median < m.median)
+      if (again.median >= 0 && again.median < m.median) {
+        logRegr(probeVal, again.median)
         (again.copy(atSec = m.atSec), Some(m.median))
-      else (m, None)
+      } else { logRegr(probeVal, m.median); (m, None) }
     }
     val healedPairs = (results ++ annResults ++ jsonResults ++ asofResults ++
       scaledResults ++ ivf256Results).map(heal)
@@ -565,6 +582,11 @@ object Bench {
     val rerunEvidence = healedPairs.collect {
       case (m, Some(orig)) => m.name -> ((orig, m.median))
     }
+    val confirmedRegr = regrLog.collect {
+      case (n, (prior, _, _, fin))
+          if HealPolicy.confirmedRegression(fin, Some(prior)) =>
+        HealPolicy.shortName(n)
+    }.toSeq.distinct.take(6)
     // base names shorten to the compact line's own qNN keys; extras
     // (x10_/x_ann_) keep full names; capped so a stall-heavy round
     // cannot overflow the 1900-char tail budget (fallback below drops
@@ -585,7 +607,12 @@ object Bench {
     val reruns = rerunEvidence
       .map { case (n, (o, f2)) => "\"" + n + "\":[" + f"$o%.3f,$f2%.3f" + "]" }
       .mkString("{", ",", "}")
+    val regrMap = regrLog
+      .map { case (n, (p, o, pr, f2)) =>
+        "\"" + n + "\":[" + f"$p%.3f,$o%.3f,$pr%.3f,$f2%.3f" + "]" }
+      .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regrJson = confirmedRegr.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = healedBase.map(_.median).filter(_ >= 0).sum
     // Round-3/4 post-mortem: the driver's artifact keeps only a ~2000-char
     // tail of stdout. Round 3 lost the medians to the telemetry maps;
@@ -596,8 +623,8 @@ object Bench {
     // ~109 × 13 chars ≈ 1.4 KB, guaranteed to survive the tail whole.
     // Everything else (telemetry maps, x10/x_ann/x_json lines with full
     // names) prints on EARLIER lines; nothing should SUM across lines.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"regr":$regrMap,"samples":$samples,"gc_sec":$gcs,"at_sec":$ats,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"floor_post":$floorPost,"floor_r":$floorRJson,"rerun":$reruns,"regr":$regrMap,"queries":$qs,"sf":"$sfDir"}""")
     // 2 decimals: at 147 base queries the 3-decimal line crossed the
     // 1900-char tail budget (the require below fired in round 6 —
     // exactly its job). 10 ms resolution is fine for the compact gate
@@ -621,7 +648,7 @@ object Bench {
         "\"" + keyOf(HealPolicy.shortName(m.name)) + "\":" + v
       }
       .mkString("{", ",", "}")
-    def renderFinal(susp: String, kfMode: Option[String],
+    def renderFinal(susp: String, regr: String, kfMode: Option[String],
                     vfMode: Option[String] = None): String = {
       val kf = kfMode.map(m => s""""kf":"$m",""").getOrElse("")
       val vf = vfMode.map(m => s""""vf":"$m",""").getOrElse("")
@@ -631,24 +658,28 @@ object Bench {
         case _ => identity
       }
       val qs2 = renderQs(keyOf, vfMode)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"queries":$qs2%s,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"regr":$regr%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
+    // degradation ladder: "regr" (r10 — confirmed cross-round
+    // regressions, the complement of "suspect") drops together with
+    // the suspect list at each rung; the telemetry line always keeps
+    // the full regr evidence map regardless.
     val finalLine = Seq(
-      renderFinal(suspectJson, None),
-      renderFinal("[]", None),
-      renderFinal(suspectJson, Some("b36")),
-      renderFinal("[]", Some("b36")),
+      renderFinal(suspectJson, regrJson, None),
+      renderFinal("[]", "[]", None),
+      renderFinal(suspectJson, regrJson, Some("b36")),
+      renderFinal("[]", "[]", Some("b36")),
       // r10: fold the x10_qNNN keys too ("kf":"b36x") — at 169 queries
       // + ~40 x10 lines the full x10 names became the dominant term
-      renderFinal(suspectJson, Some("b36x")),
-      renderFinal("[]", Some("b36x")),
+      renderFinal(suspectJson, regrJson, Some("b36x")),
+      renderFinal("[]", "[]", Some("b36x")),
       // r9 final rung: centisecond integer medians ("vf":"cs") — at
       // 179+ base entries even bare-b36 keys with "0.12" values brush
       // the budget; ints buy ~2 chars per entry
-      renderFinal(suspectJson, Some("b36x"), Some("cs")),
-      renderFinal("[]", Some("b36x"), Some("cs")))
+      renderFinal(suspectJson, regrJson, Some("b36x"), Some("cs")),
+      renderFinal("[]", "[]", Some("b36x"), Some("cs")))
       .find(_.length < 1900)
-      .getOrElse(renderFinal("[]", Some("b36x"), Some("cs")))
+      .getOrElse(renderFinal("[]", "[]", Some("b36x"), Some("cs")))
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

@@ -78,6 +78,29 @@ object HealPolicy {
   def suspect(orig: Double, healed: Double): Boolean =
     healed < orig / ConfirmRatio
 
+  /** r10 (r9 VERDICT what's-wrong #2): the probe-miss mechanism. A
+    * cross-round-[[regressed]] line whose probe lands HIGH (>= median /
+    * [[ConfirmRatio]]) never re-measures — and the r9 pipeline then
+    * left ZERO trace of it: no re-measure means no "rerun" entry, and
+    * "suspect" requires a heal that never happened. That is exactly how
+    * q52's 2.6x (0.34 -> 0.88; its probe necessarily read >= 0.59 or
+    * it would have healed) escaped the artifact's suspect list — that
+    * list only names POLLUTED windows, never confirmed regressions.
+    * (r10 A-B-A adjudication: all five r9 drift lines proved
+    * code-neutral — the r8 tree measures identically under the same
+    * protocol — but the artifact could not say so on its own.)
+    *
+    * The fix: after healing has had every chance to clear a line, a
+    * final median that is STILL past the regression bar is a CONFIRMED
+    * regression — healing only lowers medians, so surviving the probe /
+    * re-measure gauntlet above the bar is evidence, not absence of it.
+    * Bench now carries these names in the compact line's "regr" list
+    * and their [prior, orig, probe, final] evidence in the telemetry
+    * line's "regr" map — one of the two lists (suspect = window
+    * polluted, regr = regression real) names every cross-round drift. */
+  def confirmedRegression(finalMedian: Double, prior: Option[Double]): Boolean =
+    regressed(finalMedian, prior)
+
   // r9 (r8 VERDICT what's-wrong #3): per-line healing cannot fix a
   // UNIFORMLY hot box — every line reads ~ratio hot, the cross-round
   // probes fire, re-measure at the same hot number, and the artifact

@@ -170,4 +170,35 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.floorRatio(0.173, Some(0.0)).isEmpty)
     assert(HealPolicy.floorRatio(-1.0, Some(0.110)).isEmpty)
   }
+
+  test("r9 probe-miss mechanism: q52's confirmed 2.6x left zero trace " +
+      "— 'regr' now names it (r10)") {
+    // The r9 artifact: q52 0.34 -> 0.88 on a COOLER box (floor_r 0.73),
+    // absent from the suspect list. Replay the decision chain:
+    val prior = Some(0.34)
+    val samples = Seq(0.86, 0.88, 0.91) // uniform — not bimodal
+    // 1. the cross-round check DID fire (0.88 > 1.4 x 0.34)...
+    assert(HealPolicy.regressed(0.88, prior))
+    assert(!HealPolicy.flagged(0.88, samples)) // not heavy (<1s), not bimodal
+    // 2. ...so a probe ran. Had it read < 0.88/1.5 = 0.587 the line
+    // would have re-measured and healed; it did not — so the probe
+    // necessarily read >= 0.587, i.e. the quiet window CONFIRMED the
+    // number. No re-measure:
+    assert(!HealPolicy.probeConfirms(probe = 0.85, median = 0.88))
+    // 3. the r9 trace gap: "suspect" requires a heal 1.5x below the
+    // original — impossible here; the confirmed regression vanished.
+    assert(!HealPolicy.suspect(orig = 0.88, healed = 0.88))
+    // 4. the r10 fix: the FINAL median still past the regression bar
+    // is a confirmed regression — it rides the compact "regr" list
+    // and the telemetry "regr" evidence map.
+    assert(HealPolicy.confirmedRegression(0.88, prior))
+    // a polluted window that healed back under the bar does NOT:
+    assert(!HealPolicy.confirmedRegression(0.41, prior))
+    // and with no prior there is nothing to confirm against:
+    assert(!HealPolicy.confirmedRegression(0.88, None))
+    // (r10 adjudication note: ONLY-mode A-B-A proved all five r9 drift
+    // lines code-neutral — the r8 tree measures identically under the
+    // same protocol — so the r9 readings were context, not code; the
+    // machinery above exists so the artifact can say so by itself.)
+  }
 }
