@@ -74,7 +74,23 @@ object WordPiece {
     * pass as in [[BpeTokenizer.train]]; both paths spec-pinned equal. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             localVocabMax: Int = 1 << 20,
-            byteLevel: Boolean = false): Seq[(String, String)] = {
+            byteLevel: Boolean = false): Seq[(String, String)] =
+    trainAndVocab(df, textCol, numMerges, localVocabMax, byteLevel)._1
+
+  /** [[train]] plus the apply vocabulary the merges induce — both off
+    * the SAME word histogram, so a train→encode chain pays ONE corpus
+    * pass for its model (r10, VERDICT r9 #4: q183 used to re-read the
+    * whole corpus a second time just to re-derive the charset the
+    * histogram already held; seed units are word-TYPE-derivable, so
+    * the unit distinct is vocabulary-bounded, never corpus-bounded).
+    * This is also the semantically right vocabulary source (r9 ADVICE):
+    * the encoder must match against the TRAINING corpus's charset —
+    * deriving units from the encode-side corpus silently extends the
+    * vocabulary when the corpora differ. */
+  def trainAndVocab(df: DataFrame, textCol: String, numMerges: Int,
+                    localVocabMax: Int = 1 << 20,
+                    byteLevel: Boolean = false)
+      : (Seq[(String, String)], Set[String]) = {
     require(numMerges >= 0, s"numMerges $numMerges < 0")
     val spark = df.sparkSession
     import spark.implicits._
@@ -86,9 +102,19 @@ object WordPiece {
       if (localVocabMax > 0) hist.limit(localVocabMax + 1)
         .as[(String, Long)].collect()
       else Array.empty[(String, Long)]
-    if (localVocabMax > 0 && head.length <= localVocabMax)
-      trainLocal(head, numMerges, byteLevel)
-    else trainDistributed(hist, numMerges, byteLevel)
+    if (localVocabMax > 0 && head.length <= localVocabMax) {
+      val merges = trainLocal(head, numMerges, byteLevel)
+      (merges, vocabFrom(head.map(_._1), merges, byteLevel))
+    } else {
+      val merges = trainDistributed(hist, numMerges, byteLevel)
+      // distributed regime: units come off the (vocab-bounded) word-
+      // type relation, one explode+distinct over TYPES, not the corpus
+      val bl = byteLevel
+      val units = hist.select(col("w")).as[String]
+        .flatMap(w => seedUnits(w, bl)).distinct().collect()
+      (merges,
+        units.toSet ++ merges.map { case (a, b) => a + b.stripPrefix("##") })
+    }
   }
 
   private def trainLocal(hist: Array[(String, Long)], numMerges: Int,
@@ -178,12 +204,24 @@ object WordPiece {
     * prepended when not word-initial); a word with any unmatchable
     * remainder encodes as the single `[UNK]`. Code-point slicing, so
     * supplementary characters never split. */
-  def encodeWord(word: String, vocab: Set[String]): Vector[String] = {
+  def encodeWord(word: String, vocab: Set[String]): Vector[String] =
+    encodeWord(word, vocab, Int.MaxValue)
+
+  /** As above with the greedy window bounded by `maxPieceCps`, the
+    * longest piece (in code points, `##` excluded) the vocabulary
+    * holds — no longer candidate can match, so starting the descent at
+    * `start + maxPieceCps` is exact, not approximate (r10: on long
+    * words the unbounded descent paid O(len) guaranteed Set misses per
+    * position; [[maxPieceLen]] computes the bound once per vocab). */
+  def encodeWord(word: String, vocab: Set[String],
+                 maxPieceCps: Int): Vector[String] = {
     val cps = BpeTokenizer.codePoints(word)
     val out = Vector.newBuilder[String]
     var start = 0
     while (start < cps.length) {
-      var end = cps.length
+      var end =
+        if (cps.length - start > maxPieceCps) start + maxPieceCps
+        else cps.length
       var hit: String = null
       while (hit == null && end > start) {
         val cand0 = cps.slice(start, end).mkString
@@ -196,6 +234,13 @@ object WordPiece {
     }
     out.result()
   }
+
+  /** Longest piece in a vocabulary, in code points, `##` stripped —
+    * the exact greedy window bound for [[encodeWord]]. */
+  def maxPieceLen(vocab: Set[String]): Int =
+    if (vocab.isEmpty) 0
+    else vocab.iterator
+      .map(v => BpeTokenizer.codePoints(v.stripPrefix("##")).length).max
 
   /** The vocabulary a trained merge list induces over a corpus
     * histogram's seed units — what [[encodeWord]] matches against. */
@@ -216,6 +261,12 @@ object WordPiece {
     *
     * Output: (idCol, n_words, n_pieces, n_unk_words) — a word that
     * greedy cannot tile counts 1 piece ([UNK]) and 1 unk. */
+  /** Variant deriving the vocabulary's seed units from `df` ITSELF —
+    * correct ONLY when `df` IS the training corpus (r9 ADVICE: encoding
+    * a different corpus through this overload silently adds the encode
+    * corpus's charset to the vocabulary and under-counts [UNK]s). For
+    * the general train-here-encode-there shape, use [[trainAndVocab]]
+    * and the explicit-vocabulary overload below. */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
@@ -226,21 +277,46 @@ object WordPiece {
       .as[String]
       .flatMap(w => seedUnits(w))
       .distinct().collect()
-    val vocab: Set[String] = units.toSet ++
-      merges.map { case (a, b) => a + b.stripPrefix("##") }
+    encodeStats(df, idCol, textCol,
+      units.toSet ++ merges.map { case (a, b) => a + b.stripPrefix("##") })
+  }
+
+  /** Explicit-vocabulary form: broadcast `vocab` (from
+    * [[trainAndVocab]] or a persisted model) and greedy-encode every
+    * document row-locally — zero shuffle, zero extra corpus passes. */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  vocab: Set[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
+    val maxCps = maxPieceLen(vocab)
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-        var nPieces = 0L
-        var nUnk = 0L
-        words.foreach { w =>
-          val enc = encodeWord(w, bc.value)
-          nPieces += enc.length
-          if (enc.length == 1 && enc.head == "[UNK]") nUnk += 1
+      .mapPartitions { it =>
+        // per-partition word-TYPE memo (the UnigramLm Viterbi-cache
+        // pattern): Zipf repetition means most tokens re-encode a word
+        // the partition has already walked — cache (pieces, isUnk) per
+        // type, bounded by the partition's type count. Row-local state
+        // only; still zero shuffle.
+        val memo = new java.util.HashMap[String, (Long, Boolean)]()
+        val v = bc.value
+        it.map { case (id, text) =>
+          val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+          var nPieces = 0L
+          var nUnk = 0L
+          words.foreach { w =>
+            var st = memo.get(w)
+            if (st == null) {
+              val enc = encodeWord(w, v, maxCps)
+              st = (enc.length.toLong,
+                enc.length == 1 && enc.head == "[UNK]")
+              memo.put(w, st)
+            }
+            nPieces += st._1
+            if (st._2) nUnk += 1
+          }
+          (id, words.length.toLong, nPieces, nUnk)
         }
-        (id, words.length.toLong, nPieces, nUnk)
       }.toDF(idCol, "n_words", "n_pieces", "n_unk_words")
   }
 }

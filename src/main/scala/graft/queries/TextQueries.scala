@@ -1292,12 +1292,22 @@ object TextQueries {
   // encode row-local, zero shuffle. The oracle replays train AND the
   // greedy walk (a recursive CTE whose step keeps ONLY the longest
   // match via a no-longer-candidate left anti pattern).
+  // r10 fusion (VERDICT r9 #4): trainAndVocab derives the apply
+  // vocabulary from the SAME word histogram the trainer reads — the
+  // old third corpus pass (charset-units distinct over every token)
+  // is now a vocab-bounded distinct over word TYPES. Two corpus
+  // passes total: histogram + encode. fertility_e6 multiplies in
+  // decimal(38,0) before the div (the q180 convention) so the Spark
+  // side matches the oracle's HUGEINT promotion at any corpus size
+  // (r9 ADVICE: bare Long wrapped past ~9.2e12 total pieces).
   private def q183(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val merges = graft.functions.WordPiece.train(docs, "text", bpeTrainK)
-    graft.functions.WordPiece.encodeStats(docs, "doc_id", "text", merges)
+    val (_, vocab) =
+      graft.functions.WordPiece.trainAndVocab(docs, "text", bpeTrainK)
+    graft.functions.WordPiece.encodeStats(docs, "doc_id", "text", vocab)
       .withColumn("fertility_e6",
-        expr("(n_pieces * 1000000L) div greatest(n_words, 1L)"))
+        expr("(cast(n_pieces as decimal(38,0)) * 1000000L) " +
+          "div greatest(n_words, 1L)"))
       .orderBy(col("doc_id"))
   }
 
@@ -1314,8 +1324,10 @@ object TextQueries {
       df.agg(sum(col("n_words")).as("n_words"),
         sum(col(pieces)).as("n_pieces"))
         .select(lit(fam).as("family"), col("n_words"), col("n_pieces"),
-          expr("(n_pieces * 1000000L) div greatest(n_words, 1L)")
-            .as("fertility_e6"))
+          // decimal(38,0) intermediate = the oracle's HUGEINT SUM
+          // promotion — exact past the Long wrap point (r9 ADVICE)
+          expr("(cast(n_pieces as decimal(38,0)) * 1000000L) " +
+            "div greatest(n_words, 1L)").as("fertility_e6"))
     tot(q148(s, d), "n_subwords", "bpe")
       .unionByName(tot(q177(s, d), "n_pieces", "unigram"))
       .unionByName(tot(q183(s, d), "n_pieces", "wordpiece"))

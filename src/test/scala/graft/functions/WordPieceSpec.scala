@@ -148,4 +148,47 @@ class WordPieceSpec extends SparkSpec {
     assert(got === expected)
     assert(got(2L) === ((0L, 0L, 0L)))
   }
+
+  test("bounded greedy window ≡ unbounded encode on random words " +
+      "(the r10 maxPieceLen fast path is exact)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abco🌟" // incl. a supplementary char
+    def randWord(n: Int): String =
+      Seq.fill(n)(alphabet.charAt(rnd.nextInt(4)).toString)
+        .mkString + (if (rnd.nextBoolean()) "🌟" else "")
+    val corpus = Seq.fill(60)(randWord(1 + rnd.nextInt(12)))
+    val merges = Seq.tabulate(6) { i =>
+      // fabricate plausible merges from seeds so fused pieces exist
+      val w = corpus(i * 3); val u = WordPiece.seedUnits(w)
+      if (u.length >= 2) (u(0), u(1)) else ("a", "##b")
+    }
+    val vocab = WordPiece.vocabFrom(corpus, merges)
+    val bound = WordPiece.maxPieceLen(vocab)
+    assert(bound >= 1)
+    for (w <- corpus ++ Seq("zzzzzz", "", "🌟🌟🌟")) {
+      assert(WordPiece.encodeWord(w, vocab, bound) ===
+        WordPiece.encodeWord(w, vocab))
+    }
+    // a vocab-external long word still [UNK]s identically
+    assert(WordPiece.encodeWord("qqqq", vocab, bound) === Vector("[UNK]"))
+  }
+
+  test("trainAndVocab: vocabulary comes from the TRAINING corpus and " +
+      "equals vocabFrom(train words, merges) (r9 ADVICE)") {
+    import spark.implicits._
+    val train = Seq("abab abab cd", "abab cd cd").toDF("text")
+    val (merges, vocab) = WordPiece.trainAndVocab(train, "text", 3)
+    val words = Seq("abab", "cd")
+    assert(vocab === WordPiece.vocabFrom(words, merges))
+    assert(merges === WordPiece.train(train, "text", 3))
+    // encode of a DIFFERENT corpus through the explicit vocab does NOT
+    // absorb the encode corpus's charset: 'xy' is un-tileable → [UNK]
+    val enc = WordPiece
+      .encodeStats(Seq((1L, "abab xy")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(enc === ((1L, 2L, /* abab pieces + [UNK] */ enc._3, 1L)))
+    // the merges-overload on the encode df WOULD have tiled 'xy' from
+    // its own charset — the documented trap this overload avoids
+  }
 }
