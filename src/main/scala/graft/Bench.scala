@@ -421,7 +421,15 @@ object Bench {
       // r9 capstone-adjacent: the WordPiece apply path is a row-local
       // typed map over the corpus (train histogram + units distinct
       // are vocab-bounded) — corpus-proportional
-      "q183_wordpiece_encode")
+      "q183_wordpiece_encode",
+      // r10 (VERDICT r9 #6): complete the newest family's x10 rung so
+      // cross-round scale regressions are driver-visible. q176/q185
+      // carry their LSH chain term (like q121 would — here the x10
+      // point is the regression sentinel, the x100 dossier the scale
+      // narrative); q181/q182 are state+batch / bounded-heap shapes;
+      // q184 embeds the three encode chains end to end
+      "q176_components_incr", "q181_source_kl_incr", "q182_kl_terms",
+      "q184_tokenizer_fertility", "q185_minhash_lsh_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -125,10 +125,38 @@ object CorpusScaleSmoke {
       "q181_source_kl_incr", "q182_kl_terms",
       // r9: WordPiece train (histogram corpus-proportional, merges
       // vocab-bounded) + broadcast-vocab row-local greedy encode
-      "q183_wordpiece_encode")
+      "q183_wordpiece_encode",
+      // r10: incremental MinHash-LSH — only the 1/7 batch is signed;
+      // the claims to watch are the band-probe exchange (batch bands +
+      // TOUCHED warehouse band rows, never the full warehouse band
+      // table) and the verify join (candidate ids only)
+      "q185_minhash_lsh_incr")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""
+    }
+
+    // q185's state-simulation term measured ALONE: the in-plan
+    // lshBandWarehouse over the 6/7 warehouse split — the part a
+    // deployment PERSISTS (signed once at ingest, bucketed by
+    // (band, bhash)) and the q185 line therefore only pays because the
+    // self-contained query must simulate its state (the q181
+    // convention). Subtracting this line from q185's decomposes the
+    // smoke into simulation vs steady-state probe.
+    val q185StateLine = if (!wanted("q185state")) None else Some {
+      import org.apache.spark.sql.functions.col
+      Thread.sleep(1000)
+      val w0 = shufWrite.get(); val r0 = shufRead.get()
+      val t0 = System.nanoTime()
+      Bench.force(graft.operators.Dedup.lshBandWarehouse(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", numPerms = 32, numBands = 8, shingleN = 3))
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      val w = shufWrite.get() - w0
+      val r = shufRead.get() - r0
+      f""""q185state":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f}"""
     }
 
     // q153 THROUGH the partitioned-bloom pruner (the composition the
@@ -212,7 +240,7 @@ object CorpusScaleSmoke {
       f""""overlap_uncapped":{"sec":$uSec%.2f,"shuffle_write_mb":${uW / 1e6}%.1f,"shuffle_read_mb":${uR / 1e6}%.1f,"pairs":$uPairs},"overlap_capped":{"sec":$cSec%.2f,"shuffle_write_mb":${cW / 1e6}%.1f,"shuffle_read_mb":${cR / 1e6}%.1f,"pairs":$cPairs}"""
     }
 
-    println(s"""{"dir":"$dir","n_docs":$n,${(lines ++ bloomLine ++ overlapCapLine).mkString(",")}}""")
+    println(s"""{"dir":"$dir","n_docs":$n,${(lines ++ q185StateLine ++ bloomLine ++ overlapCapLine).mkString(",")}}""")
     spark.stop()
   }
 }

@@ -249,6 +249,74 @@ object Dedup {
     verifyPairs(df, idCol, textCol, threshold, pairs)
   }
 
+  /** The persisted LSH state for a corpus split: one (id, band, bhash)
+    * row per document band, on the portable md5 signature path — the
+    * signature-warehouse relation [[minHashLshIncremental]] probes.
+    * Mergeable by construction (band rows of disjoint corpora union —
+    * the q181 token-count / q171 segment-hash state contract); a
+    * deployment persists it bucketed by (band, bhash) so daily probes
+    * co-locate without shuffling the warehouse side. */
+  def lshBandWarehouse(df: DataFrame, idCol: String, textCol: String,
+                       numPerms: Int = 32, numBands: Int = 8,
+                       shingleN: Int = 3): DataFrame =
+    minHashSignaturesPortable(df, idCol, textCol, numPerms, shingleN)
+      .select(col("id"),
+        posexplode(bandHashesPortable(col("sig"), numBands, numPerms / numBands)))
+      .toDF("id", "band", "bhash")
+
+  /** Incremental MinHash-LSH near-dup detection against a persisted
+    * signature warehouse — the r9-VERDICT gap in the incremental dedup
+    * ladder (segments q171, components q176, KL q181 had their forms;
+    * this is MinHash's). Returns every verified pair INVOLVING a batch
+    * doc — batch↔warehouse and batch↔batch — exactly the subset of the
+    * full-rebuild pair list that mentions the batch (oracle-gated by
+    * full-rebuild equality, the q181 contract).
+    *
+    * Work ∝ batch, never corpus: only the BATCH is ever signed (one
+    * row-local kernel pass); the warehouse contributes pre-computed
+    * band rows, restricted by a semi-join to the buckets the batch
+    * actually touches (bucketed-by-(band,bhash) storage makes that a
+    * co-located probe with no warehouse shuffle). The bucket-size
+    * bound counts batch + touched-warehouse rows — identical to the
+    * full rebuild's count for every bucket that can produce a
+    * batch-involving pair, so the exclusion set matches exactly.
+    * Exact-Jaccard verification touches only candidate ids (broadcast
+    * semi-join against the docs tables).
+    *
+    * `warehouseDocs` supplies (idCol, textCol) for the verification
+    * token sets of warehouse-side candidates — at scale an id-bucketed
+    * table probed per candidate, never scanned per batch doc. */
+  def minHashLshIncremental(warehouseBands: DataFrame, warehouseDocs: DataFrame,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            numPerms: Int = 32, numBands: Int = 8,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            maxBucket: Int = 1000): DataFrame = {
+    val batchBands =
+      lshBandWarehouse(batch, idCol, textCol, numPerms, numBands, shingleN)
+        .withColumn("__batch", lit(true))
+    val touched = batchBands.select(col("band"), col("bhash")).distinct()
+    val whTouched = warehouseBands
+      .join(touched, Seq("band", "bhash"), "left_semi")
+      .select(col("id"), col("band"), col("bhash"))
+      .withColumn("__batch", lit(false))
+    val bounded = batchBands.unionByName(whTouched)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val pairs = bounded.filter(col("__batch")).as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val docs = warehouseDocs.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    verifyPairs(docs, idCol, textCol, threshold, pairs)
+  }
+
   /** 64-bit SimHash per doc: bit b of the hash is set iff the sum of ±1
     * votes from token-hash bit b is positive.
     *

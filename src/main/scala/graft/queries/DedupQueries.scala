@@ -383,7 +383,31 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Incremental MinHash-LSH dedup (r10, VERDICT r9 #5): the last dedup
+  // family to get its warehouse form — docs with doc_id % 7 == 0 play
+  // the incoming batch, the rest the accumulated corpus whose band
+  // signatures are PERSISTED state (simulated in-plan here, like
+  // q171/q176/q181). Only the batch is signed; its bands probe the
+  // warehouse band table; output = every verified near-dup pair that
+  // mentions a batch doc. The oracle rebuilds the FULL q38 pair list
+  // from scratch and filters to batch-involving pairs (the q181
+  // gating contract: incremental ≡ from-scratch, hash-identical).
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    val warehouse = docs.filter(!isNew)
+    Dedup.minHashLshIncremental(
+        Dedup.lshBandWarehouse(warehouse, "doc_id", "text",
+          numPerms = 32, numBands = 8, shingleN = 3),
+        warehouse, docs.filter(isNew), "doc_id", "text",
+        numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_minhash_lsh_incr" -> q185 _,
     "q176_components_incr" -> q176 _,
     "q174_cdc_chunk_dedup" -> q174 _,
     "q171_segment_dedup_incr" -> q171 _,
@@ -718,7 +742,18 @@ object DedupQueries {
       "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, '' ORDER BY pos), '')) AS clean_md5 " +
       "FROM r GROUP BY doc_id ORDER BY doc_id"
 
+  /** q185 twin: the q38 full-rebuild pair CTEs VERBATIM, filtered to
+    * pairs mentioning a batch doc — incremental ≡ from-scratch (the
+    * q181 contract). */
+  private def minHashLshIncrOracle: String =
+    s"""WITH $minHashPairCtes
+       |SELECT id_a, id_b, n_common, n_union,
+       |  CAST(FLOOR(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT) AS jaccard_e6
+       |FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3
+       |  AND (id_a % 7 = 0 OR id_b % 7 = 0) ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q185_minhash_lsh_incr" -> minHashLshIncrOracle,
     // q176: the incremental path must answer exactly what a from-scratch
     // closure over ALL pairs answers — the q69 oracle verbatim
     "q176_components_incr" -> nearDupComponentsOracle,

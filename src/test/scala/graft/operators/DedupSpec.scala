@@ -30,6 +30,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
   }
 
+  test("minHashLshIncremental ≡ full rebuild filtered to batch-involving " +
+      "pairs, on planted dups straddling the split (r10)") {
+    // planted near-dups across every pair class: batch↔warehouse
+    // (10,11), batch↔batch (12,14), warehouse↔warehouse (1,3 — must
+    // NOT appear), plus unrelated noise
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      (5L, "totally different warehouse content about catalyst rules"),
+      (10L, "one two three four five six seven eight nine ten eleven"),
+      (11L, "one two three four five six seven eight nine ten twelve"),
+      (12L, "red orange yellow green blue indigo violet ultraviolet rays"),
+      (14L, "red orange yellow green blue indigo violet infrared rays"),
+      (7L, "unrelated batch noise mentioning broadcast joins and skew"))
+      .toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0 || col("doc_id") === 7L
+    val wh = corpus.filter(!isBatch)
+    val batch = corpus.filter(isBatch)
+    val incr = Dedup.minHashLshIncremental(
+        Dedup.lshBandWarehouse(wh, "doc_id", "text", 32, 8, 3),
+        wh, batch, "doc_id", "text",
+        numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select("id_a", "id_b", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val bids = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.minHashLshPortable(corpus, "doc_id", "text",
+        numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .select("id_a", "id_b", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(incr === full.filter(p => bids(p._1) || bids(p._2)))
+    // the planted cross and within-batch dups really are found...
+    assert(incr.exists(p => (p._1, p._2) == ((10L, 11L)))) // batch↔warehouse
+    assert(incr.exists(p => (p._1, p._2) == ((12L, 14L)))) // batch↔batch
+    // ...and the warehouse-internal dup (present in the full rebuild)
+    // is correctly absent from the batch-involving answer
+    assert(full.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!incr.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
   test("minHash signatures are deterministic across evaluations, MaxValue for short docs") {
     def sigs() = Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
