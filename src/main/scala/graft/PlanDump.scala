@@ -24,9 +24,15 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
+    // word-start anchored (r9 ADVICE): a bare "Exchange" substring also
+    // matched every ReusedExchange/BroadcastExchange occurrence,
+    // inflating the one count this tool exists to report (the shuffle
+    // exchange). (?<![A-Za-z]) rejects matches preceded by a letter;
+    // the other keywords gain the same guard for free.
     Seq("ReusedExchange", "Exchange", "Scan parquet", "graft_shingles",
       "BroadcastExchange", "WindowExec", "SortMergeJoin", "BroadcastHashJoin")
-      .foreach(k => println(f"$k%-20s ${k.r.findAllIn(plan).size}"))
+      .foreach(k =>
+        println(f"$k%-20s ${s"(?<![A-Za-z])${k}".r.findAllIn(plan).size}"))
     if (args.contains("full")) println(plan)
     spark.stop()
   }

@@ -320,9 +320,19 @@ object NgramLm {
     * and `p_e9 = (1e9 · num) div den` — the multiply rides
     * Decimal(38,0) (num can pass 2^63/1e9 at corpus scale; `div` is
     * IntegralDivide, flooring exactly like DuckDB's HUGEINT `//`), den
-    * and num themselves are exact in longs while c(vw)·B < 2^61 (past
-    * that the same plan flips to log-space doubles — the
-    * [[Collocations]] caveat). An UNSEEN context (c(v·) = 0, so the
+    * and num themselves are exact in longs while c(vw)·B < 2^61.
+    * PAST that bound this plan is UNGUARDED (r9 ADVICE, documented
+    * deliberately): Spark's non-ANSI Long arithmetic would wrap
+    * silently while the DuckDB twin's BIGINT raises — so the bound is
+    * a stated operating limit, not a handled regime. c(vw)·B ≥ 2^61
+    * needs a bigram observed ~2.3e18/B times; at B = 10^9 distinct
+    * bigrams that is a 2.3e9-occurrence single bigram inside a
+    * ~10^18-token corpus — beyond any published corpus, which is why
+    * the guard is a documented limit rather than code. A deployment
+    * crossing it should route the numerator through Decimal(38,0)
+    * like the p_e9 multiply, or flip to log-space doubles (what
+    * [[Collocations]] does for its PMI logs) at the cost of the exact
+    * hash gate. An UNSEEN context (c(v·) = 0, so the
     * discounted term has no denominator) falls to the add-one-smoothed
     * continuation distribution `(N1+(·w) + 1) / (B + Vc)` with Vc =
     * #distinct continuation types — proper (positive, ≤ 1), exact, and
