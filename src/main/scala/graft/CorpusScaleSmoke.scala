@@ -130,7 +130,11 @@ object CorpusScaleSmoke {
       // the claims to watch are the band-probe exchange (batch bands +
       // TOUCHED warehouse band rows, never the full warehouse band
       // table) and the verify join (candidate ids only)
-      "q185_minhash_lsh_incr")
+      "q185_minhash_lsh_incr",
+      // r10: incremental SimHash — same probe shape at 4 fixed-width
+      // bands; hamming verification rides the banded rows themselves
+      // (no docs-side verify join at all), so shuffle = bands only
+      "q186_simhash_incr")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

@@ -378,6 +378,79 @@ object Dedup {
       .select(col("id"), concat(nibbleChars: _*).as("simhash_hex"))
   }
 
+  /** Hamming distance between two 16-hex-char SimHash fingerprints,
+    * computed nibble-by-nibble (portable: DuckDB replays strpos/xor/
+    * bit_count identically — the q39/q112 hex-carrier convention; a
+    * conv(hex,16,10) → long route would overflow signed 64-bit). */
+  def hexHamming(a: Column, b: Column): Column =
+    (1 to 16).map { j =>
+      val na = instr(lit("0123456789abcdef"), substring(a, j, 1)) - 1
+      val nb = instr(lit("0123456789abcdef"), substring(b, j, 1)) - 1
+      bit_count(na.bitwiseXOR(nb))
+    }.reduce(_ + _).cast("long")
+
+  /** Incremental SimHash near-dup detection against a persisted
+    * fingerprint warehouse — the SimHash rung of the incremental dedup
+    * ladder (MinHash has [[minHashLshIncremental]]; this closes the
+    * [[simHashHexTable]] scaladoc's persisted-signature promise with an
+    * actual warehouse form). `warehouseFps` is the persisted state: the
+    * (id, simhash_hex) relation [[simHashHexTable]] emits, mergeable by
+    * plain union (fingerprints are per-doc properties). Only the BATCH
+    * is ever fingerprinted (one row-local kernel pass); its four 16-bit
+    * bands (4-hex-char substrings) probe the warehouse band rows
+    * restricted to touched buckets, and candidates verify with the
+    * exact nibble-popcount Hamming distance.
+    *
+    * Pigeonhole exhaustiveness (the [[PerceptualHash.nearDupPairs]]
+    * guarantee): ≤ 3 flipped bits cannot touch all 4 bands, so every
+    * pair within `maxHamming ≤ 3` shares an intact band — the banded
+    * probe equals the N² scan bit-for-bit (oracle-gated against that
+    * scan), enforced by require. `maxBucket` bounds degenerate buckets
+    * exactly like the pHash join; at the default it never triggers
+    * below ~10⁵ docs per 16-bit band value.
+    *
+    * Returns (id_a, id_b, hamming) for every qualifying pair INVOLVING
+    * a batch doc — batch↔warehouse and batch↔batch. */
+  def simHashNearDupIncremental(warehouseFps: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                maxHamming: Int = 3,
+                                maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded probe is exhaustive only for maxHamming <= 3 " +
+        s"(pigeonhole over 4 16-bit bands); got $maxHamming")
+    def bandRows(fps: DataFrame): DataFrame = fps
+      .select(col("id"), col("simhash_hex"),
+        posexplode(array((0 until 4).map(j =>
+          substring(col("simhash_hex"), j * 4 + 1, 4)): _*))
+          .as(Seq("band", "bval")))
+    val batchBands =
+      bandRows(simHashHexTable(batch, idCol, textCol))
+        .withColumn("__batch", lit(true))
+    val touched = batchBands.select(col("band"), col("bval")).distinct()
+    // warehouseFps carries simHashHexTable's own (id, simhash_hex)
+    val whTouched = bandRows(warehouseFps.select(col("id"), col("simhash_hex")))
+      .join(touched, Seq("band", "bval"), "left_semi")
+      .withColumn("__batch", lit(false))
+    val bounded = batchBands.unionByName(whTouched)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    bounded.filter(col("__batch")).as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        // hamming is symmetric, so distinct-ing AFTER computing it
+        // collapses both orientations of a batch↔batch pair (the hex
+        // columns themselves swap sides between orientations)
+        hexHamming(col("a.simhash_hex"), col("b.simhash_hex")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram Jaccard similarity between two token-array columns (distinct
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =

@@ -406,7 +406,23 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Incremental SimHash near-dup (r10): the SimHash rung of the
+  // incremental ladder — the %7 batch is fingerprinted and its four
+  // 16-bit bands probe the persisted (id, simhash_hex) warehouse
+  // (simulated in-plan, the q185/q171 convention). The oracle is the
+  // full N² Hamming scan filtered to batch-involving pairs; the banded
+  // probe equals it exactly by the 4-band pigeonhole at maxHamming 3.
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    Dedup.simHashNearDupIncremental(
+        Dedup.simHashHexTable(docs.filter(!isNew), "doc_id", "text"),
+        docs.filter(isNew), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_simhash_incr" -> q186 _,
     "q185_minhash_lsh_incr" -> q185 _,
     "q176_components_incr" -> q176 _,
     "q174_cdc_chunk_dedup" -> q174 _,
@@ -494,7 +510,9 @@ object DedupQueries {
 
   /** Generated DuckDB mirror of [[Dedup.simHashHexTable]]: md5-prefix
     * token hashes, 64 ±1-vote sums, per-nibble hex assembly. */
-  private def simHashOracle: String = {
+  /** Shared q39/q186 fingerprint CTEs ending in fp(doc_id, simhash_hex)
+    * — md5-prefix token hashes, 64 ±1-vote sums, per-nibble assembly. */
+  private def simHashFpCtes: String = {
     val chars = (1 to 16)
       .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS c$j")
       .mkString(", ")
@@ -508,11 +526,35 @@ object DedupQueries {
         .mkString(" + ")
       s"substr('0123456789abcdef', ($nib) + 1, 1)"
     }.mkString(" || ")
-    s"""WITH toksr AS (SELECT doc_id, unnest(string_split_regex($normSql, $wsRe)) AS t FROM documents),
+    s"""toksr AS (SELECT doc_id, unnest(string_split_regex($normSql, $wsRe)) AS t FROM documents),
        |hs AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM toksr),
        |cs AS (SELECT doc_id, $chars FROM hs),
-       |vs AS (SELECT doc_id, $votes FROM cs GROUP BY doc_id)
-       |SELECT doc_id, $hex AS simhash_hex FROM vs ORDER BY doc_id""".stripMargin
+       |vs AS (SELECT doc_id, $votes FROM cs GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $hex AS simhash_hex FROM vs)""".stripMargin
+  }
+
+  private def simHashOracle: String =
+    s"WITH $simHashFpCtes SELECT doc_id, simhash_hex FROM fp ORDER BY doc_id"
+
+  /** q186 twin: the q39 fingerprint CTEs + the FULL N² Hamming scan
+    * (per-nibble strpos/xor/bit_count — the exact arithmetic
+    * [[graft.operators.Dedup.hexHamming]] runs), filtered to pairs
+    * mentioning a batch doc. The banded incremental probe must equal
+    * this scan bit-for-bit (pigeonhole over 4 bands at maxHamming 3). */
+  private def simHashIncrOracle: String = {
+    val nibs = (1 to 16)
+      .map(j => s"strpos('0123456789abcdef', substr(simhash_hex, $j, 1)) - 1 AS n$j")
+      .mkString(", ")
+    val ham = (1 to 16)
+      .map(j => s"bit_count(xor(a.n$j, b.n$j))")
+      .mkString(" + ")
+    s"""WITH $simHashFpCtes,
+       |fpn AS (SELECT doc_id, $nibs FROM fp),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($ham) AS hamming
+       |       FROM fpn a JOIN fpn b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pr
+       |WHERE hamming <= 3 AND (id_a % 7 = 0 OR id_b % 7 = 0)
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q112 oracle: [[graft.operators.PerceptualHash]] fingerprints from
@@ -753,6 +795,7 @@ object DedupQueries {
        |  AND (id_a % 7 = 0 OR id_b % 7 = 0) ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q186_simhash_incr" -> simHashIncrOracle,
     "q185_minhash_lsh_incr" -> minHashLshIncrOracle,
     // q176: the incremental path must answer exactly what a from-scratch
     // closure over ALL pairs answers — the q69 oracle verbatim

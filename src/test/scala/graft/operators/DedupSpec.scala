@@ -69,6 +69,43 @@ class DedupSpec extends SparkSpec {
     assert(!incr.exists(p => p._1 == 1L && p._2 == 3L))
   }
 
+  test("simHashNearDupIncremental ≡ N² Hamming scan filtered to " +
+      "batch-involving pairs (pigeonhole exhaustiveness, r10)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // wh exact dup of 1
+      (7L, "one two three four five six seven eight nine ten eleven"),
+      (14L, "one two three four five six seven eight nine ten eleven"), // batch exact dup of 7
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // batch dup of wh 1/3
+      (5L, "completely different content about spark catalyst and codegen"))
+      .toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 7 === 0
+    val wh = corpus.filter(!isBatch)
+    val batch = corpus.filter(isBatch)
+    val incr = Dedup.simHashNearDupIncremental(
+        Dedup.simHashHexTable(wh, "doc_id", "text"),
+        batch, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // reference: N² over ALL fingerprints, then batch-involving filter
+    val fps = Dedup.simHashHexTable(corpus, "doc_id", "text")
+      .as[(Long, String)].collect()
+    def ham(a: String, b: String): Long =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Integer.bitCount(
+          Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum.toLong
+    val bids = Set(7L, 14L, 21L)
+    val full = (for {
+      (ia, ha) <- fps; (ib, hb) <- fps if ia < ib
+      h = ham(ha, hb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(incr === full.filter(p => bids(p._1) || bids(p._2)))
+    assert(incr.contains((7L, 14L, 0L)))  // batch↔batch exact dup
+    assert(incr.contains((1L, 21L, 0L)))  // batch↔warehouse exact dup
+    assert(full.contains((1L, 3L, 0L)))   // warehouse-internal dup...
+    assert(!incr.exists(p => p._1 == 1L && p._2 == 3L)) // ...absent
+  }
+
   test("minHash signatures are deterministic across evaluations, MaxValue for short docs") {
     def sigs() = Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
