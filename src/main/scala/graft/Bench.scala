@@ -429,7 +429,10 @@ object Bench {
       // narrative); q181/q182 are state+batch / bounded-heap shapes;
       // q184 embeds the three encode chains end to end
       "q176_components_incr", "q181_source_kl_incr", "q182_kl_terms",
-      "q184_tokenizer_fertility", "q185_minhash_lsh_incr")
+      "q184_tokenizer_fertility", "q185_minhash_lsh_incr",
+      // r10: incremental BM25 — batch kernels + state-row rescoring,
+      // both corpus-proportional
+      "q187_bm25_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

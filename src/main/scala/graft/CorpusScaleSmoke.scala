@@ -134,7 +134,10 @@ object CorpusScaleSmoke {
       // r10: incremental SimHash — same probe shape at 4 fixed-width
       // bands; hamming verification rides the banded rows themselves
       // (no docs-side verify join at all), so shuffle = bands only
-      "q186_simhash_incr")
+      "q186_simhash_incr",
+      // r10: incremental BM25 — batch-only text kernels + ~16 B/doc
+      // stat-row rescoring; shuffle must stay at the stat-row scale
+      "q187_bm25_incr")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

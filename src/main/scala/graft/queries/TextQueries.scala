@@ -1334,7 +1334,30 @@ object TextQueries {
       .orderBy(col("family"))
   }
 
+  // Incremental BM25 index maintenance (r10): the IR-warehouse rung of
+  // the incremental theme. The persisted state is Bm25Index's two
+  // mergeable relations — per-doc (dl, tf_*) stat rows and the 1-row
+  // additive corpus aggregate (simulated in-plan over the %7 split,
+  // the q185/q171 convention). Only the batch runs the text kernels;
+  // its aggregate delta ADDS onto the warehouse's; every indexed doc
+  // rescores from ~16 bytes of integers (BM25 is global — idf/avgdl
+  // move with every batch — but the corpus text is never re-read).
+  // Oracle = q117's from-scratch SQL VERBATIM (the q181 contract).
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    val wh = graft.operators.Bm25Index
+      .docStats(docs.filter(!isNew), "doc_id", "text", bm25Terms)
+      .localCheckpoint(true) // the simulated persisted stat rows
+    val whAgg = graft.operators.Bm25Index.corpusAgg(wh, bm25Terms)
+    graft.operators.Bm25Index.scoreIncremental(wh, whAgg,
+        docs.filter(isNew), "doc_id", "text", bm25Terms)
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_bm25_incr" -> q187 _,
     "q184_tokenizer_fertility" -> q184 _,
     "q183_wordpiece_encode" -> q183 _,
     "q182_kl_terms" -> q182 _,
@@ -1703,6 +1726,9 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q187: the incremental index must answer exactly what q117's
+    // from-scratch scan answers — its oracle verbatim
+    "q187_bm25_incr" -> bm25Oracle,
     "q184_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q183_wordpiece_encode" -> wordPieceEncodeOracle,
     "q182_kl_terms" -> klTermsOracle,
