@@ -451,6 +451,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The dedup DECISION table — the artifact a production dedup pass
+    * ships: one row per document with the keep/drop verdict, a reason
+    * code, and the survivor it defers to. Layer precedence: exact dup
+    * of an earlier doc (min id over the normalized-text md5 class)
+    * beats near-dup (non-minimum member of the LSH-pair connected
+    * component) beats kept. A doc that is BOTH (an exact dup whose
+    * component holds an even smaller member) reports exact_dup and
+    * defers to its exact keeper — survivor chains resolve
+    * transitively, keeper by keeper, exactly as a pipeline applies
+    * them. Deterministic end to end; q188 gates the whole table under
+    * one oracle hash. Output: (idCol, kept, reason, survivor). */
+  def dedupDecisions(docs: DataFrame, idCol: String, textCol: String,
+                     numPerms: Int = 32, numBands: Int = 8,
+                     shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val exact = docs
+      .select(col(idCol), md5(normalized(col(textCol))).as("__nh"))
+      .withColumn("ek", min(col(idCol)).over(Window.partitionBy(col("__nh"))))
+      .select(col(idCol), col("ek"))
+    val pairs = minHashLshPortable(docs, idCol, textCol,
+        numPerms, numBands, shingleN, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents
+      .auto(pairs, docs.select(col(idCol).as("id")))
+    exact.join(comp, exact(idCol) === comp("id"))
+      .select(col(idCol),
+        (col("ek") >= col(idCol) && col("component") >= col(idCol))
+          .as("kept"),
+        when(col("ek") < col(idCol), lit("exact_dup"))
+          .when(col("component") < col(idCol), lit("near_dup"))
+          .otherwise(lit("kept")).as("reason"),
+        when(col("ek") < col(idCol), col("ek"))
+          .when(col("component") < col(idCol), col("component"))
+          .otherwise(col(idCol)).cast("long").as("survivor"))
+  }
+
   /** n-gram Jaccard similarity between two token-array columns (distinct
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =

@@ -421,7 +421,20 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Dedup DECISION table (r10): the artifact a production dedup pass
+  // actually ships — one row per document with the keep/drop verdict,
+  // a reason code, and the survivor it defers to. Precedence: exact
+  // dup of an earlier doc (min doc_id over the normalized-text md5
+  // class) beats near-dup (non-minimum member of the LSH component,
+  // q69's machinery) beats kept. Deterministic end to end — the
+  // whole table is one oracle hash.
+  private def q188(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupDecisions(documents(s, d), "doc_id", "text",
+        numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_dedup_decisions" -> q188 _,
     "q186_simhash_incr" -> q186 _,
     "q185_minhash_lsh_incr" -> q185 _,
     "q176_components_incr" -> q176 _,
@@ -794,7 +807,30 @@ object DedupQueries {
        |FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3
        |  AND (id_a % 7 = 0 OR id_b % 7 = 0) ORDER BY id_a, id_b""".stripMargin
 
+  /** q188 twin: the q69 component closure + an exact-keeper window
+    * over the normalized-text md5 class, folded into the same
+    * precedence CASE chain. */
+  private def dedupDecisionsOracle: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+       |ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS ek FROM documents)
+       |SELECT e.doc_id,
+       |  (e.ek >= e.doc_id AND c.component >= e.doc_id) AS kept,
+       |  CASE WHEN e.ek < e.doc_id THEN 'exact_dup'
+       |       WHEN c.component < e.doc_id THEN 'near_dup'
+       |       ELSE 'kept' END AS reason,
+       |  CAST(CASE WHEN e.ek < e.doc_id THEN e.ek
+       |            WHEN c.component < e.doc_id THEN c.component
+       |            ELSE e.doc_id END AS BIGINT) AS survivor
+       |FROM ex e JOIN comp c ON c.doc_id = e.doc_id ORDER BY e.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q188_dedup_decisions" -> dedupDecisionsOracle,
     "q186_simhash_incr" -> simHashIncrOracle,
     "q185_minhash_lsh_incr" -> minHashLshIncrOracle,
     // q176: the incremental path must answer exactly what a from-scratch

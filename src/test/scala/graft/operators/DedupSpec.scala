@@ -106,6 +106,26 @@ class DedupSpec extends SparkSpec {
     assert(!incr.exists(p => p._1 == 1L && p._2 == 3L)) // ...absent
   }
 
+  test("q188 decision semantics: exact beats near, survivors chain " +
+      "deterministically (branch the sf fixtures don't reach)") {
+    // 1 ← near-dup family {1,2}; 4 is an exact dup of 1 (case/ws) AND
+    // therefore also in 1's near-dup component — exact must win the
+    // reason and the survivor must be the exact keeper
+    val decisions = Dedup.dedupDecisions(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getLong(3)))).toMap
+    assert(decisions(1L) === ((true, "kept", 1L)))
+    assert(decisions(4L)._2 === "exact_dup")
+    assert(decisions(4L)._3 === 1L)
+    assert(!decisions(4L)._1)
+    // 2 is a near-dup of 1 (one token differs) but not an exact dup
+    assert(decisions(2L) === ((false, "near_dup", 1L)))
+    // unrelated docs keep themselves
+    assert(decisions(3L) === ((true, "kept", 3L)))
+    assert(decisions(5L) === ((true, "kept", 5L)))
+  }
+
   test("minHash signatures are deterministic across evaluations, MaxValue for short docs") {
     def sigs() = Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
