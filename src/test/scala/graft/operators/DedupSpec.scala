@@ -126,6 +126,54 @@ class DedupSpec extends SparkSpec {
     assert(decisions(5L) === ((true, "kept", 5L)))
   }
 
+  test("incremental ≡ full-filtered holds on random corpora and random " +
+      "splits (LSH and SimHash warehouses, seeded property sweep)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    for (round <- 1 to 3) {
+      val corpus = (1L to 40L).map { id =>
+        // clusters of near-dups: base text per id%6 family + light noise
+        val base = Seq.fill(8)(vocab((id % 6).toInt + rnd.nextInt(2))).zipWithIndex
+          .map { case (w, i) => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(8)) else w + i }
+        (id, base.mkString(" "))
+      }.toDF("doc_id", "text")
+      val m = 2 + rnd.nextInt(4)
+      val isBatch = col("doc_id") % m === 0
+      val wh = corpus.filter(!isBatch)
+      val batch = corpus.filter(isBatch)
+      val bids = batch.select("doc_id").as[Long].collect().toSet
+
+      val lshIncr = Dedup.minHashLshIncremental(
+          Dedup.lshBandWarehouse(wh, "doc_id", "text", 32, 8, 3),
+          wh, batch, "doc_id", "text", 32, 8, 3, threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val lshFull = Dedup.minHashLshPortable(corpus, "doc_id", "text",
+          32, 8, 3, threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lshIncr === lshFull.filter(p => bids(p._1) || bids(p._2)),
+        s"LSH round $round (mod $m)")
+
+      val shIncr = Dedup.simHashNearDupIncremental(
+          Dedup.simHashHexTable(wh, "doc_id", "text"),
+          batch, "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val fps = Dedup.simHashHexTable(corpus, "doc_id", "text")
+        .as[(Long, String)].collect()
+      def ham(a: String, b: String): Int =
+        a.zip(b).map { case (x, y) =>
+          java.lang.Integer.bitCount(
+            Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+        }.sum
+      val shFull = (for {
+        (ia, ha) <- fps; (ib, hb) <- fps
+        if ia < ib && ham(ha, hb) <= 3
+      } yield (ia, ib)).toSet
+      assert(shIncr === shFull.filter(p => bids(p._1) || bids(p._2)),
+        s"SimHash round $round (mod $m)")
+    }
+  }
+
   test("minHash signatures are deterministic across evaluations, MaxValue for short docs") {
     def sigs() = Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
