@@ -432,7 +432,10 @@ object Bench {
       "q184_tokenizer_fertility", "q185_minhash_lsh_incr",
       // r10: incremental BM25 — batch kernels + state-row rescoring,
       // both corpus-proportional
-      "q187_bm25_incr")
+      "q187_bm25_incr",
+      // r10: incremental heavy hitters — batch explode + vocab-bounded
+      // count-state merge
+      "q189_heavy_hitters_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -137,7 +137,11 @@ object CorpusScaleSmoke {
       "q186_simhash_incr",
       // r10: incremental BM25 — batch-only text kernels + ~16 B/doc
       // stat-row rescoring; shuffle must stay at the stat-row scale
-      "q187_bm25_incr")
+      "q187_bm25_incr",
+      // r10: incremental heavy hitters — shuffle = batch tokens into
+      // the count merge + the vocab-bounded state rows, never the
+      // warehouse corpus
+      "q189_heavy_hitters_incr")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

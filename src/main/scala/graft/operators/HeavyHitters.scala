@@ -69,4 +69,35 @@ object HeavyHitters {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** The mergeable per-key count state an accumulating deployment
+    * persists: (keyCol, n). States of disjoint corpora merge by
+    * union + re-sum — the additive-state contract. */
+  def countState(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+
+  /** Incremental heavy hitters — the count-state form of
+    * [[exactAtLeastFraction]] for the daily-batch shape: the persisted
+    * warehouse count state (vocabulary-bounded) merges with the
+    * batch's counts by addition, the fractional threshold recomputes
+    * from the MERGED total (heavy-hitterhood is global: a batch moves
+    * the bar for every key), and the hitters read straight off the
+    * merged relation. Only the batch is ever tokenized/scanned; no
+    * sketch is needed because the state already IS exact counts — the
+    * CM sketch in the from-scratch form exists to prune the full
+    * corpus shuffle this form never performs. Answers exactly what
+    * [[exactAtLeastFraction]] over warehouse ∪ batch answers
+    * (oracle-gated, the q181 contract). Output: (keyCol, n). */
+  def exactAtLeastFractionIncremental(warehouseCounts: DataFrame,
+                                      batch: DataFrame, keyCol: String,
+                                      denom: Long): DataFrame = {
+    require(denom >= 1, s"denom must be positive, got $denom")
+    val merged = warehouseCounts.select(col(keyCol), col("n"))
+      .unionByName(countState(batch, keyCol))
+      .groupBy(col(keyCol)).agg(sum(col("n")).as("n"))
+    val total = merged.agg(sum(col("n")).as("__tot"))
+    merged.crossJoin(broadcast(total))
+      .filter(col("n") >= greatest(lit(1L), expr(s"__tot div $denom")))
+      .select(col(keyCol), col("n"))
+  }
 }

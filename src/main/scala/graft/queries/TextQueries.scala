@@ -1356,7 +1356,27 @@ object TextQueries {
       .limit(100)
   }
 
+  // Incremental heavy hitters (r10): token counts are the mergeable
+  // state (the q181 argument applied to the q115 family) — the
+  // warehouse count relation merges with the batch's counts by
+  // addition and the 1-per-200 threshold recomputes from the MERGED
+  // total. Only the batch is tokenized; no CM sketch (the state
+  // already is exact counts — the sketch exists to prune the full
+  // corpus shuffle this form never performs). Oracle = q115's
+  // from-scratch SQL verbatim (the q181 contract).
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val isNew = col("doc_id") % 7 === 0
+    graft.operators.HeavyHitters.exactAtLeastFractionIncremental(
+      graft.operators.HeavyHitters
+        .countState(toks.filter(!isNew), "token"),
+      toks.filter(isNew).select(col("token")), "token", denom = 200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_heavy_hitters_incr" -> q189 _,
     "q187_bm25_incr" -> q187 _,
     "q184_tokenizer_fertility" -> q184 _,
     "q183_wordpiece_encode" -> q183 _,
@@ -1725,7 +1745,17 @@ object TextQueries {
       " ORDER BY family"
   }
 
+  /** Shared q115/q189 from-scratch SQL — the incremental form must
+    * answer exactly what the full rebuild answers. */
+  private def heavyHittersOracle: String =
+    "WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token " +
+      "FROM documents), " +
+      "t AS (SELECT GREATEST(1, COUNT(*) // 200) AS thr FROM tok) " +
+      "SELECT token, COUNT(*) AS n FROM tok, t GROUP BY token, t.thr " +
+      "HAVING COUNT(*) >= t.thr ORDER BY n DESC, token"
+
   val oracle: Map[String, String] = Map(
+    "q189_heavy_hitters_incr" -> heavyHittersOracle,
     // q187: the incremental index must answer exactly what q117's
     // from-scratch scan answers — its oracle verbatim
     "q187_bm25_incr" -> bm25Oracle,
@@ -1774,12 +1804,7 @@ object TextQueries {
         "CAST(n_xy * n * n AS DOUBLE) / (b * a.n_w * c.n_w) AS lift " +
         "FROM sc JOIN un a ON a.w = sc.w1 JOIN un c ON c.w = sc.w2, nt, bt"),
     "q117_bm25_scores" -> bm25Oracle,
-    "q115_heavy_hitters" ->
-      ("WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token " +
-        "FROM documents), " +
-        "t AS (SELECT GREATEST(1, COUNT(*) // 200) AS thr FROM tok) " +
-        "SELECT token, COUNT(*) AS n FROM tok, t GROUP BY token, t.thr " +
-        "HAVING COUNT(*) >= t.thr ORDER BY n DESC, token"),
+    "q115_heavy_hitters" -> heavyHittersOracle,
     "q74_pii_redaction" ->
       ("WITH t AS (SELECT doc_id, text || ' contact user' || doc_id || " +
         "'@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2 " +

@@ -61,4 +61,28 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((7L, 201L)))
   }
+
+  test("incremental count-state form ≡ from-scratch over the union, " +
+      "threshold global across the merge (r10)") {
+    for (m <- Seq(2, 3, 5)) {
+      val tagged = rows.zipWithIndex
+        .map { case (k, i) => (k, i % m == 0) }.toDF("k", "b")
+      val wh = tagged.filter(!col("b")).select("k")
+      val batch = tagged.filter(col("b")).select("k")
+      val incr = HeavyHitters.exactAtLeastFractionIncremental(
+          HeavyHitters.countState(wh, "k"), batch, "k", denom = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val full = HeavyHitters.exactAtLeastFraction(df, "k", denom = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(incr === full, s"mod $m")
+    }
+    // global-threshold sensitivity: a heavy batch can DEMOTE a
+    // warehouse hitter (the bar moves with the merged total)
+    val wh2 = Seq.fill(100)("a").toDF("k") // 100/100 -> a is a hitter alone
+    val batch2 = Seq.fill(950)("z").toDF("k") // merged total 1050, thr 105
+    val incr2 = HeavyHitters.exactAtLeastFractionIncremental(
+        HeavyHitters.countState(wh2, "k"), batch2, "k", denom = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(incr2 === Set("z")) // 'a' fell under the merged bar
+  }
 }
