@@ -131,4 +131,57 @@ object PerceptualHash {
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Incremental form against a persisted fingerprint warehouse — the
+    * IMAGE/asset rung of the incremental dedup ladder (text has
+    * [[Dedup.minHashLshIncremental]]/[[Dedup.simHashNearDupIncremental]];
+    * this is the same touched-bucket probe over [[fingerprints]]'
+    * (asset_id, phash) relation, which merges by plain union). Only the
+    * BATCH's assets are decoded/fingerprinted; its bands probe
+    * warehouse band rows restricted to touched buckets; the same
+    * pigeonhole bound applies (`maxHamming < 64/bandBits`). Returns
+    * (id_a, id_b, hamming) for every qualifying pair involving a batch
+    * asset — gated by full-rebuild equality (q190). */
+  def nearDupPairsIncremental(warehouseFps: DataFrame,
+                              batchAssets: Dataset[Multimodal.Asset],
+                              maxHamming: Int = 5, bandBits: Int = 8,
+                              maxBucket: Int = 100000,
+                              gramLen: Int = 4,
+                              portable: Boolean = true): DataFrame = {
+    require(bandBits > 0 && bandBits < 64 && 64 % bandBits == 0,
+      s"bandBits must divide 64, got $bandBits")
+    val numBands = 64 / bandBits
+    require(maxHamming < numBands,
+      s"banded probe is exhaustive only for maxHamming <= ${numBands - 1} " +
+        s"(pigeonhole over $numBands bands); got $maxHamming")
+    val mask = (1L << bandBits) - 1
+    def bandRows(fps: DataFrame): DataFrame = fps
+      .select(col("asset_id").as("id"), col("phash").as("ph"),
+        posexplode(array((0 until numBands).map(j =>
+          shiftrightunsigned(col("phash"), j * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bval")))
+    val batchBands =
+      bandRows(fingerprints(batchAssets, gramLen, portable))
+        .withColumn("__batch", lit(true))
+    val touched = batchBands.select(col("band"), col("bval")).distinct()
+    val whTouched = bandRows(warehouseFps)
+      .join(touched, Seq("band", "bval"), "left_semi")
+      .withColumn("__batch", lit(false))
+    val bounded = batchBands.unionByName(whTouched)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    bounded.filter(col("__batch")).as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -433,7 +433,32 @@ object DedupQueries {
         numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
       .orderBy(col("doc_id"))
 
+  // Incremental pHash near-dup (r10): the IMAGE/asset rung — image
+  // assets with doc_id % 4 == 0 play the incoming batch (image ids are
+  // all % 3 == 0, and the % 4 split is the one that makes the sf0.001
+  // fixture exercise BOTH sides of the gate: 3 batch-involving pairs
+  // kept, 2 warehouse-internal pairs excluded); the rest's (asset_id,
+  // phash) fingerprints are the persisted warehouse (simulated
+  // in-plan). Only the batch decodes + fingerprints; the oracle is
+  // q112's N² Hamming scan filtered to batch-involving pairs
+  // (asset_id IS doc_id, so the % 4 predicate carries over).
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val assets = graft.operators.Multimodal
+      .assetsFromText(documents(s, d), "doc_id", "text")
+      .filter(col("kind") === "image")
+    val isNew = col("asset_id") % 4 === 0
+    import s.implicits._
+    graft.operators.PerceptualHash.nearDupPairsIncremental(
+        graft.operators.PerceptualHash
+          .fingerprints(assets.filter(!isNew)
+            .as[graft.operators.Multimodal.Asset], portable = true),
+        assets.filter(isNew).as[graft.operators.Multimodal.Asset],
+        maxHamming = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_phash_incr" -> q190 _,
     "q188_dedup_decisions" -> q188 _,
     "q186_simhash_incr" -> q186 _,
     "q185_minhash_lsh_incr" -> q185 _,
@@ -578,7 +603,13 @@ object DedupQueries {
     * Long.MinValue term, same trick as simHashTable), then the N² scan
     * with bit_count(xor) ≤ 5 that the banded join is pigeonhole-exact
     * against. */
-  private def pHashNearDupOracle: String = {
+  private def pHashNearDupOracle: String = pHashOracle("")
+
+  /** q190 twin: q112's N² scan restricted to batch-involving pairs. */
+  private def pHashIncrOracle: String =
+    pHashOracle(" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)")
+
+  private def pHashOracle(pairFilter: String): String = {
     val chars = (1 to 16)
       .map(j => s"strpos('0123456789abcdef', substr(h, $j, 1)) - 1 AS c$j")
       .mkString(", ")
@@ -599,7 +630,7 @@ object DedupQueries {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
        |FROM p a JOIN p b ON b.doc_id > a.doc_id
-       |WHERE bit_count(xor(a.ph, b.ph)) <= 5
+       |WHERE bit_count(xor(a.ph, b.ph)) <= 5$pairFilter
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -830,6 +861,7 @@ object DedupQueries {
        |FROM ex e JOIN comp c ON c.doc_id = e.doc_id ORDER BY e.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q190_phash_incr" -> pHashIncrOracle,
     "q188_dedup_decisions" -> dedupDecisionsOracle,
     "q186_simhash_incr" -> simHashIncrOracle,
     "q185_minhash_lsh_incr" -> minHashLshIncrOracle,

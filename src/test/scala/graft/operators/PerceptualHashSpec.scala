@@ -35,6 +35,32 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs.head.getLong(2) <= 5)
   }
 
+  test("incremental probe ≡ full pair list filtered to batch-involving " +
+      "pairs, across every split of the planted fixture (r10)") {
+    val fps = PerceptualHash.fingerprints(assets, portable = true)
+    val full = PerceptualHash
+      .nearDupPairs(fps, "asset_id", "phash", maxHamming = 5)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === full.filter(p => Set((0L, 3L)).contains((p._1, p._2))))
+    // every 1-vs-rest and 2-vs-2 split: incremental must equal the
+    // filtered full list, including the splits where the planted pair
+    // is warehouse-internal (empty answer)
+    val ids = Seq(0L, 3L, 6L, 9L)
+    for (batchIds <- ids.combinations(1) ++ ids.combinations(2)) {
+      val bSet = batchIds.toSet
+      val wh = assets.filter(a => !bSet.contains(a.asset_id))
+      val batch = assets.filter(a => bSet.contains(a.asset_id))
+      val incr = PerceptualHash.nearDupPairsIncremental(
+          PerceptualHash.fingerprints(wh, portable = true), batch,
+          maxHamming = 5)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(incr === full.filter(p => bSet(p._1) || bSet(p._2)),
+        s"batch $bSet")
+    }
+  }
+
   test("fast XXH64 family finds the same planted pair") {
     val fps = PerceptualHash.fingerprints(assets, portable = false)
     val pairs = PerceptualHash
