@@ -299,6 +299,13 @@ object Dedup {
       .join(touched, Seq("band", "bhash"), "left_semi")
       .select(col("id"), col("band"), col("bhash"))
       .withColumn("__batch", lit(false))
+    // Both sides of the pair self-join consume this relation, and the
+    // a-side's __batch filter defeats exchange reuse, so the union +
+    // bucket window runs twice. A localCheckpoint pin was A-B-measured
+    // (r10) and LOST on wall at both sf0.1 (noise) and x100 (18.4 →
+    // 20.8 s; read bytes −20% but synchronous materialization costs
+    // more than the recompute it saves — the q173 lesson). Left lazy
+    // deliberately.
     val bounded = batchBands.unionByName(whTouched)
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))

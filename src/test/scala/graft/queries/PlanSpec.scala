@@ -266,6 +266,43 @@ class PlanSpec extends SparkSpec {
       s"expected the one-slot counts materialization:\n$p")
   }
 
+  test("q187 incremental BM25: top-k take, 1-row broadcast model, " +
+      "no sort-merge, no window — the whole rescore is arithmetic (r10)") {
+    val p = plan("q187_bm25_incr")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must never be a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the merged 1-row aggregate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    // the only exchanges are the 1-row aggregate partials — the stat
+    // rows themselves are never hash- or range-partitioned
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"stat rows must not shuffle:\n$p")
+    // batch text kernels hide behind the one pinned materialization
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q185 incremental LSH: bucket bound windows over (band, bhash); " +
+      "no sort-merge at broadcastable scale (r10)") {
+    val p = plan("q185_minhash_lsh_incr")
+    assert(p.contains("windowspecdefinition(band"),
+      s"the degenerate-bucket bound must key on the band bucket:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the warehouse restriction is a semi-join on the touched buckets
+    assert(p.contains("LeftSemi"), s"touched-bucket restriction missing:\n$p")
+  }
+
+  test("q189 incremental heavy hitters: no join of any kind except the " +
+      "broadcast 1-row total; counts merge by union + re-aggregate (r10)") {
+    val p = plan("q189_heavy_hitters_incr")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the merged total must broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"count merge must combine map-side:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
