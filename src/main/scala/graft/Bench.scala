@@ -435,7 +435,10 @@ object Bench {
       "q187_bm25_incr",
       // r10: incremental heavy hitters — batch explode + vocab-bounded
       // count-state merge
-      "q189_heavy_hitters_incr")
+      "q189_heavy_hitters_incr",
+      // r10-late: SimHash band probe and asset fingerprinting are both
+      // corpus-proportional (row-local kernels + touched-bucket joins)
+      "q186_simhash_incr", "q190_phash_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
