@@ -437,8 +437,9 @@ object Bench {
       // count-state merge
       "q189_heavy_hitters_incr",
       // r10-late: SimHash band probe and asset fingerprinting are both
-      // corpus-proportional (row-local kernels + touched-bucket joins)
-      "q186_simhash_incr", "q190_phash_incr")
+      // corpus-proportional (row-local kernels + touched-bucket joins);
+      // the incremental span probe is batch shingles + the state join
+      "q186_simhash_incr", "q190_phash_incr", "q191_span_report_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -141,7 +141,11 @@ object CorpusScaleSmoke {
       // r10: incremental heavy hitters — shuffle = batch tokens into
       // the count merge + the vocab-bounded state rows, never the
       // warehouse corpus
-      "q189_heavy_hitters_incr")
+      "q189_heavy_hitters_incr",
+      // r10: incremental ExactSubstr — batch shingle hashes join the
+      // persisted count state; the claim is ONE batch-side __h
+      // exchange shared by the state join and the occurrence window
+      "q191_span_report_incr")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

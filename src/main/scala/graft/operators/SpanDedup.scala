@@ -132,7 +132,13 @@ object SpanDedup {
         .filter(col("__occ") > 1)
         .select(col(idCol), col("pos"))
     }).select(col(idCol), col("pos"), (col("pos") + lit(n)).as("end"))
+    islandSpans(flagged, idCol)
+  }
 
+  /** Gaps-and-islands merge of flagged (idCol, pos, end) position
+    * intervals into maximal spans — stage 3 of the scaladoc, shared by
+    * the full and incremental forms. */
+  private def islandSpans(flagged: DataFrame, idCol: String): DataFrame = {
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
     val runMaxEnd = max(col("end"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -144,6 +150,52 @@ object SpanDedup {
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The mergeable state an accumulating ExactSubstr deployment
+    * persists: per-shingle-hash occurrence counts over a corpus split
+    * (counts ADD across disjoint corpora — the additive-state
+    * contract; strings never exist, exactly as in [[dupSpans]]'s
+    * pass 1). */
+  def shingleHashCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs
+      .select(explode(call_function("graft_shingle_hashes",
+        col(textCol), lit(n))).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("n"))
+
+  /** Incremental span report — the daily shape for ExactSubstr: only
+    * the BATCH is shingled; a batch position is duplicated when its
+    * shingle-hash occurs anywhere else in warehouse ∪ batch (global
+    * occurrence = persisted warehouse count + within-batch count > 1),
+    * probed with ONE left join against the state plus the same
+    * within-batch hash window (which shares the join's __h exchange —
+    * the q171 plan shape). Output = [[spanReport]]'s schema over batch
+    * docs only; gated by full-rebuild equality (the oracle re-derives
+    * every span from the whole corpus and restricts to batch docs).
+    * Same ~2^-64 one-sided over-flag contract as [[dupSpans]]. */
+  def spanReportIncremental(warehouseCounts: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span shingle width must be >= 2, got $n")
+    val hs = batch.select(col(idCol),
+      posexplode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
+        .as(Seq("pos", "__h")))
+    val flagged = hs
+      .join(warehouseCounts.withColumnRenamed("n", "__wn"), Seq("__h"), "left")
+      .withColumn("__occ",
+        count(lit(1)).over(Window.partitionBy(col("__h"))) +
+          coalesce(col("__wn"), lit(0L)))
+      .filter(col("__occ") > 1)
+      .select(col(idCol), col("pos"), (col("pos") + lit(n)).as("end"))
+    val spans = islandSpans(flagged, idCol)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        max(col("span_end") - col("span_start")).as("longest_span"))
+    batch.select(col(idCol)).join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
   }
 
   /** The removal pass over [[dupSpans]]: re-tokenize each document, drop

@@ -457,7 +457,24 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Incremental ExactSubstr span report (r10): the span-dedup family's
+  // warehouse form — the %7 batch is shingled; a batch position dies
+  // when its 5-token shingle occurs anywhere else in warehouse ∪
+  // batch, probed against the persisted hash-count state (simulated
+  // in-plan, the q185 convention). Oracle = q123's full-rebuild span
+  // CTEs restricted to batch docs.
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    graft.operators.SpanDedup.spanReportIncremental(
+        graft.operators.SpanDedup
+          .shingleHashCounts(docs.filter(!isNew), "text", 5),
+        docs.filter(isNew), "doc_id", "text", 5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_span_report_incr" -> q191 _,
     "q190_phash_incr" -> q190 _,
     "q188_dedup_decisions" -> q188 _,
     "q186_simhash_incr" -> q186 _,
@@ -740,6 +757,11 @@ object DedupQueries {
        |  COALESCE(longest_span, 0) AS longest_span
        |FROM documents LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** q191 twin: q123's full-rebuild span CTEs, final select restricted
+    * to batch docs (the q181 contract — incremental ≡ from-scratch). */
+  private def substringSpansIncrOracle: String =
+    substringSpansOracle + " WHERE documents.doc_id % 7 = 0"
+
   /** q127 oracle: q123's span CTEs, then token-level NOT EXISTS removal
     * and an ordered string_agg rebuild of the cleaned text. */
   private def spanRemovalOracle: String =
@@ -861,6 +883,7 @@ object DedupQueries {
        |FROM ex e JOIN comp c ON c.doc_id = e.doc_id ORDER BY e.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q191_span_report_incr" -> substringSpansIncrOracle,
     "q190_phash_incr" -> pHashIncrOracle,
     "q188_dedup_decisions" -> dedupDecisionsOracle,
     "q186_simhash_incr" -> simHashIncrOracle,

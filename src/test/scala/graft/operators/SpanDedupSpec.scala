@@ -22,6 +22,41 @@ class SpanDedupSpec extends SparkSpec {
     assert(spans === Seq((1L, 5, 13), (2L, 3, 11)))
   }
 
+  test("spanReportIncremental ≡ full spanReport filtered to batch docs, " +
+      "across batch↔warehouse, batch↔batch, and warehouse-only dups (r10)") {
+    val passage = "p0 p1 p2 p3 p4 p5 p6 p7"
+    val bpass = "q0 q1 q2 q3 q4 q5"
+    val wpass = "w0 w1 w2 w3 w4"
+    val docs = Seq(
+      (1L, s"${filler("a", 5)} $passage ${filler("b", 5)}"),   // wh, shares with batch 2
+      (3L, s"${filler("c", 6)} $wpass ${filler("d", 6)}"),     // wh, shares with wh 5 ONLY
+      (5L, s"${filler("e", 4)} $wpass ${filler("f", 4)}"),     // wh
+      (2L, s"${filler("g", 3)} $passage"),                     // batch ← wh dup
+      (4L, s"$bpass ${filler("h", 5)}"),                       // batch ← batch dup
+      (6L, s"${filler("i", 2)} $bpass"),                       // batch
+      (8L, filler("j", 12)))                                   // batch, clean
+      .toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0
+    val incr = SpanDedup.spanReportIncremental(
+        SpanDedup.shingleHashCounts(docs.filter(!isBatch), "text", 3),
+        docs.filter(isBatch), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    val full = SpanDedup.spanReport(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") % 2 === 0)
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(incr === full)
+    // batch↔warehouse dup found, batch↔batch dup found, clean doc zero,
+    // and the warehouse-only dup (3,5) never leaks into the answer
+    assert(incr(2L)._1 > 0 && incr(4L)._1 > 0 && incr(6L)._1 > 0)
+    assert(incr(8L) === ((0L, 0L, 0L)))
+    assert(!incr.contains(3L) && !incr.contains(5L))
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+  }
+
   test("two separated shared passages stay two islands; back-to-back merge") {
     val p1 = "x0 x1 x2 x3"
     val p2 = "y0 y1 y2 y3"
