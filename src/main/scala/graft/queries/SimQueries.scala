@@ -84,6 +84,37 @@ object SimQueries {
       .select(col("vec_id"), col("label"), col("sim_e6"))
       .orderBy(col("sim_e6").desc, col("vec_id"))
 
+  // ANN recall curve (r10): recall@10 of the IVF probe path against the
+  // exact scan, per nprobe ∈ {1,2,4,8} — "measure, don't guess" applied
+  // to the engine's own ANN ladder: the number a deployment reads off
+  // to pick its speed/recall point. Everything is deterministic (the
+  // md5-keyed centroid rule + integer tie orders), so the WHOLE curve
+  // is one oracle hash — the DuckDB twin re-derives exact top-10 and
+  // all four probe paths from first principles. The exact leg is
+  // computed once and pinned (five consumers).
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val corpus = embeddings(s, d).filter(col("vec_id") =!= 0)
+    val p = probeVec(s, d)
+    val exact = SimilaritySearch.scoreAll(corpus, "embedding", p)
+      .filter(col("sim_e6") > 0)
+      .orderBy(col("sim_e6").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+      .localCheckpoint(true)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    Seq(1, 2, 4, 8).map { np =>
+      graft.operators.IvfIndex.topK(corpus, "vec_id", "embedding", p,
+          k = 10, numCells = 8, nprobe = np)
+        .select(col("vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nExact))
+      .select(col("nprobe"), col("n_hits"),
+        expr("(n_hits * 1000000L) div greatest(n_exact, 1L)").as("recall_e6"))
+      .orderBy(col("nprobe"))
+  }
+
   // Embedding-cosine near-dup candidates (oracle-checked): LSH-bucketed
   // self-join + exact cosine verification. dim=64 is the fixture embedding
   // width (TESTDATA.md) — passed explicitly so no driver round-trip sniffs
@@ -133,6 +164,7 @@ object SimQueries {
     "q43_ann_lsh_topk" -> q43 _,
     "q58_cosine_native" -> q58 _,
     "q59_ivf_topk" -> q59 _,
+    "q192_ann_recall_curve" -> q192 _,
     "q60_embedding_near_dup" -> q60 _
   )
 
@@ -191,6 +223,41 @@ object SimQueries {
       "scored AS (SELECT vec_id, label, list_cosine_similarity(v, p) AS sim FROM cand, probe) " +
       "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
       "FROM scored WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT 10"
+
+  /** q192 oracle: exact top-10 + all four nprobe probe paths re-derived
+    * from first principles (the q59 centroid/assignment CTEs, one
+    * pc/sel/h leg per nprobe), hit counts against the exact set,
+    * integer recall. */
+  private def ivfRecallOracle: String = {
+    val head =
+      "WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0), " +
+        "cents AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, " +
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0 " +
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8), " +
+        "assign AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cell) AS rn " +
+        "FROM embeddings e, cents c WHERE e.vec_id <> 0), " +
+        "ex AS (SELECT vec_id FROM (SELECT vec_id, " +
+        "CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) * 1000000.0) AS BIGINT) AS sim_e6 " +
+        "FROM embeddings, probe WHERE vec_id <> 0) " +
+        "WHERE sim_e6 > 0 ORDER BY sim_e6 DESC, vec_id LIMIT 10), " +
+        "exn AS (SELECT COUNT(*) AS n_exact FROM ex)"
+    val legs = Seq(1, 2, 4, 8).map { np =>
+      s"pc$np AS (SELECT c.cell FROM cents c, probe " +
+        s"ORDER BY list_cosine_similarity(p, c.cv) DESC, c.cell LIMIT $np), " +
+        s"sel$np AS (SELECT vec_id FROM (SELECT a.vec_id, " +
+        "list_cosine_similarity(a.v, p) AS sim FROM assign a, probe " +
+        s"WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM pc$np)) " +
+        "WHERE sim > 0 ORDER BY CAST(FLOOR(sim * 1000000.0) AS BIGINT) DESC, vec_id LIMIT 10), " +
+        s"h$np AS (SELECT COUNT(*) AS n_hits FROM sel$np JOIN ex USING (vec_id))"
+    }.mkString(", ")
+    val sel = Seq(1, 2, 4, 8).map { np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, n_hits, " +
+        s"n_hits * 1000000 // GREATEST(n_exact, 1) AS recall_e6 FROM h$np, exn"
+    }.mkString(" UNION ALL ")
+    s"$head, $legs $sel ORDER BY nprobe"
+  }
 
   /** Oracle for q60: 6-plane signature bucketing (bounded), bucket-local
     * self-join, exact cosine ≥ 0.2. */
@@ -277,6 +344,7 @@ object SimQueries {
     "q141_ivf_batch_topk" -> ivfBatchOracle,
     "q43_ann_lsh_topk" -> annLshOracle,
     "q59_ivf_topk" -> ivfOracle,
+    "q192_ann_recall_curve" -> ivfRecallOracle,
     "q60_embedding_near_dup" -> nearDupOracle,
     "q40_cosine_scores" ->
       (probeCte + "SELECT vec_id, label, sim_e6 FROM scored ORDER BY vec_id"),
