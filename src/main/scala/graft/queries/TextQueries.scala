@@ -1375,7 +1375,53 @@ object TextQueries {
       toks.filter(isNew).select(col("token")), "token", denom = 200)
   }
 
+  // Multinomial Naive Bayes language classifier (r10): the model-based
+  // corpus gate (CCNet/fastText-classifier line — train a cheap
+  // supervised model, score every document). Add-one smoothing over
+  // the global vocabulary, priors from class doc counts, every log2
+  // the exact fixed-point ilog2 chain so the whole decision table is
+  // engine-portable integers; in-sample (train = score corpus) — the
+  // report form, "which docs look unlike their own label" is itself a
+  // quality signal. One row per doc: predicted class (argmax,
+  // label-ascending ties), score, best−runner-up margin, correct flag.
+  private def q193(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes
+      .classify(documents(s, d), "doc_id", "lang", "text")
+      .orderBy(col("doc_id"))
+
+  // Classifier evaluation report (r10): per-class precision/recall of
+  // q193's decision table — the eval artifact a pipeline reads before
+  // trusting a model gate (the q188/q192 "engine measures itself"
+  // convention applied to the classifier family).
+  private def q194(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes.classReport(
+      graft.operators.NaiveBayes
+        .classify(documents(s, d), "doc_id", "lang", "text"), "lang")
+      .orderBy(col("label"))
+
+  // Incremental Naive Bayes (r10): both model relations — (label,
+  // word, c) token counts and (label, d) doc counts — are exactly
+  // mergeable state (counts add, the q181 argument), so yesterday's
+  // persisted model plus today's batch classifies the batch exactly
+  // as a from-scratch train over warehouse ∪ batch: priors, smoothing
+  // denominators and |V| all move with the merge, and only the BATCH
+  // is tokenized. Oracle = q193's SQL filtered to batch docs (the
+  // q190/q191 batch-involving-rows contract).
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 5 === 0
+    val wh = docs.filter(!isNew)
+    graft.operators.NaiveBayes.classifyIncremental(
+      graft.operators.NaiveBayes.wordCounts(wh, "lang", "text"),
+      graft.operators.NaiveBayes.docCounts(wh, "lang"),
+      docs.filter(isNew), "doc_id", "lang", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_naive_bayes_incr" -> q195 _,
+    "q194_classifier_report" -> q194 _,
+    "q193_naive_bayes" -> q193 _,
     "q189_heavy_hitters_incr" -> q189 _,
     "q187_bm25_incr" -> q187 _,
     "q184_tokenizer_fertility" -> q184 _,
@@ -1754,7 +1800,83 @@ object TextQueries {
       "SELECT token, COUNT(*) AS n FROM tok, t GROUP BY token, t.thr " +
       "HAVING COUNT(*) >= t.thr ORDER BY n DESC, token"
 
+  /** Shared q193/q194/q195 model CTEs — class/doc counts, the 16-step
+    * exact ilog2 chain over every value the scorer logs, per-doc tf,
+    * the (doc × class) score grid and its ranked form `rkb`. The score
+    * algebra is [[graft.operators.NaiveBayes]]'s verbatim: prior
+    * (lg D_s − lg D) + Σ tf·lg(c+1) − n_words·lg(N_s+|V|), HUGEINT
+    * intermediates, CAST AS BIGINT at the end. */
+  private def naiveBayesCtes: Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("tokb AS (SELECT doc_id, lang, u.w AS w FROM (SELECT doc_id, lang, " +
+      "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) t, UNNEST(t.ws) AS u(w))")
+    ctes += ("cntb AS MATERIALIZED (SELECT lang AS lbl, w, " +
+      "CAST(COUNT(*) AS BIGINT) AS c FROM tokb GROUP BY 1, 2)")
+    ctes += "vvb AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cntb)"
+    ctes += "pnb AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS n FROM cntb GROUP BY 1)"
+    ctes += ("dcb AS (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS d " +
+      "FROM documents GROUP BY 1)")
+    ctes += "dtb AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt FROM documents)"
+    ctes += ("lvB AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cntb " +
+      "UNION SELECT DISTINCT n + (SELECT v FROM vvb) FROM pnb " +
+      "UNION SELECT DISTINCT d FROM dcb " +
+      "UNION SELECT dt FROM dtb)")
+    ctes ++= ilog2ChainCtes("B")
+    ctes += ("tfb AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf " +
+      "FROM tokb GROUP BY 1, 2)")
+    ctes += ("dlb AS (SELECT d0.doc_id, d0.lang, COALESCE(t.nw, 0) AS nw " +
+      "FROM documents d0 LEFT JOIN (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nw " +
+      "FROM tfb GROUP BY 1) t USING (doc_id))")
+    ctes += ("plb AS (SELECT p.lbl, " +
+      "(SELECT lg FROM lgB WHERE x = p.n + (SELECT v FROM vvb)) AS lgnv, " +
+      "(SELECT lg FROM lgB WHERE x = dc.d) - " +
+      "(SELECT lg FROM lgB WHERE x = (SELECT dt FROM dtb)) AS prior " +
+      "FROM pnb p JOIN dcb dc USING (lbl))")
+    ctes += ("mtb AS (SELECT tfb.doc_id, cntb.lbl, " +
+      "SUM(CAST(tfb.tf AS HUGEINT) * l.lg) AS m " +
+      "FROM tfb JOIN cntb USING (w) JOIN lgB l ON l.x = cntb.c + 1 GROUP BY 1, 2)")
+    ctes += ("scb AS (SELECT dl.doc_id, dl.lang, pl.lbl, " +
+      "CAST(CAST(pl.prior AS HUGEINT) + COALESCE(mt.m, 0) - " +
+      "CAST(dl.nw AS HUGEINT) * pl.lgnv AS BIGINT) AS score " +
+      "FROM dlb dl CROSS JOIN plb pl " +
+      "LEFT JOIN mtb mt ON mt.doc_id = dl.doc_id AND mt.lbl = pl.lbl)")
+    ctes += ("rkb AS (SELECT doc_id, lang, lbl, score, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn " +
+      "FROM scb)")
+    ctes.result()
+  }
+
+  /** q193 twin (q195's too, filtered to the batch — the incremental
+    * form must answer exactly what the full rebuild answers on its
+    * docs). */
+  private def naiveBayesOracle(filter: String): String =
+    "WITH " + naiveBayesCtes.mkString(", ") +
+      " SELECT a.doc_id, a.lang, a.lbl AS predicted, a.score AS score_e16, " +
+      "a.score - COALESCE(b.score, a.score) AS margin_e16, " +
+      "a.lbl = a.lang AS correct " +
+      "FROM rkb a LEFT JOIN rkb b ON b.doc_id = a.doc_id AND b.rn = 2 " +
+      s"WHERE a.rn = 1$filter ORDER BY a.doc_id"
+
+  /** q194 twin: per-class precision/recall over the rn=1 decisions. */
+  private def classifierReportOracle: String =
+    "WITH " + naiveBayesCtes.mkString(", ") +
+      ", cls AS (SELECT doc_id, lang, lbl AS predicted FROM rkb WHERE rn = 1), " +
+      "tr AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+      "FROM cls GROUP BY 1), " +
+      "pr AS (SELECT predicted AS label, CAST(COUNT(*) AS BIGINT) AS n_predicted " +
+      "FROM cls GROUP BY 1) " +
+      "SELECT tr.label, tr.n_docs, COALESCE(pr.n_predicted, 0) AS n_predicted, " +
+      "tr.n_correct, " +
+      "CAST(tr.n_correct * 1000000 // GREATEST(COALESCE(pr.n_predicted, 0), 1) AS BIGINT) AS precision_e6, " +
+      "CAST(tr.n_correct * 1000000 // GREATEST(tr.n_docs, 1) AS BIGINT) AS recall_e6 " +
+      "FROM tr LEFT JOIN pr USING (label) ORDER BY label"
+
   val oracle: Map[String, String] = Map(
+    "q195_naive_bayes_incr" -> naiveBayesOracle(" AND a.doc_id % 5 = 0"),
+    "q194_classifier_report" -> classifierReportOracle,
+    "q193_naive_bayes" -> naiveBayesOracle(""),
     "q189_heavy_hitters_incr" -> heavyHittersOracle,
     // q187: the incremental index must answer exactly what q117's
     // from-scratch scan answers — its oracle verbatim

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.IntLog2
+import org.apache.spark.sql.functions._
+
+/** Pins NaiveBayes.classify to an independent brute-force reference
+  * that evaluates the multinomial-NB definition directly — per-class
+  * score = lg(D_s) − lg(D) + Σ tf·lg(c+1) − n_words·lg(N_s+|V|), BigInt
+  * throughout, argmax with the (score desc, label asc) tie ladder —
+  * so the operator's word-keyed join factoring carries
+  * cross-implementation evidence. Plus: separable classes classify
+  * correctly, tie-break determinism, token-less docs score on the
+  * prior alone, and the incremental form ≡ from-scratch on every split
+  * of a random corpus (the state-merge contract).
+  */
+class NaiveBayesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** (id, label, text) → id -> (predicted, score, margin). Brute force
+    * per the definition over the full (doc × class) grid. */
+  private def reference(docs: Seq[(Long, String, String)],
+                        score: Seq[(Long, String, String)])
+      : Map[Long, (String, Long, Long)] = {
+    val lg = (x: Long) => BigInt(IntLog2.ilog2e16(x))
+    def toks(t: String) = t.split("\\s+", -1).filter(_.nonEmpty).toSeq
+    val byLabel = docs.groupBy(_._2)
+    val counts: Map[String, Map[String, Long]] = byLabel.map { case (l, ds) =>
+      l -> ds.flatMap(d => toks(d._3)).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+    }
+    val v = counts.values.flatMap(_.keys).toSet.size.toLong
+    val n = counts.map { case (l, m) => l -> m.values.sum }
+    val dTot = docs.size.toLong
+    score.map { case (id, _, text) =>
+      val tf = toks(text).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val nw = tf.values.sum
+      val scored = counts.keys.toSeq.sorted.map { l =>
+        val prior = lg(byLabel(l).size.toLong) - lg(dTot)
+        val m = tf.map { case (w, f) =>
+          BigInt(f) * lg(counts(l).getOrElse(w, 0L) + 1)
+        }.sum
+        l -> (prior + m - BigInt(nw) * lg(n(l) + v))
+      }
+      val ranked = scored.sortBy { case (l, s) => (-s, l) }
+      val (pl, ps) = ranked.head
+      val margin = if (ranked.size > 1) ps - ranked(1)._2 else BigInt(0)
+      id -> (pl, ps.toLong, margin.toLong)
+    }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String, String)]): Map[Long, (String, Long, Long, Boolean)] =
+    NaiveBayes.classify(docs.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text")
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+      .map { case (id, _, p, s, m, c) => id -> (p, s, m, c) }.toMap
+
+  private val crafted = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the dog sat near the cat"),
+    (3L, "fr", "le chat dort sur le tapis"),
+    (4L, "fr", "le chien dort"),
+    (5L, "de", "der hund schlaeft auf der matte"),
+    (6L, "en", "a cat and a dog"),
+    (7L, "de", "der kater sitzt"))
+
+  test("classify ≡ brute-force definition (crafted)") {
+    val ref = reference(crafted, crafted)
+    val got = run(crafted)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, (p, s, m, c)) =>
+      val (rp, rs, rm) = ref(id)
+      assert((p, s, m) === (rp, rs, rm), s"doc $id")
+      assert(c === (p == crafted.find(_._1 == id).get._2))
+    }
+  }
+
+  test("classify ≡ brute-force definition (random corpora)") {
+    val rnd = new scala.util.Random(42)
+    val vocabs = Map(
+      "a" -> Vector("x", "y", "z", "q"),
+      "b" -> Vector("y", "z", "r", "s"),
+      "c" -> Vector("z", "s", "t", "u", "v"))
+    (0 until 5).foreach { trial =>
+      val docs = (0 until 40).map { i =>
+        val l = Vector("a", "b", "c")(rnd.nextInt(3))
+        val words = (0 to rnd.nextInt(12))
+          .map(_ => vocabs(l)(rnd.nextInt(vocabs(l).size)))
+        (i.toLong, l, words.mkString(" "))
+      }
+      val ref = reference(docs, docs)
+      val got = run(docs)
+      docs.foreach { case (id, _, _) =>
+        assert(got(id)._1 === ref(id)._1, s"trial $trial doc $id predicted")
+        assert(got(id)._2 === ref(id)._2, s"trial $trial doc $id score")
+        assert(got(id)._3 === ref(id)._3, s"trial $trial doc $id margin")
+      }
+    }
+  }
+
+  test("separable classes classify correctly with positive margin") {
+    val docs = Seq(
+      (1L, "code", "def class return import def"),
+      (2L, "code", "class import return def"),
+      (3L, "prose", "the cat walked over the hill"),
+      (4L, "prose", "a hill and a cat and the sun"))
+    val got = run(docs)
+    docs.foreach { case (id, l, _) =>
+      assert(got(id)._1 === l, s"doc $id")
+      assert(got(id)._3 > 0L, s"doc $id margin")
+      assert(got(id)._4, s"doc $id correct")
+    }
+  }
+
+  test("exact score tie breaks label-ascending with zero margin") {
+    // two classes with mirror-image corpora: any doc made of the shared
+    // word scores identically under both → predicted must be the
+    // lexicographically smaller label, margin exactly 0
+    val docs = Seq(
+      (1L, "aa", "s x"),
+      (2L, "bb", "s y"),
+      (3L, "aa", "s"),
+      (4L, "bb", "s"))
+    val got = run(docs)
+    Seq(3L, 4L).foreach { id =>
+      assert(got(id)._1 === "aa", s"doc $id tie must break to 'aa'")
+      assert(got(id)._3 === 0L, s"doc $id margin")
+    }
+  }
+
+  test("token-less docs emit one row and score on the prior alone") {
+    val docs = Seq(
+      (1L, "big", "w w w"),
+      (2L, "big", "w v"),
+      (3L, "big", "v w"),
+      (4L, "small", "u"),
+      (5L, "small", ""),   // empty text
+      (6L, "big", "   "))  // whitespace only
+    val got = run(docs)
+    assert(got.size === 6)
+    // prior-only scores: lg(D_s) − lg(D); big (4 docs) beats small (2)
+    val lg = (x: Long) => IntLog2.ilog2e16(x)
+    assert(got(5L)._2 === lg(4) - lg(6))
+    assert(got(5L)._1 === "big")
+    assert(got(6L)._2 === lg(4) - lg(6))
+    assert(got(5L)._3 === (lg(4) - lg(6)) - (lg(2) - lg(6)))
+  }
+
+  test("incremental ≡ from-scratch, filtered to the batch, on every split") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 30).map { i =>
+      val l = Vector("p", "q")(rnd.nextInt(2))
+      val words = (0 to rnd.nextInt(8)).map(_ =>
+        Vector("m", "n", "o", "p")(rnd.nextInt(4)))
+      (i.toLong, l, words.mkString(" "))
+    }
+    val full = NaiveBayes
+      .classify(docs.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text")
+    Seq(2, 3, 5).foreach { mod =>
+      val df = docs.toDF("doc_id", "lang", "text")
+      val isNew = col("doc_id") % mod === 0
+      val wh = df.filter(!isNew)
+      val inc = NaiveBayes.classifyIncremental(
+        NaiveBayes.wordCounts(wh, "lang", "text"),
+        NaiveBayes.docCounts(wh, "lang"),
+        df.filter(isNew), "doc_id", "lang", "text")
+      val expect = full.filter(col("doc_id") % mod === 0)
+        .orderBy("doc_id").collect().toSeq
+      assert(inc.orderBy("doc_id").collect().toSeq === expect, s"mod $mod")
+    }
+  }
+
+  test("classReport: counts, precision and recall per class") {
+    val docs = Seq(
+      (1L, "code", "def class return import def"),
+      (2L, "code", "class import return def"),
+      (3L, "prose", "the cat walked over the hill"),
+      (4L, "prose", "a hill and a cat and the sun"),
+      (5L, "prose", "def class return")) // prose doc that reads as code
+    val rep = NaiveBayes.classReport(
+        NaiveBayes.classify(docs.toDF("doc_id", "lang", "text"),
+          "doc_id", "lang", "text"), "lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, cd, cp, cc, cprec, crec) = rep("code")
+    assert((cd, cp, cc) === (2L, 3L, 2L)) // doc 5 predicted code
+    assert(cprec === 666666L) // 2·10⁶ div 3, truncated
+    assert(crec === 1000000L)
+    val (_, pd, pp, pc, pprec, prec) = rep("prose")
+    assert((pd, pp, pc) === (3L, 2L, 2L))
+    assert(pprec === 1000000L)
+    assert(prec === 666666L)
+  }
+}
