@@ -493,6 +493,87 @@ object Dedup {
           .otherwise(col(idCol)).cast("long").as("survivor"))
   }
 
+  /** Estimation accuracy of the MinHash signature ITSELF — "measure,
+    * don't guess" (the q192 ANN-recall convention) applied to the dedup
+    * ladder: how close is the k-lane signature-agreement estimate to the
+    * exact shingle-set Jaccard it stands in for, as k grows? The curve a
+    * deployment reads to size its signatures (error ∝ 1/√k by the
+    * Broder 1997 analysis; this measures it on THIS corpus).
+    *
+    * Pair universe: the LSH band candidates of the FULL `numPerms`
+    * signature (the pairs a dedup pipeline actually adjudicates),
+    * restricted to pairs where both sides have ≥ 1 shingle (sentinel
+    * lanes estimate nothing). Signature prefixes nest — lane i is md5
+    * group i/4 of the same portable construction — so ONE signature
+    * computation serves every curve point. All integers: per pair,
+    * est_e6(k) = agreeing-lanes·10⁶ div k vs exact_e6 = |∩|·10⁶ div |∪|
+    * over distinct shingle md5s; per k the rollup emits
+    * (sig_size, n_pairs, mae_e6, sum_err_e6, max_abs_e6) — the signed
+    * error SUM is emitted undivided (no signed integer division to
+    * disagree on cross-engine; readers divide).
+    *
+    * Scale shape: signature + banding is the q38 machinery (row-local
+    * kernel, bounded buckets); the exact-Jaccard leg joins candidate
+    * pairs against the distinct (doc, shingle-md5) relation — work ∝
+    * candidates · shingles-per-doc, never N². The curve itself is
+    * |sizes| rows. */
+  def minHashAccuracyCurve(df: DataFrame, idCol: String, textCol: String,
+                           sizes: Seq[Int] = Seq(4, 8, 16, 32),
+                           numPerms: Int = 32, numBands: Int = 8,
+                           shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(k => k > 0 && k <= numPerms),
+      "every curve point must fit inside the computed signature")
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, numPerms, shingleN)
+      .localCheckpoint(true) // three consumers: banding + both pair sides
+    val bounded = boundedBands(sigs,
+      sig => bandHashesPortable(sig, numBands, numPerms / numBands), maxBucket)
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact shingle-set Jaccard — the quantity the signature estimates
+    val sets = TextAnalysis.shingleRows(
+        df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
+        "id", "text", shingleN)
+      .filter(col("shingle").isNotNull)
+      .select(col("id"), graft.plans.GraftMd5.column(col("shingle")).as("hh"))
+      .distinct()
+      .localCheckpoint(true) // set sizes + both intersection sides
+    val ns = sets.groupBy(col("id")).agg(count(lit(1)).as("ns"))
+    val inter = pairs
+      .join(sets.select(col("id").as("id_a"), col("hh")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hh")), Seq("id_b", "hh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    val base = pairs
+      .join(ns.select(col("id").as("id_a"), col("ns").as("nsa")), "id_a")
+      .join(ns.select(col("id").as("id_b"), col("ns").as("nsb")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("exact_e6", expr("ni * 1000000L div (nsa + nsb - ni)"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val melted = base.select(col("exact_e6"),
+        explode(array(sizes.map { k =>
+          val agree = (1 to k).map(i =>
+            when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1L)
+              .otherwise(0L)).reduce(_ + _)
+          struct(lit(k).cast("int").as("sig_size"), agree.as("agree"))
+        }: _*)).as("p"))
+      .select(col("p.sig_size").as("sig_size"),
+        expr("p.agree * 1000000L div p.sig_size").as("est_e6"),
+        col("exact_e6"))
+    melted.groupBy(col("sig_size"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("est_e6") - col("exact_e6"))).as("__sae"),
+        sum(col("est_e6") - col("exact_e6")).as("sum_err_e6"),
+        max(abs(col("est_e6") - col("exact_e6"))).as("max_abs_e6"))
+      .select(col("sig_size"), col("n_pairs"),
+        expr("__sae div n_pairs").as("mae_e6"),
+        col("sum_err_e6"), col("max_abs_e6"))
+  }
+
   /** n-gram Jaccard similarity between two token-array columns (distinct
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =

@@ -473,7 +473,20 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // MinHash estimation-accuracy curve (r10): the q192 ANN-recall
+  // convention applied to the dedup ladder — per signature prefix
+  // size k ∈ {4,8,16,32}, how far the k-lane agreement estimate sits
+  // from the exact shingle-set Jaccard over the LSH candidate pairs
+  // (the pairs a dedup pipeline actually adjudicates). One signature
+  // computation serves all four points (lanes nest); signed error sum
+  // emitted undivided (no cross-engine signed division).
+  private def q196(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .minHashAccuracyCurve(documents(s, d), "doc_id", "text")
+      .orderBy(col("sig_size"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_minhash_accuracy" -> q196 _,
     "q191_span_report_incr" -> q191 _,
     "q190_phash_incr" -> q190 _,
     "q188_dedup_decisions" -> q188 _,
@@ -513,7 +526,10 @@ object DedupQueries {
     * 8 bands × 4, 3-token shingles, threshold 0.3, maxBucket 1000):
     * identical md5 keying (4 × 8-hex lanes per digest), MIN-over-hex
     * signatures, banded bucket join, exact-Jaccard verification. */
-  private def minHashPairCtes: String = {
+  /** The portable-signature candidate chain shared by q38/q69/q196 —
+    * tokens → shingle md5s → 32-lane signatures → banding → bounded
+    * buckets → candidate `pairs`. */
+  private def minHashCandCtes: String = {
     val sent = graft.operators.Dedup.PortableSentinel
     val mins = (0 until 32)
       .map(i => s"COALESCE(MIN(substr(md5('${i / 4}:' || hh), ${(i % 4) * 8 + 1}, 8)), '$sent') AS m$i")
@@ -532,13 +548,16 @@ object DedupQueries {
        |bounded AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY b, bhash) <= 1000),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |          FROM bounded a JOIN bounded b2
-       |          ON a.b = b2.b AND a.bhash = b2.bhash AND a.doc_id < b2.doc_id),
+       |          ON a.b = b2.b AND a.bhash = b2.bhash AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  private def minHashPairCtes: String =
+    s"""$minHashCandCtes,
        |tk AS (SELECT doc_id, list_distinct(string_split_regex($normSql, $wsRe)) AS toks FROM documents),
        |jac AS (SELECT id_a, id_b,
        |  CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_common,
        |  CAST(len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INT) AS n_union
        |  FROM pairs JOIN tk ta ON ta.doc_id = pairs.id_a JOIN tk tb ON tb.doc_id = pairs.id_b)""".stripMargin
-  }
 
   private def minHashLshOracle: String =
     s"""WITH $minHashPairCtes
@@ -882,7 +901,39 @@ object DedupQueries {
        |            ELSE e.doc_id END AS BIGINT) AS survivor
        |FROM ex e JOIN comp c ON c.doc_id = e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  /** q196 twin: the candidate chain + distinct shingle md5s for the
+    * exact sets, lane-agreement prefixes for the estimates, per-k
+    * UNION ALL rollup. Same non-negative-only integer divisions as
+    * the operator. */
+  private def minHashAccuracyOracle: String = {
+    val perK = Seq(4, 8, 16, 32).map { k =>
+      val agree = (0 until k)
+        .map(i => s"CASE WHEN ga.m$i = gb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT p.id_a, p.id_b, $k AS sig_size, " +
+        s"($agree) * 1000000 // $k AS est_e6, " +
+        "COALESCE(pi.ni, 0) * 1000000 // (sa.ns + sb.ns - COALESCE(pi.ni, 0)) AS exact_e6 " +
+        "FROM pairs p " +
+        "JOIN ss sa ON sa.doc_id = p.id_a JOIN ss sb ON sb.doc_id = p.id_b " +
+        "LEFT JOIN pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b " +
+        "JOIN sigs ga ON ga.doc_id = p.id_a JOIN sigs gb ON gb.doc_id = p.id_b"
+    }.mkString(" UNION ALL ")
+    s"""WITH $minHashCandCtes,
+       |dsh AS (SELECT DISTINCT doc_id, hh FROM sh WHERE hh IS NOT NULL),
+       |ss AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM dsh GROUP BY 1),
+       |pi AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+       |       FROM pairs p JOIN dsh a ON a.doc_id = p.id_a
+       |       JOIN dsh b ON b.doc_id = p.id_b AND b.hh = a.hh GROUP BY 1, 2),
+       |pts AS ($perK)
+       |SELECT sig_size, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(ABS(est_e6 - exact_e6)) // COUNT(*) AS BIGINT) AS mae_e6,
+       |  CAST(SUM(est_e6 - exact_e6) AS BIGINT) AS sum_err_e6,
+       |  CAST(MAX(ABS(est_e6 - exact_e6)) AS BIGINT) AS max_abs_e6
+       |FROM pts GROUP BY 1 ORDER BY sig_size""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q196_minhash_accuracy" -> minHashAccuracyOracle,
     "q191_span_report_incr" -> substringSpansIncrOracle,
     "q190_phash_incr" -> pHashIncrOracle,
     "q188_dedup_decisions" -> dedupDecisionsOracle,
