@@ -439,7 +439,13 @@ object Bench {
       // r10-late: SimHash band probe and asset fingerprinting are both
       // corpus-proportional (row-local kernels + touched-bucket joins);
       // the incremental span probe is batch shingles + the state join
-      "q186_simhash_incr", "q190_phash_incr", "q191_span_report_incr")
+      "q186_simhash_incr", "q190_phash_incr", "q191_span_report_incr",
+      // r10: Naive Bayes classify is tokenize + one word-keyed join
+      // (corpus-proportional); the incremental form is batch + state;
+      // the MinHash accuracy curve rides the q38 signature/banding
+      // machinery (corpus-proportional, candidates ∝ dup density).
+      // q194 is a rollup of q193's chain — no independent scale signal.
+      "q193_naive_bayes", "q195_naive_bayes_incr", "q196_minhash_accuracy")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classifier — the model-based corpus
@@ -47,6 +46,12 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
+  /** Model rows (|V|·S) at or below this broadcast; above it the
+    * scoring join falls back to a word-keyed shuffle. ~4M rows of
+    * (string, string, decimal) is low hundreds of MB on the wire —
+    * the BloomFilters guard sizing argument. */
+  val MaxBroadcastModelRows: Long = 4000000L
+
   private def lg(c: Column) = call_function("graft_ilog2_e16", c)
   private def dec(c: Column) = c.cast("decimal(38,0)")
 
@@ -67,10 +72,21 @@ object NaiveBayes {
   def mergeDocCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("src")).agg(sum(col("d")).as("d"))
 
+  /** Per-doc term frequencies of `df` — (`__id`, w, tf), one explode +
+    * one map-side-combined rollup. */
+  private def tfRelation(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(call_function("graft_tokens",
+          coalesce(col(textCol).cast("string"), lit("")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("__id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Train on `docs` and classify the same corpus (in-sample — the
     * corpus-report form: "which documents look unlike their own
     * label" is itself a quality signal; for held-out scoring use
-    * [[classifyFromState]] with state built elsewhere).
+    * [[classifyFromState]] with state built elsewhere). Two corpus
+    * passes: the count-state build and the row-local scoring map.
     *
     * Output: one row per document —
     * (idCol, labelCol, predicted, score_e16, margin_e16, correct)
@@ -78,29 +94,31 @@ object NaiveBayes {
     * margin_e16 = best − runner-up score (0 when S = 1) and correct =
     * predicted = true label. */
   def classify(docs: DataFrame, idCol: String, labelCol: String,
-               textCol: String): DataFrame = {
+               textCol: String,
+               maxBroadcastModelRows: Long = MaxBroadcastModelRows): DataFrame = {
     graft.plans.GraftExtensions.ensure(docs.sparkSession)
-    classifyFromState(wordCounts(docs, labelCol, textCol),
-      docCounts(docs, labelCol), docs, idCol, labelCol, textCol)
+    scoreCore(wordCounts(docs, labelCol, textCol), docCounts(docs, labelCol),
+      docs, idCol, labelCol, textCol, maxBroadcastModelRows)
   }
 
   /** The incremental (daily-crawl) form: yesterday's persisted state
     * plus today's batch classifies the batch exactly as a from-scratch
     * train over warehouse ∪ batch would — both state relations merge by
-    * addition, and only the BATCH is ever tokenized (its tf relation is
-    * reused as its state contribution). Priors, smoothing denominators
-    * and |V| all move with the merged state, exactly as the full
-    * rebuild's would. */
+    * addition, and only the BATCH is ever tokenized, ONCE (its tf
+    * relation doubles as its state contribution). Priors, smoothing
+    * denominators and |V| all move with the merged state, exactly as
+    * the full rebuild's would. */
   def classifyIncremental(warehouseWordCounts: DataFrame,
                           warehouseDocCounts: DataFrame,
                           batch: DataFrame, idCol: String, labelCol: String,
-                          textCol: String): DataFrame = {
+                          textCol: String,
+                          maxBroadcastModelRows: Long = MaxBroadcastModelRows): DataFrame = {
     graft.plans.GraftExtensions.ensure(batch.sparkSession)
-    classifyFromState(
-      SourceDivergence.mergeCounts(
-        warehouseWordCounts, wordCounts(batch, labelCol, textCol)),
+    scoreCore(
+      SourceDivergence.mergeCounts(warehouseWordCounts,
+        wordCounts(batch, labelCol, textCol)),
       mergeDocCounts(warehouseDocCounts, docCounts(batch, labelCol)),
-      batch, idCol, labelCol, textCol)
+      batch, idCol, labelCol, textCol, maxBroadcastModelRows)
   }
 
   /** Classify `toScore` against an explicit model state. Every document
@@ -108,59 +126,138 @@ object NaiveBayes {
     * score on the prior alone). */
   def classifyFromState(wordCountsIn: DataFrame, docCountsIn: DataFrame,
                         toScore: DataFrame, idCol: String, labelCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String,
+                        maxBroadcastModelRows: Long = MaxBroadcastModelRows): DataFrame = {
     graft.plans.GraftExtensions.ensure(toScore.sparkSession)
-    // three consumers (vocab distinct, per-class scalars, scoring join)
+    scoreCore(wordCountsIn, docCountsIn, toScore, idCol, labelCol, textCol,
+      maxBroadcastModelRows)
+  }
+
+  /** Shared scorer over the model state (src, w, c) + (src, d). Below
+    * the model-size guard, the apply path is the q177 shape — model
+    * broadcast as a map, every document scored row-locally in ONE
+    * corpus pass with zero shuffles; above it, a word-keyed relational
+    * join chain computes the same integers. */
+  private def scoreCore(wordCountsIn: DataFrame, docCountsIn: DataFrame,
+                        toScore: DataFrame, idCol: String, labelCol: String,
+                        textCol: String, maxModel: Long): DataFrame = {
+    val spark = toScore.sparkSession
+    import spark.implicits._
+    // three consumers (per-class rollup, size rollup, model build)
     // — materialize the count state once (the q167/q174 lesson)
     val counts = wordCountsIn.localCheckpoint(true)
 
-    val vocab = counts.agg(countDistinct(col("w")).as("v"))
-    val dTotal = docCountsIn.agg(sum(col("d")).as("dt"))
-    // S rows: everything per-class the scorer needs, broadcast
-    val perClass = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
-      .join(docCountsIn, Seq("src"))
-      .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTotal))
-      .select(col("src"),
-        lg(col("n") + col("v")).as("lgnv"),
-        (lg(col("d")) - lg(col("dt"))).as("prior_e16"))
+    // Per-class scalars via TWO tiny driver collects (the
+    // KMeans-centroid rule — S is bounded like a centroid list), with
+    // lgnv/prior computed by the SAME IntLog2 kernel the column
+    // expression would run. Classes are those with ≥ 1 training token
+    // (token-less classes carry no usable likelihood — the oracle's
+    // pn ⋈ dc inner-join semantics).
+    val perSrcN = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizesRow = counts
+      .agg(countDistinct(col("w")).as("v"), count(lit(1)).as("rows"))
+      .head()
+    val (v, modelRows) = (sizesRow.getLong(0), sizesRow.getLong(1))
+    val dBySrc = docCountsIn.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dt = dBySrc.values.sum
+    val ilg = graft.functions.IntLog2.ilog2e16 _
+    val srcs = perSrcN.keys.toArray.sorted
+    val lgnvArr = srcs.map(s => ilg(perSrcN(s) + v))
+    val priorArr = srcs.map(s => ilg(dBySrc(s)) - ilg(dt))
 
-    val tf = toScore
-      .select(col(idCol).as("__id"),
-        explode(call_function("graft_tokens",
-          coalesce(col(textCol).cast("string"), lit("")))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("tf"))
-
-    // Σ tf·lg(c+1) over the class's seen words — the only model-sized
-    // join, word-keyed (absent words contribute lg(1) = 0 and vanish)
-    val mTerm = tf.join(counts, Seq("w"))
-      .groupBy(col("__id"), col("src"))
-      .agg(sum(dec(col("tf")) * dec(lg(col("c") + 1L))).as("m_term"))
-
-    val docLen = tf.groupBy(col("__id")).agg(sum(col("tf")).as("nw"))
-    val grid = toScore.select(col(idCol).as("__id"),
-        col(labelCol).cast("string").as("__lbl"))
-      .join(docLen, Seq("__id"), "left")
-      .withColumn("nw", coalesce(col("nw"), lit(0L)))
-      .crossJoin(broadcast(perClass))
-      .join(mTerm, Seq("__id", "src"), "left")
-      .select(col("__id"), col("__lbl"), col("src"),
-        (dec(col("prior_e16")) + coalesce(col("m_term"), dec(lit(0)))
-          - dec(col("nw")) * dec(col("lgnv"))).cast("long").as("score_e16"))
-
-    val byDoc = Window.partitionBy(col("__id"))
-      .orderBy(col("score_e16").desc, col("src").asc)
-    val ranked = grid.withColumn("__rn", row_number().over(byDoc))
-    ranked.filter(col("__rn") === 1)
-      .join(ranked.filter(col("__rn") === 2)
-          .select(col("__id"), col("score_e16").as("__s2")),
-        Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("__lbl").as(labelCol),
-        col("src").as("predicted"), col("score_e16"),
-        (col("score_e16") - coalesce(col("__s2"), col("score_e16")))
-          .as("margin_e16"),
-        (col("src") === col("__lbl")).as("correct"))
+    if (modelRows <= maxModel) {
+      // FAST PATH: the model is exactly the thing small enough to ship
+      // to every executor (that is the point of NB) — w → per-class
+      // lg(c+1) vector, broadcast once; each document then scores in
+      // place: Σ-accumulate over its tokens, subtract n_words·lgnv,
+      // argmax with the (score desc, label asc) ladder. ONE corpus
+      // pass, ZERO scoring shuffles (the q177 broadcast-vocab apply
+      // shape). Long arithmetic end to end — exact through ~2·10¹²
+      // tokens per DOCUMENT (lg ≤ 63·2¹⁶), the q183 regime convention.
+      val srcIdx = srcs.zipWithIndex.toMap
+      val nSrc = srcs.length
+      val modelMap = new java.util.HashMap[String, Array[Long]](
+        math.max(16, (modelRows / 2).toInt))
+      counts.select(col("src"), col("w"), col("c")).collect().foreach { r =>
+        val arr = modelMap.computeIfAbsent(r.getString(1),
+          _ => new Array[Long](nSrc))
+        arr(srcIdx(r.getString(0))) = ilg(r.getLong(2) + 1L)
+      }
+      val bc = spark.sparkContext.broadcast(modelMap)
+      val bcLgnv = lgnvArr; val bcPrior = priorArr; val bcSrcs = srcs
+      toScore
+        .select(col(idCol).cast("long"), col(labelCol).cast("string"),
+          col(textCol).cast("string"))
+        .as[(Long, String, String)]
+        .mapPartitions { rows =>
+          val model = bc.value
+          rows.map { case (id, lbl, text) =>
+            val s = bcPrior.clone()
+            var nw = 0L
+            Option(text).getOrElse("").split("\\s+").iterator
+              .filter(_.nonEmpty).foreach { w =>
+                nw += 1
+                val arr = model.get(w)
+                if (arr != null) {
+                  var i = 0
+                  while (i < s.length) { s(i) += arr(i); i += 1 }
+                }
+              }
+            var i = 0
+            while (i < s.length) { s(i) -= nw * bcLgnv(i); i += 1 }
+            // ascending label order + strict > = the tie ladder
+            var best = 0; var second = -1
+            i = 1
+            while (i < s.length) {
+              if (s(i) > s(best)) { second = best; best = i }
+              else if (second == -1 || s(i) > s(second)) second = i
+              i += 1
+            }
+            val margin = if (second == -1) 0L else s(best) - s(second)
+            (id, lbl, bcSrcs(best), s(best), margin, bcSrcs(best) == lbl)
+          }
+        }
+        .toDF(idCol, labelCol, "predicted", "score_e16", "margin_e16",
+          "correct")
+    } else {
+      // FALLBACK: model past the broadcast bound — the same integers
+      // via a word-keyed join (lg(c+1) precomputed per MODEL row, not
+      // per joined token row) + (doc, class) rollup + one argmax
+      // aggregate whose sorted (−score, src) array IS the tie ladder.
+      val perClass = srcs.indices
+        .map(i => (srcs(i), lgnvArr(i), priorArr(i)))
+        .toDF("src", "lgnv", "prior_e16")
+      val model = counts.select(col("src"), col("w"),
+        dec(lg(col("c") + 1L)).as("lgc1"))
+      val tf = tfRelation(toScore, idCol, textCol)
+      val mTerm = tf.join(model, Seq("w"))
+        .groupBy(col("__id"), col("src"))
+        .agg(sum(dec(col("tf")) * col("lgc1")).as("m_term"))
+      val docLen = tf.groupBy(col("__id")).agg(sum(col("tf")).as("nw"))
+      val grid = toScore
+        .select(col(idCol).as("__id"), col(labelCol).cast("string").as("__lbl"))
+        .join(docLen, Seq("__id"), "left")
+        .withColumn("nw", coalesce(col("nw"), lit(0L)))
+        .crossJoin(broadcast(perClass))
+        .join(mTerm, Seq("__id", "src"), "left")
+        .select(col("__id"), col("__lbl"), col("src"),
+          (dec(col("prior_e16")) + coalesce(col("m_term"), dec(lit(0)))
+            - dec(col("nw")) * dec(col("lgnv"))).cast("long").as("score_e16"))
+      grid.groupBy(col("__id"), col("__lbl"))
+        .agg(sort_array(collect_list(
+          struct((-col("score_e16")).as("ns"), col("src")))).as("r"))
+        .select(col("__id").as(idCol), col("__lbl").as(labelCol),
+          col("r").getItem(0).getField("src").as("predicted"),
+          (-col("r").getItem(0).getField("ns")).as("score_e16"),
+          when(size(col("r")) > 1,
+            col("r").getItem(1).getField("ns") - col("r").getItem(0).getField("ns"))
+            .otherwise(0L).as("margin_e16"),
+          (col("r").getItem(0).getField("src") === col("__lbl")).as("correct"))
+    }
   }
+
 
   /** Per-class evaluation rollup of a [[classify]] output — the
     * classifier-eval report artifact (one row per TRUE class):
@@ -168,11 +265,20 @@ object NaiveBayes {
     * n_predicted counts docs the model ASSIGNED to the class anywhere
     * in the corpus; precision guards its zero with greatest(·,1). */
   def classReport(classified: DataFrame, labelCol: String): DataFrame = {
-    val truth = classified.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
-    val pred = classified.groupBy(col("predicted").as("label"))
-      .agg(count(lit(1)).as("n_predicted"))
+    // ONE pass over the decision table: the S² confusion relation is
+    // tiny and both rollups (truth-side and predicted-side) derive
+    // from it — without the pin the two consumers would re-execute the
+    // whole scoring chain twice
+    val conf = classified
+      .groupBy(col(labelCol).as("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val truth = conf.groupBy(col("label"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("predicted") === col("label"), col("n")).otherwise(0L))
+          .as("n_correct"))
+    val pred = conf.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n")).as("n_predicted"))
     truth.join(pred, Seq("label"), "left")
       .select(col("label"), col("n_docs"),
         coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),

@@ -480,10 +480,11 @@ object DedupQueries {
   // (the pairs a dedup pipeline actually adjudicates). One signature
   // computation serves all four points (lanes nest); signed error sum
   // emitted undivided (no cross-engine signed division).
+  // no trailing orderBy (the q31 lesson — the sort's sampling pass
+  // re-executes the whole signature chain for 4 output rows)
   private def q196(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup
       .minHashAccuracyCurve(documents(s, d), "doc_id", "text")
-      .orderBy(col("sig_size"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_minhash_accuracy" -> q196 _,

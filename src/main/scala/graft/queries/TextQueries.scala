@@ -1384,10 +1384,12 @@ object TextQueries {
   // report form, "which docs look unlike their own label" is itself a
   // quality signal. One row per doc: predicted class (argmax,
   // label-ascending ties), score, best−runner-up margin, correct flag.
+  // no trailing orderBy on the q193-q195 family (the q31 lesson): the
+  // global sort's range-sampling pass re-executes the whole scoring
+  // chain, and the driver's hash is row-order-insensitive
   private def q193(s: SparkSession, d: String): DataFrame =
     graft.operators.NaiveBayes
       .classify(documents(s, d), "doc_id", "lang", "text")
-      .orderBy(col("doc_id"))
 
   // Classifier evaluation report (r10): per-class precision/recall of
   // q193's decision table — the eval artifact a pipeline reads before
@@ -1397,7 +1399,6 @@ object TextQueries {
     graft.operators.NaiveBayes.classReport(
       graft.operators.NaiveBayes
         .classify(documents(s, d), "doc_id", "lang", "text"), "lang")
-      .orderBy(col("label"))
 
   // Incremental Naive Bayes (r10): both model relations — (label,
   // word, c) token counts and (label, d) doc counts — are exactly
@@ -1415,7 +1416,6 @@ object TextQueries {
       graft.operators.NaiveBayes.wordCounts(wh, "lang", "text"),
       graft.operators.NaiveBayes.docCounts(wh, "lang"),
       docs.filter(isNew), "doc_id", "lang", "text")
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

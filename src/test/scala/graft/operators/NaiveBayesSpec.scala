@@ -170,6 +170,22 @@ class NaiveBayesSpec extends SparkSpec {
     }
   }
 
+  test("broadcast fast path ≡ relational fallback (guard forced both ways)") {
+    val rnd = new scala.util.Random(19)
+    val docs = (0 until 35).map { i =>
+      val l = Vector("u", "v", "w")(rnd.nextInt(3))
+      (i.toLong, l, (0 to rnd.nextInt(10))
+        .map(_ => Vector("k", "l", "m", "n", "o")(rnd.nextInt(5))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val fast = NaiveBayes.classify(df, "doc_id", "lang", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fallback = NaiveBayes
+      .classify(df, "doc_id", "lang", "text", maxBroadcastModelRows = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast === fallback)
+  }
+
   test("classReport: counts, precision and recall per class") {
     val docs = Seq(
       (1L, "code", "def class return import def"),
