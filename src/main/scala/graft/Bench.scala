@@ -445,7 +445,8 @@ object Bench {
       // the MinHash accuracy curve rides the q38 signature/banding
       // machinery (corpus-proportional, candidates ∝ dup density).
       // q194 is a rollup of q193's chain — no independent scale signal.
-      "q193_naive_bayes", "q195_naive_bayes_incr", "q196_minhash_accuracy")
+      "q193_naive_bayes", "q195_naive_bayes_incr", "q196_minhash_accuracy",
+      "q197_nb_loo")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

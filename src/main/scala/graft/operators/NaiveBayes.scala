@@ -259,6 +259,129 @@ object NaiveBayes {
   }
 
 
+  /** Leave-one-out classification — the honest evaluation (in-sample
+    * [[classify]] scores every document against a model its own tokens
+    * helped train, which flatters accuracy). NB supports LOO in closed
+    * form: scoring document d against "train on everything but d" just
+    * subtracts d's own contributions —
+    *
+    *   own class t = label(d):  c_t(w) → c_t(w) − tf_d(w),
+    *                            N_t → N_t − n_words(d), D_t → D_t − 1
+    *   every class:             D → D − 1
+    *
+    * — with the vocabulary held FIXED at the full training V (held-out
+    * smoothing over the training vocabulary; true retrain-without-d
+    * would also shrink V by d's hapaxes, making |V| per-doc — a
+    * different, costlier estimator, documented out). A document whose
+    * class it is the ONLY member of (D_t = 1) has no own-class LOO
+    * model; that class is excluded from its candidate set, and a
+    * single-class corpus yields no output rows.
+    *
+    * Same output shape as [[classify]]. Broadcast-model row-local
+    * scorer only (the model map must fit the [[MaxBroadcastModelRows]]
+    * guard — per-word RAW counts ship so the subtraction happens in
+    * place; each partition memoizes the unadjusted per-word lg vector,
+    * and only own-class seen words pay a fresh ilog2). */
+  def classifyLoo(docs: DataFrame, idCol: String, labelCol: String,
+                  textCol: String,
+                  maxBroadcastModelRows: Long = MaxBroadcastModelRows): DataFrame = {
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = wordCounts(docs, labelCol, textCol).localCheckpoint(true)
+    val perSrcN = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizesRow = counts
+      .agg(countDistinct(col("w")).as("v"), count(lit(1)).as("rows")).head()
+    val (v, modelRows) = (sizesRow.getLong(0), sizesRow.getLong(1))
+    require(modelRows <= maxBroadcastModelRows,
+      s"classifyLoo ships raw counts to every executor; model has $modelRows" +
+        s" rows > $maxBroadcastModelRows — raise the guard or sample")
+    val dBySrc = docCounts(docs, labelCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dt = dBySrc.values.sum
+    val ilg = graft.functions.IntLog2.ilog2e16 _
+    val srcs = perSrcN.keys.toArray.sorted
+    val srcIdx = srcs.zipWithIndex.toMap
+    val nSrc = srcs.length
+    val nArr = srcs.map(perSrcN)
+    val dArr = srcs.map(dBySrc)
+    val modelMap = new java.util.HashMap[String, Array[Long]](
+      math.max(16, (modelRows / 2).toInt))
+    counts.select(col("src"), col("w"), col("c")).collect().foreach { r =>
+      val arr = modelMap.computeIfAbsent(r.getString(1),
+        _ => new Array[Long](nSrc))
+      arr(srcIdx(r.getString(0))) = r.getLong(2) // RAW counts
+    }
+    val bc = spark.sparkContext.broadcast(modelMap)
+    val (bcSrcs, bcN, bcD, bcV, bcDt) = (srcs, nArr, dArr, v, dt)
+    docs
+      .select(col(idCol).cast("long"), col(labelCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val model = bc.value
+        val idx = bcSrcs.zipWithIndex.toMap
+        // unadjusted per-word lg(c+1) vectors, memoized per partition
+        // (Zipfian corpora repeat words — the q177 memo argument)
+        val lgMemo = new java.util.HashMap[String, Array[Long]]()
+        val ilgF = graft.functions.IntLog2.ilog2e16 _
+        // dt == 1 → the lone doc's own class is excluded below and no
+        // other class exists, so this value is never read
+        val lgDt1 = if (bcDt > 1L) ilgF(bcDt - 1L) else 0L
+        rows.flatMap { case (id, lbl, text) =>
+          val own = idx.getOrElse(lbl, -1)
+          val tf = scala.collection.mutable.HashMap.empty[String, Long]
+          var nw = 0L
+          Option(text).getOrElse("").split("\\s+").iterator
+            .filter(_.nonEmpty).foreach { w =>
+              nw += 1
+              tf.update(w, tf.getOrElse(w, 0L) + 1L)
+            }
+          val s = new Array[Long](bcSrcs.length)
+          var i = 0
+          while (i < s.length) {
+            // prior + length terms, own-class-adjusted
+            val dAdj = if (i == own) bcD(i) - 1L else bcD(i)
+            val nAdj = if (i == own) bcN(i) - nw else bcN(i)
+            s(i) =
+              if (dAdj == 0L) Long.MinValue // excluded class sentinel
+              else ilgF(dAdj) - lgDt1 - nw * ilgF(nAdj + bcV)
+            i += 1
+          }
+          tf.foreach { case (w, f) =>
+            val arr = model.get(w) // w ∈ V always (trained on docs)
+            val lgArr = lgMemo.computeIfAbsent(w,
+              _ => arr.map(c => ilgF(c + 1L)))
+            var j = 0
+            while (j < s.length) {
+              if (s(j) != Long.MinValue) {
+                s(j) +=
+                  (if (j == own) f * ilgF(arr(j) - f + 1L) else f * lgArr(j))
+              }
+              j += 1
+            }
+          }
+          var best = -1; var second = -1
+          i = 0
+          while (i < s.length) {
+            if (s(i) != Long.MinValue) {
+              if (best == -1 || s(i) > s(best)) { second = best; best = i }
+              else if (second == -1 || s(i) > s(second)) second = i
+            }
+            i += 1
+          }
+          if (best == -1) Iterator.empty
+          else {
+            val margin = if (second == -1) 0L else s(best) - s(second)
+            Iterator.single(
+              (id, lbl, bcSrcs(best), s(best), margin, bcSrcs(best) == lbl))
+          }
+        }
+      }
+      .toDF(idCol, labelCol, "predicted", "score_e16", "margin_e16", "correct")
+  }
+
   /** Per-class evaluation rollup of a [[classify]] output — the
     * classifier-eval report artifact (one row per TRUE class):
     * (label, n_docs, n_predicted, n_correct, precision_e6, recall_e6).

@@ -1418,7 +1418,18 @@ object TextQueries {
       docs.filter(isNew), "doc_id", "lang", "text")
   }
 
+  // Leave-one-out NB evaluation (r10): the honest accuracy — every doc
+  // scored against a model that never saw it, in closed form (NB's
+  // count subtractions; fixed training vocabulary — see
+  // NaiveBayes.classifyLoo). The in-sample (q193) vs LOO (q197)
+  // accuracy GAP is the overfit measurement a pipeline reads before
+  // trusting a model gate. Same decision-table shape as q193.
+  private def q197(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes
+      .classifyLoo(documents(s, d), "doc_id", "lang", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_nb_loo" -> q197 _,
     "q195_naive_bayes_incr" -> q195 _,
     "q194_classifier_report" -> q194 _,
     "q193_naive_bayes" -> q193 _,
@@ -1806,7 +1817,9 @@ object TextQueries {
     * algebra is [[graft.operators.NaiveBayes]]'s verbatim: prior
     * (lg D_s − lg D) + Σ tf·lg(c+1) − n_words·lg(N_s+|V|), HUGEINT
     * intermediates, CAST AS BIGINT at the end. */
-  private def naiveBayesCtes: Seq[String] = {
+  /** Counts, sizes, per-doc tf and lengths — the model-side CTEs every
+    * NB oracle (q193/q195/q197) starts from. */
+  private def naiveBayesBaseCtes: Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += ("tokb AS (SELECT doc_id, lang, u.w AS w FROM (SELECT doc_id, lang, " +
       "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
@@ -1818,16 +1831,22 @@ object TextQueries {
     ctes += ("dcb AS (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS d " +
       "FROM documents GROUP BY 1)")
     ctes += "dtb AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt FROM documents)"
-    ctes += ("lvB AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cntb " +
-      "UNION SELECT DISTINCT n + (SELECT v FROM vvb) FROM pnb " +
-      "UNION SELECT DISTINCT d FROM dcb " +
-      "UNION SELECT dt FROM dtb)")
-    ctes ++= ilog2ChainCtes("B")
     ctes += ("tfb AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf " +
       "FROM tokb GROUP BY 1, 2)")
     ctes += ("dlb AS (SELECT d0.doc_id, d0.lang, COALESCE(t.nw, 0) AS nw " +
       "FROM documents d0 LEFT JOIN (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nw " +
       "FROM tfb GROUP BY 1) t USING (doc_id))")
+    ctes.result()
+  }
+
+  private def naiveBayesCtes: Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes ++= naiveBayesBaseCtes
+    ctes += ("lvB AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cntb " +
+      "UNION SELECT DISTINCT n + (SELECT v FROM vvb) FROM pnb " +
+      "UNION SELECT DISTINCT d FROM dcb " +
+      "UNION SELECT dt FROM dtb)")
+    ctes ++= ilog2ChainCtes("B")
     ctes += ("plb AS (SELECT p.lbl, " +
       "(SELECT lg FROM lgB WHERE x = p.n + (SELECT v FROM vvb)) AS lgnv, " +
       "(SELECT lg FROM lgB WHERE x = dc.d) - " +
@@ -1873,7 +1892,54 @@ object TextQueries {
       "CAST(tr.n_correct * 1000000 // GREATEST(tr.n_docs, 1) AS BIGINT) AS recall_e6 " +
       "FROM tr LEFT JOIN pr USING (label) ORDER BY label"
 
+  /** q197 twin: the base model CTEs + per-(doc, class) ADJUSTED scores
+    * — own-class word counts minus the doc's tf, own-class totals
+    * minus its length, own-class doc count minus one, D minus one —
+    * the ilog2 chain over every adjusted value, single-member classes
+    * excluded from their own doc's candidates (the classifyLoo
+    * contract). */
+  private def nbLooOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes ++= naiveBayesBaseCtes
+    // per (doc, candidate class, word ∈ doc): class count adjusted by
+    // the doc's own tf when the class is the doc's own
+    ctes += ("jt AS (SELECT t.doc_id, dl.lang, c2.lbl, t.tf, " +
+      "c2.c - CASE WHEN c2.lbl = dl.lang THEN t.tf ELSE 0 END AS adjc " +
+      "FROM tfb t JOIN dlb dl USING (doc_id) JOIN cntb c2 ON c2.w = t.w)")
+    ctes += ("lvL AS MATERIALIZED (SELECT DISTINCT adjc + 1 AS x FROM jt " +
+      "UNION SELECT DISTINCT p.n + (SELECT v FROM vvb) FROM pnb p " +
+      "UNION SELECT DISTINCT p.n - dl.nw + (SELECT v FROM vvb) " +
+      "FROM pnb p JOIN dlb dl ON dl.lang = p.lbl " +
+      "UNION SELECT DISTINCT d FROM dcb " +
+      "UNION SELECT DISTINCT d - 1 FROM dcb WHERE d > 1 " +
+      "UNION SELECT dt - 1 FROM dtb)")
+    ctes ++= ilog2ChainCtes("L")
+    ctes += ("mtL AS (SELECT doc_id, lbl, SUM(CAST(tf AS HUGEINT) * l.lg) AS m " +
+      "FROM jt JOIN lgL l ON l.x = jt.adjc + 1 GROUP BY 1, 2)")
+    ctes += ("scb AS (SELECT dl.doc_id, dl.lang, pl.lbl, " +
+      "CAST((SELECT lg FROM lgL WHERE x = " +
+      "CASE WHEN pl.lbl = dl.lang THEN dc.d - 1 ELSE dc.d END) " +
+      "- (SELECT lg FROM lgL WHERE x = (SELECT dt FROM dtb) - 1) " +
+      "+ COALESCE(mt.m, 0) " +
+      "- CAST(dl.nw AS HUGEINT) * (SELECT lg FROM lgL WHERE x = " +
+      "CASE WHEN pl.lbl = dl.lang THEN pl.n - dl.nw ELSE pl.n END " +
+      "+ (SELECT v FROM vvb)) AS BIGINT) AS score " +
+      "FROM dlb dl CROSS JOIN pnb pl JOIN dcb dc ON dc.lbl = pl.lbl " +
+      "LEFT JOIN mtL mt ON mt.doc_id = dl.doc_id AND mt.lbl = pl.lbl " +
+      "WHERE NOT (pl.lbl = dl.lang AND dc.d = 1))")
+    ctes += ("rkb AS (SELECT doc_id, lang, lbl, score, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn " +
+      "FROM scb)")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT a.doc_id, a.lang, a.lbl AS predicted, a.score AS score_e16, " +
+      "a.score - COALESCE(b.score, a.score) AS margin_e16, " +
+      "a.lbl = a.lang AS correct " +
+      "FROM rkb a LEFT JOIN rkb b ON b.doc_id = a.doc_id AND b.rn = 2 " +
+      "WHERE a.rn = 1 ORDER BY a.doc_id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q197_nb_loo" -> nbLooOracle,
     "q195_naive_bayes_incr" -> naiveBayesOracle(" AND a.doc_id % 5 = 0"),
     "q194_classifier_report" -> classifierReportOracle,
     "q193_naive_bayes" -> naiveBayesOracle(""),

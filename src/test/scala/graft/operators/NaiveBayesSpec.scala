@@ -170,6 +170,111 @@ class NaiveBayesSpec extends SparkSpec {
     }
   }
 
+  /** LOO reference: literally retrain without each doc (fixed full-V
+    * smoothing), score, argmax with the ladder, skip single-member own
+    * classes. */
+  private def referenceLoo(docs: Seq[(Long, String, String)])
+      : Map[Long, (String, Long, Long, Boolean)] = {
+    val lg = (x: Long) => BigInt(IntLog2.ilog2e16(x))
+    def toks(t: String) = t.split("\\s+", -1).filter(_.nonEmpty).toSeq
+    val v = docs.flatMap(d => toks(d._3)).distinct.size.toLong
+    val out = docs.flatMap { case (id, t, text) =>
+      val rest = docs.filterNot(_._1 == id)
+      val byLabel = rest.groupBy(_._2)
+      val counts = byLabel.map { case (l, ds) =>
+        l -> ds.flatMap(d => toks(d._3)).groupBy(identity)
+          .map { case (w, ws) => w -> ws.size.toLong }
+      }
+      // candidate classes: trained classes of the FULL corpus that
+      // still have a doc after removal = all labels in `rest` that had
+      // tokens in the full corpus; token presence in full corpus is
+      // what classifyLoo keys on, and every fixture label has tokens
+      val cands = byLabel.keySet
+      val tf = toks(text).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val nw = tf.values.sum
+      val scored = cands.toSeq.sorted.map { l =>
+        val n = counts(l).values.sum
+        val prior = lg(byLabel(l).size.toLong) - lg(docs.size.toLong - 1)
+        val m = tf.map { case (w, f) =>
+          BigInt(f) * lg(counts(l).getOrElse(w, 0L) + 1)
+        }.sum
+        l -> (prior + m - BigInt(nw) * lg(n + v))
+      }
+      if (scored.isEmpty) None
+      else {
+        val ranked = scored.sortBy { case (l, s) => (-s, l) }
+        val (pl, ps) = ranked.head
+        val margin = if (ranked.size > 1) ps - ranked(1)._2 else BigInt(0)
+        Some(id -> ((pl, ps.toLong, margin.toLong, pl == t)))
+      }
+    }
+    out.toMap
+  }
+
+  private def runLoo(docs: Seq[(Long, String, String)])
+      : Map[Long, (String, Long, Long, Boolean)] =
+    NaiveBayes.classifyLoo(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+      .map { case (id, _, p, s, m, c) => id -> ((p, s, m, c)) }.toMap
+
+  test("classifyLoo ≡ retrain-without-each-doc reference (crafted + random)") {
+    assert(runLoo(crafted) === referenceLoo(crafted))
+    val rnd = new scala.util.Random(23)
+    val vocabs = Map(
+      "a" -> Vector("x", "y", "z", "q"),
+      "b" -> Vector("y", "z", "r", "s"),
+      "c" -> Vector("z", "s", "t", "u"))
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 30).map { i =>
+        val l = Vector("a", "b", "c")(rnd.nextInt(3))
+        (i.toLong, l, (0 to rnd.nextInt(10))
+          .map(_ => vocabs(l)(rnd.nextInt(vocabs(l).size))).mkString(" "))
+      }
+      assert(runLoo(docs) === referenceLoo(docs), s"trial $trial")
+    }
+  }
+
+  test("classifyLoo: a single-member class is excluded from its own doc") {
+    val docs = Seq(
+      (1L, "solo", "aa bb cc"),
+      (2L, "pair", "aa bb dd"),
+      (3L, "pair", "aa cc dd"))
+    val got = runLoo(docs)
+    // doc 1's own class has D_t = 1 → only 'pair' is a candidate
+    assert(got(1L)._1 === "pair")
+    assert(!got(1L)._4)
+    assert(got(1L)._3 === 0L) // single candidate → margin 0
+    assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("classifyLoo: single-class corpora — trivial with ≥2 docs, empty with 1") {
+    // two docs, one class: a valid LOO model remains (prior lg1−lg1=0),
+    // the lone candidate wins with margin 0
+    val two = runLoo(Seq((1L, "only", "a b"), (2L, "only", "b c")))
+    assert(two.keySet === Set(1L, 2L))
+    assert(two.values.forall { case (p, _, m, c) => p == "only" && m == 0L && c })
+    // one doc total: its own class is single-member and no other class
+    // exists → no candidates, no rows (and no ilog2(0) on D−1 = 0)
+    assert(runLoo(Seq((1L, "only", "a b"))).isEmpty)
+  }
+
+  test("classifyLoo exposes overfit that in-sample classify hides") {
+    // two classes with shared filler; each doc carries a personal rare
+    // word — in-sample those hapaxes anchor every doc to its own class,
+    // LOO removes them from the model and the filler decides
+    val docs = Seq(
+      (1L, "p", "f f f u1"),
+      (2L, "p", "f f f u2"),
+      (3L, "q", "f f g u3"),
+      (4L, "q", "f g g u4"))
+    val ins = run(docs)
+    val loo = runLoo(docs)
+    assert(ins.values.forall(_._4), "in-sample memorizes the hapaxes")
+    assert(loo === referenceLoo(docs))
+    assert(loo.count(_._2._4) < 4, "LOO accuracy must drop")
+  }
+
   test("broadcast fast path ≡ relational fallback (guard forced both ways)") {
     val rnd = new scala.util.Random(19)
     val docs = (0 until 35).map { i =>
