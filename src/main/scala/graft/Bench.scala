@@ -446,7 +446,7 @@ object Bench {
       // machinery (corpus-proportional, candidates ∝ dup density).
       // q194 is a rollup of q193's chain — no independent scale signal.
       "q193_naive_bayes", "q195_naive_bayes_incr", "q196_minhash_accuracy",
-      "q197_nb_loo")
+      "q197_nb_loo", "q198_cluster_label_vote")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -574,6 +574,52 @@ object Dedup {
         col("sum_err_e6"), col("max_abs_e6"))
   }
 
+  /** Majority-label vote over near-dup clusters — the label-denoising /
+    * weak-supervision primitive: near-duplicate documents should agree
+    * on labels (language, source, quality verdicts), so each doc is
+    * reported against its cluster's majority label and the
+    * disagreements are the suspect labels (the cluster-confidence line
+    * of Northcutt et al.'s label-noise work, applied through the dedup
+    * graph instead of a model). Singletons vote for themselves.
+    *
+    * Pipeline: the [[minHashLshPortable]] pair list → connected
+    * components → per-(component, label) counts → majority (ties break
+    * label-ascending via the (−n, label) sorted-struct ladder). Output:
+    * (idCol, labelCol, component, cluster_label, n_cluster,
+    * n_label_votes, label_agrees).
+    *
+    * Scale shape: everything rides the q69 LSH/components machinery
+    * (candidates ∝ dup density, iterative min-label with checkpointed
+    * lineage); the vote adds two component-keyed rollups of doc-sized
+    * relations and one broadcast-sized winner join per component. */
+  def clusterLabelVote(docs: DataFrame, idCol: String, labelCol: String,
+                       textCol: String,
+                       numPerms: Int = 32, numBands: Int = 8,
+                       shingleN: Int = 3, threshold: Double = 0.3,
+                       maxBucket: Int = 1000): DataFrame = {
+    val pairs = minHashLshPortable(docs, idCol, textCol,
+        numPerms, numBands, shingleN, threshold, maxBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.auto(pairs, docs.select(col(idCol).as("id")))
+    val labeled = docs
+      .select(col(idCol).as("id"), col(labelCol).cast("string").as("__lbl"))
+      .join(comp, Seq("id"))
+      .localCheckpoint(true) // votes + final join both read it
+    val winner = labeled
+      .groupBy(col("component"), col("__lbl")).agg(count(lit(1)).as("n"))
+      .groupBy(col("component"))
+      .agg(sort_array(collect_list(
+          struct((-col("n")).as("nn"), col("__lbl").as("l")))).getItem(0).as("w"),
+        sum(col("n")).as("n_cluster"))
+      .select(col("component"), col("w.l").as("cluster_label"),
+        (-col("w.nn")).as("n_label_votes"), col("n_cluster"))
+    labeled.join(winner, Seq("component"))
+      .select(col("id").as(idCol), col("__lbl").as(labelCol),
+        col("component"), col("cluster_label"), col("n_cluster"),
+        col("n_label_votes"),
+        (col("__lbl") === col("cluster_label")).as("label_agrees"))
+  }
+
   /** n-gram Jaccard similarity between two token-array columns (distinct
     * semantics, integer set sizes + one IEEE division — oracle-exact). */
   def jaccard(a: Column, b: Column): Column =

@@ -486,7 +486,16 @@ object DedupQueries {
     graft.operators.Dedup
       .minHashAccuracyCurve(documents(s, d), "doc_id", "text")
 
+  // Cluster label vote (r10): near-dups should agree on labels — each
+  // doc against its near-dup component's majority `lang`, the
+  // disagreements being the suspect labels (label denoising through
+  // the dedup graph). Rides the q69 edges exactly (threshold 0.3).
+  private def q198(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .clusterLabelVote(documents(s, d), "doc_id", "lang", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_cluster_label_vote" -> q198 _,
     "q196_minhash_accuracy" -> q196 _,
     "q191_span_report_incr" -> q191 _,
     "q190_phash_incr" -> q190 _,
@@ -933,7 +942,28 @@ object DedupQueries {
        |FROM pts GROUP BY 1 ORDER BY sig_size""".stripMargin
   }
 
+  /** q198 twin: the q69 closure + a per-component majority vote with
+    * the (n DESC, label ASC) window ladder. */
+  private def clusterLabelVoteOracle: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE CAST(n_common AS DOUBLE) / n_union >= 0.3),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+       |          UNION
+       |          SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+       |lab AS (SELECT d.doc_id, d.lang, c.component FROM documents d JOIN comp c USING (doc_id)),
+       |vt AS (SELECT component, lang AS lbl, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+       |wn AS (SELECT component, lbl AS cluster_label, n AS n_label_votes,
+       |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY n DESC, lbl ASC) AS rn,
+       |  CAST(SUM(n) OVER (PARTITION BY component) AS BIGINT) AS n_cluster FROM vt)
+       |SELECT l.doc_id, l.lang, l.component, w.cluster_label, w.n_cluster,
+       |  w.n_label_votes, l.lang = w.cluster_label AS label_agrees
+       |FROM lab l JOIN wn w ON w.component = l.component AND w.rn = 1
+       |ORDER BY l.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q198_cluster_label_vote" -> clusterLabelVoteOracle,
     "q196_minhash_accuracy" -> minHashAccuracyOracle,
     "q191_span_report_incr" -> substringSpansIncrOracle,
     "q190_phash_incr" -> pHashIncrOracle,

@@ -222,6 +222,37 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hashes(1L), hashes(3L)) > 16) // unrelated
   }
 
+  test("clusterLabelVote: majority wins, ties break label-ascending, " +
+    "singletons vote for themselves") {
+    val base = "the quick brown fox jumps over the lazy dog by the river bank"
+    val corpus = Seq(
+      // a 3-doc near-dup cluster: labels en, en, fr → majority en
+      (1L, "en", base),
+      (2L, "en", base + " x"),
+      (3L, "fr", base + " y"),
+      // a 2-doc cluster with a label tie: de vs da → 'da' (ascending)
+      (10L, "de", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "da", "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      // a singleton
+      (20L, "zh", "completely unrelated text about spark partitions")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.clusterLabelVote(corpus, "doc_id", "lang", "text")
+      .as[(Long, String, Long, String, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size === 6)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._4 === "en", s"doc $id cluster label")
+      assert(out(id)._5 === 3L)
+      assert(out(id)._6 === 2L)
+    }
+    assert(!out(3L)._7 && out(1L)._7) // the fr label is the suspect
+    Seq(10L, 11L).foreach { id =>
+      assert(out(id)._4 === "da", s"doc $id tie must break ascending")
+      assert(out(id)._6 === 1L)
+    }
+    assert(out(20L)._4 === "zh" && out(20L)._5 === 1L && out(20L)._7)
+  }
+
   test("jaccard: exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
