@@ -303,6 +303,32 @@ class PlanSpec extends SparkSpec {
       s"count merge must combine map-side:\n$p")
   }
 
+  test("q193/q197 NB scoring: zero-shuffle row-local apply — one scan, " +
+      "one typed map, no exchange/join/window in the plan (r10)") {
+    Seq("q193_naive_bayes", "q197_nb_loo").foreach { name =>
+      val p = plan(name)
+      // the state build runs at plan-construction time (driver collects
+      // over the checkpointed counts); the SHIPPED plan is the
+      // broadcast-model map over the corpus scan and nothing else
+      assert(p.contains("MapPartitions"), s"$name must score in a typed map:\n$p")
+      assert(!p.contains("Exchange"),
+        s"$name scoring is row-local — no shuffle may survive:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), s"$name:\n$p")
+    }
+  }
+
+  test("q196 minhash accuracy: signature materialized once, equality " +
+      "band joins only — no cartesian, no nested loop (r10)") {
+    val p = plan("q196_minhash_accuracy")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the 32-lane signature must be computed once (checkpoint), not " +
+        s"per curve point:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"candidates come from band-bucket equality joins:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the per-size error rollup must combine map-side:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
