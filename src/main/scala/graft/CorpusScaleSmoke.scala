@@ -145,7 +145,16 @@ object CorpusScaleSmoke {
       // r10: incremental ExactSubstr — batch shingle hashes join the
       // persisted count state; the claim is ONE batch-side __h
       // exchange shared by the state join and the occurrence window
-      "q191_span_report_incr")
+      "q191_span_report_incr",
+      // r10: NB classify/LOO — the claim is that the ONLY shuffle is
+      // the vocab-bounded count state (scoring is a broadcast-model
+      // row-local map: zero doc-keyed exchanges at any corpus size);
+      // the incremental form shuffles state + batch counts only
+      "q193_naive_bayes", "q195_naive_bayes_incr", "q197_nb_loo",
+      // r10: minhash accuracy curve — signature/banding corpus-
+      // proportional, pair work ∝ candidates (dup density), the curve
+      // rollup 4 rows; label vote rides the q69 LSH/components terms
+      "q196_minhash_accuracy", "q198_cluster_label_vote")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

@@ -533,9 +533,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact shingle-set Jaccard — the quantity the signature estimates
+      .localCheckpoint(true) // candidate-doc semi-join + both pair sides
+    // exact shingle-set Jaccard — the quantity the signature estimates —
+    // over CANDIDATE docs only (the r10 x100 lesson: shingling the whole
+    // corpus here shuffled GBs for a pair list measured in thousands;
+    // the semi-join keeps the exact leg ∝ candidates, as claimed)
+    val candDocs = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = TextAnalysis.shingleRows(
-        df.select(col(idCol).as("id"), normalized(col(textCol)).as("text")),
+        df.select(col(idCol).as("id"), normalized(col(textCol)).as("text"))
+          .join(candDocs, Seq("id"), "semi"),
         "id", "text", shingleN)
       .filter(col("shingle").isNotNull)
       .select(col("id"), graft.plans.GraftMd5.column(col("shingle")).as("hh"))
