@@ -446,7 +446,10 @@ object Bench {
       // machinery (corpus-proportional, candidates ∝ dup density).
       // q194 is a rollup of q193's chain — no independent scale signal.
       "q193_naive_bayes", "q195_naive_bayes_incr", "q196_minhash_accuracy",
-      "q197_nb_loo", "q198_cluster_label_vote")
+      "q197_nb_loo", "q198_cluster_label_vote",
+      // r10: incremental embedding near-dup — only the 1/7 batch is
+      // signed; probe = touched sig buckets of the persisted state
+      "q199_embed_neardup_incr")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -640,6 +640,72 @@ object Dedup {
     * count ∝ near-dup density (bucket join on a 2^numPlanes-way uniform
     * signature), never N². Catches semantic dups that text shingles miss
     * (paraphrases with identical embeddings). */
+  /** Persisted hyperplane-signature state for the embedding modality:
+    * (id, sig, vec) — a per-vector property (union-mergeable), the
+    * embedding rung's analogue of [[lshBandWarehouse]]. Vectors ride
+    * the state because the verify step needs them; at scale this is
+    * the sig-bucketed table the incremental probe co-locates against. */
+  def embeddingSigWarehouse(df: DataFrame, idCol: String, vecCol: String,
+                            numPlanes: Int = 12, seed: Long = 42L,
+                            dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else df.select(org.apache.spark.sql.functions.size(col(vecCol)))
+        .first().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(numPlanes, d, seed)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", SimilaritySearch.lshSignature(col("vec"), planes))
+  }
+
+  /** Incremental embedding-cosine near-dup against a persisted
+    * signature warehouse — the EMBEDDING rung of the incremental dedup
+    * ladder (exact/segments q171, MinHash q185, SimHash q186,
+    * components q176, images q190; this closes the semantic modality).
+    * Returns every verified pair INVOLVING a batch vector —
+    * batch↔warehouse and batch↔batch — exactly the batch-involving
+    * subset of [[embeddingNearDup]]'s full-rebuild pair list (the q181
+    * full-rebuild-equality contract).
+    *
+    * Work ∝ batch: only the batch is signed (one row-local kernel
+    * pass); the warehouse contributes pre-computed (id, sig, vec)
+    * rows semi-joined to the signatures the batch actually touches
+    * (sig-bucketed storage makes that probe co-located). The bucket
+    * bound counts batch + touched-warehouse rows — identical to the
+    * full rebuild's count on every bucket that can produce a
+    * batch-involving pair. One signature per vector means a pair
+    * shares at most one bucket, so no distinct is needed: the
+    * batch-side join emits each crossing pair exactly once
+    * (batch↔batch constrained to a.id < b.id). */
+  def embeddingNearDupIncremental(warehouseSigs: DataFrame, batch: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double = 0.95, numPlanes: Int = 12,
+                                  seed: Long = 42L, maxBucket: Int = 10000,
+                                  dim: Int = -1): DataFrame = {
+    val batchSigs =
+      embeddingSigWarehouse(batch, idCol, vecCol, numPlanes, seed, dim)
+        .withColumn("__batch", lit(true))
+    val touched = batchSigs.select(col("sig")).distinct()
+    val whTouched = warehouseSigs.join(touched, Seq("sig"), "left_semi")
+      .select(col("id"), col("vec"), col("sig"))
+      .withColumn("__batch", lit(false))
+    val bounded = batchSigs.select("id", "vec", "sig", "__batch")
+      .unionByName(whTouched)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    bounded.filter(col("__batch")).as("a")
+      .join(bounded.as("b"),
+        col("a.sig") === col("b.sig") &&
+          (col("b.__batch") && col("a.id") < col("b.id") ||
+            !col("b.__batch") && col("a.id") =!= col("b.id")))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .withColumn("cosine_e6", floor(col("cosine") * 1e6).cast("long"))
+      .drop("cosine")
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, numPlanes: Int = 12,
                        seed: Long = 42L, maxBucket: Int = 10000,

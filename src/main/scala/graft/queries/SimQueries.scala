@@ -155,7 +155,27 @@ object SimQueries {
       probeRow(s, d), "embedding", m = 20, k = 8)
       .orderBy(col("rank"))
 
+  // Incremental embedding near-dup (r10): the EMBEDDING rung closes
+  // the incremental dedup ladder's last modality (text MinHash q185 /
+  // SimHash q186, images q190, this one semantic vectors). vec_id %
+  // 7 == 0 plays the incoming batch (69 batch-involving pairs kept,
+  // 222 warehouse-internal excluded at sf0.001 — both gate sides
+  // exercised); the rest's (id, sig, vec) rows are the persisted
+  // warehouse, simulated in-plan. Only the batch is signed; oracle =
+  // q60's full-rebuild SQL filtered to batch-involving pairs.
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val isNew = col("vec_id") % 7 === 0
+    graft.operators.Dedup.embeddingNearDupIncremental(
+      graft.operators.Dedup.embeddingSigWarehouse(
+        emb.filter(!isNew), "vec_id", "embedding",
+        numPlanes = 6, dim = EmbeddingDim),
+      emb.filter(isNew), "vec_id", "embedding",
+      threshold = 0.2, numPlanes = 6, dim = EmbeddingDim)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_embed_neardup_incr" -> q199 _,
     "q178_mmr_rerank" -> q178 _,
     "q141_ivf_batch_topk" -> q141 _,
     "q40_cosine_scores" -> q40 _,
@@ -261,7 +281,12 @@ object SimQueries {
 
   /** Oracle for q60: 6-plane signature bucketing (bounded), bucket-local
     * self-join, exact cosine ≥ 0.2. */
-  private def nearDupOracle: String =
+  private def nearDupOracle: String = nearDupOracle("")
+
+  /** q60's chain with an optional extra pair predicate — q199's
+    * incremental form must answer exactly the batch-involving subset
+    * of this full rebuild (the q181 contract). */
+  private def nearDupOracle(pairFilter: String): String =
     s"WITH planes(b, pl) AS (VALUES ${planesSql(6)}), " +
       "sigs AS (SELECT e.vec_id, " +
       "CAST(SUM(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pl) > 0 " +
@@ -274,6 +299,7 @@ object SimQueries {
       "CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS cosine_e6 " +
       "FROM bounded a JOIN bounded b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.2 " +
+      s"$pairFilter" +
       "ORDER BY id_a, id_b"
 
   /** Oracle for q141: the q59 derivation generalized to a probe SET —
@@ -346,6 +372,8 @@ object SimQueries {
     "q59_ivf_topk" -> ivfOracle,
     "q192_ann_recall_curve" -> ivfRecallOracle,
     "q60_embedding_near_dup" -> nearDupOracle,
+    "q199_embed_neardup_incr" ->
+      nearDupOracle("AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0) "),
     "q40_cosine_scores" ->
       (probeCte + "SELECT vec_id, label, sim_e6 FROM scored ORDER BY vec_id"),
     "q41_cosine_topk" ->

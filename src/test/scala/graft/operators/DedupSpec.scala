@@ -222,6 +222,40 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hashes(1L), hashes(3L)) > 16) // unrelated
   }
 
+  test("embeddingNearDupIncremental ≡ full rebuild filtered to " +
+    "batch-involving pairs, on every 2-vs-rest split") {
+    // three planted near-dup groups (identical/near vectors) + noise;
+    // small dims so the 6-plane buckets actually collide
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, vec(1.0, 0.0, 0.1, 0.0)),
+      (2L, vec(0.99, 0.01, 0.1, 0.0)),  // ~dup of 1
+      (3L, vec(0.0, 1.0, 0.0, 0.1)),
+      (4L, vec(0.01, 0.99, 0.0, 0.1)),  // ~dup of 3
+      (5L, vec(-1.0, -0.5, 0.3, -0.2)), // unrelated
+      (6L, vec(0.98, 0.02, 0.12, 0.01)) // third member of group 1
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        threshold = 0.8, numPlanes = 4, dim = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty, "fixture must contain near-dups")
+    val ids = rows.map(_._1)
+    for (a <- ids; b <- ids if a < b) {
+      val batchIds = Set(a, b)
+      val inc = Dedup.embeddingNearDupIncremental(
+          Dedup.embeddingSigWarehouse(
+            df.filter(!col("vec_id").isin(batchIds.toSeq: _*)),
+            "vec_id", "embedding", numPlanes = 4, dim = 4),
+          df.filter(col("vec_id").isin(batchIds.toSeq: _*)),
+          "vec_id", "embedding", threshold = 0.8, numPlanes = 4, dim = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = full.filter(p =>
+        batchIds.contains(p._1) || batchIds.contains(p._2))
+      assert(inc === expect, s"batch {$a,$b}")
+    }
+  }
+
   test("clusterLabelVote: majority wins, ties break label-ascending, " +
     "singletons vote for themselves") {
     val base = "the quick brown fox jumps over the lazy dog by the river bank"
