@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Capacity-balanced shard planning — the warehouse-maintenance
+  * primitive behind file compaction and write fan-out control: given a
+  * weight per group (bytes, rows, tokens), assign groups to N shards
+  * so loads balance. Greedy LPT (longest-processing-time: sort weights
+  * descending, place each on the currently-lightest shard) — the
+  * classic 4/3-OPT makespan bound (Graham 1969), fully deterministic
+  * with the (weight desc, group asc) order and lowest-index tie-break
+  * on shards.
+  *
+  * The per-group weights come from a distributed aggregate; the greedy
+  * itself runs driver-side over the collected group list — bounded
+  * like a centroid list (the KMeans/MMR convention: shard planning is
+  * over GROUPS — sources, partitions, file buckets — whose count a
+  * deployment keeps in the thousands, not over rows). Output is the
+  * assignment artifact a writer consumes: one row per group with its
+  * weight, shard, and the shard's FINAL load (so consumers can read
+  * imbalance straight off the plan).
+  */
+object ShardPlanner {
+
+  /** Assign each distinct value of `groupCol` to one of `numShards`
+    * shards, weighting groups by `sum(weightCol)`. Returns
+    * (group, weight, shard, shard_load) — shard ids are 0-based. */
+  def planShards(df: DataFrame, groupCol: String, weightCol: String,
+                 numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(col(weightCol)).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      // LPT order: heaviest first, group-ascending ties
+      .sortBy { case (g, w) => (-w, g) }
+    val loads = new Array[Long](numShards)
+    val assigned = groups.map { case (g, w) =>
+      var best = 0
+      var i = 1
+      while (i < numShards) {
+        if (loads(i) < loads(best)) best = i // strict < = lowest-index ties
+        i += 1
+      }
+      loads(best) += w
+      (g, w, best)
+    }
+    assigned.toSeq
+      .map { case (g, w, s) => (g, w, s, loads(s)) }
+      .toDF(groupCol, "weight", "shard", "shard_load")
+  }
+}

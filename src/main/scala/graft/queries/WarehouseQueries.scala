@@ -151,7 +151,18 @@ object WarehouseQueries {
       AggState.buildFreqExpr(priced, keys, col("cents")), keys)
   }
 
+  // Capacity-balanced shard plan (r10): LPT assignment of sources to
+  // 4 shards by total bytes — the compaction/write-fan-out planning
+  // artifact (greedy is driver-side over the BOUNDED group list, the
+  // KMeans-centroid rule; the weights aggregate is distributed). The
+  // oracle replays the greedy as a recursive CTE whose state is the
+  // 4-slot load list.
+  private def q200(s: SparkSession, d: String): DataFrame =
+    graft.etl.ShardPlanner
+      .planShards(documents(s, d), "source", "n_chars", numShards = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_shard_plan" -> q200 _,
     "q135_freq_state_median" -> q135 _,
     "q144_mad_outliers" -> q144 _,
     "q122_scd2_history" -> q122 _,
@@ -159,7 +170,34 @@ object WarehouseQueries {
     "q126_cdc_apply" -> q126 _,
     "q129_scd2_increment" -> q129 _)
 
+  /** q200 twin: LPT replayed step by step — srcs in (weight DESC,
+    * source ASC) order, state = the 4-slot load list, each step adds
+    * to the first minimal slot (list_indexof finds the FIRST match —
+    * the operator's strict-< scan). */
+  private def shardPlanOracle: String =
+    "WITH RECURSIVE srcs AS (SELECT source AS g, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS w, " +
+      "ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS rn " +
+      "FROM documents GROUP BY 1), " +
+      "step AS (" +
+      "SELECT 0 AS i, [CAST(0 AS BIGINT), 0, 0, 0] AS loads, " +
+      "CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS w, " +
+      "CAST(NULL AS INT) AS shard " +
+      "UNION ALL " +
+      "SELECT s.rn, " +
+      "list_transform([1, 2, 3, 4], j -> CASE " +
+      "WHEN j = list_indexof(st.loads, list_min(st.loads)) " +
+      "THEN st.loads[j] + s.w ELSE st.loads[j] END), " +
+      "s.g, s.w, " +
+      "CAST(list_indexof(st.loads, list_min(st.loads)) - 1 AS INT) " +
+      "FROM step st JOIN srcs s ON s.rn = st.i + 1), " +
+      "fin AS (SELECT loads FROM step ORDER BY i DESC LIMIT 1) " +
+      "SELECT st.g AS source, st.w AS weight, st.shard, " +
+      "fin.loads[st.shard + 1] AS shard_load " +
+      "FROM step st, fin WHERE st.g IS NOT NULL ORDER BY source"
+
   val oracle: Map[String, String] = Map(
+    "q200_shard_plan" -> shardPlanOracle,
     // q144: medians via the same cum*2 >= total rank rule, MAD as the
     // median of the absolute-deviation grid, 3-MAD integer flag
     "q144_mad_outliers" ->
