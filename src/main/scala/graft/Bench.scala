@@ -677,16 +677,20 @@ object Bench {
       }
       .mkString("{", ",", "}")
     def renderFinal(susp: String, regr: String, kfMode: Option[String],
-                    vfMode: Option[String] = None): String = {
+                    vfMode: Option[String] = None,
+                    dropPost: Boolean = false): String = {
       val kf = kfMode.map(m => s""""kf":"$m",""").getOrElse("")
       val vf = vfMode.map(m => s""""vf":"$m",""").getOrElse("")
       val keyOf: String => String = kfMode match {
         case Some("b36") => HealPolicy.b36Key
         case Some("b36x") => k => HealPolicy.b36Key(HealPolicy.xShortKey(k))
+        case Some("b36xt") => k =>
+          HealPolicy.b36Key(HealPolicy.trainShortKey(HealPolicy.xShortKey(k)))
         case _ => identity
       }
       val qs2 = renderQs(keyOf, vfMode)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"regr":$regr%s,"queries":$qs2%s,"sf":"$sfDir"}"""
+      val post = if (dropPost) "" else f""""floor_post":$floorPost%.3f,"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,$post%s"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"regr":$regr%s,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
     // degradation ladder: "regr" (r10 — confirmed cross-round
     // regressions, the complement of "suspect") drops together with
@@ -705,9 +709,15 @@ object Bench {
       // 179+ base entries even bare-b36 keys with "0.12" values brush
       // the budget; ints buy ~2 chars per entry
       renderFinal(suspectJson, regrJson, Some("b36x"), Some("cs")),
-      renderFinal("[]", "[]", Some("b36x"), Some("cs")))
+      renderFinal("[]", "[]", Some("b36x"), Some("cs")),
+      // r13 emergency rung: the two train-line keys fold to their
+      // underscore-safe short forms ("kf":"b36xt") and floor_post
+      // moves to the telemetry lines — ~40 more chars, bought BEFORE
+      // the with-lists rung crossed the bar (1888/1900 at 199 base)
+      renderFinal("[]", "[]", Some("b36xt"), Some("cs"), dropPost = true))
       .find(_.length < 1900)
-      .getOrElse(renderFinal("[]", "[]", Some("b36x"), Some("cs")))
+      .getOrElse(renderFinal("[]", "[]", Some("b36xt"), Some("cs"),
+        dropPost = true))
     require(finalLine.length < 1900,
       s"final bench line ${finalLine.length} chars >= 1900 — would be tail-truncated")
     println(finalLine)

@@ -153,6 +153,18 @@ object HealPolicy {
     case _ => k
   }
 
+  /** The two ANN train-line keys, folded for the LAST compact rung
+    * ("kf":"b36xt", r13 — the with-lists b36x+cs line reached
+    * 1888/1900 at 199 base queries). The short forms keep an
+    * underscore ON PURPOSE: an all-[0-9a-z] key like "xpt" would be
+    * b36-parsed by [[decodeKey]]; '_' fails its charset test, so the
+    * fold is decode-safe. [[canonKey]] folds BOTH generations. */
+  def trainShortKey(k: String): String = k match {
+    case "x132_pq_train" => "x_pt"
+    case "x133_ivfpq_train" => "x_it"
+    case _ => k
+  }
+
   /** Decode a compact-artifact key back to the decimal form, given the
     * artifact's declared key format ("b36"/"b36x" or absent/decimal) —
     * lets the cross-round prior-median lookup read any generation.
@@ -171,7 +183,7 @@ object HealPolicy {
     * else passes through. */
   def canonKey(k: String): String =
     if (k.nonEmpty && k.forall(_.isDigit)) k.toLong.toString
-    else xShortKey(k)
+    else trainShortKey(xShortKey(k))
 
   /** Decode a compact-artifact median back to seconds, given the
     * artifact's declared value format — "cs" (r9 rung: centisecond

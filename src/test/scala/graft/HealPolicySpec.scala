@@ -109,7 +109,10 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.canonKey(
       HealPolicy.decodeKey(HealPolicy.b36Key("05"), Some("b36"))) ==
       HealPolicy.canonKey("05"))
-    assert(HealPolicy.canonKey("x132_pq_train") == "x132_pq_train")
+    // r13: the train keys canonicalize to their b36xt short form from
+    // EITHER generation (prior full-name artifacts still match)
+    assert(HealPolicy.canonKey("x132_pq_train") == "x_pt")
+    assert(HealPolicy.canonKey("x_pt") == "x_pt")
   }
 
   test("cs rung medians round-trip through decodeMedian (r9)") {
@@ -138,6 +141,21 @@ class HealPolicySpec extends AnyFunSuite {
     // b36x artifact's short key canonicalize identically
     assert(HealPolicy.canonKey("x10_q167_segment_dedup") ==
       HealPolicy.canonKey(HealPolicy.decodeKey("x10_167", Some("b36x"))))
+  }
+
+  test("b36xt rung folds the train keys decode-safely (r13)") {
+    // the short forms keep an underscore ON PURPOSE: all-[0-9a-z]
+    // keys would be b36-parsed by decodeKey ("xpt" IS a valid base-36
+    // number) — '_' fails the charset test
+    assert(HealPolicy.trainShortKey("x132_pq_train") == "x_pt")
+    assert(HealPolicy.trainShortKey("x133_ivfpq_train") == "x_it")
+    assert(HealPolicy.trainShortKey("x_ann_pq_index_build") ==
+      "x_ann_pq_index_build")
+    assert(HealPolicy.decodeKey("x_pt", Some("b36xt")) == "x_pt")
+    // cross-generation: a prior full-name artifact and a b36xt
+    // artifact's short key canonicalize identically
+    assert(HealPolicy.canonKey("x133_ivfpq_train") ==
+      HealPolicy.canonKey(HealPolicy.decodeKey("x_it", Some("b36xt"))))
     // b36x still decodes the base numeric keys like b36 did
     assert(HealPolicy.decodeKey("3q", Some("b36x")) == "134")
     assert(HealPolicy.decodeKey("3q", Some("b36")) == "134")
