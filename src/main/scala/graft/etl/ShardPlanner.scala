@@ -25,19 +25,27 @@ object ShardPlanner {
 
   /** Assign each distinct value of `groupCol` to one of `numShards`
     * shards, weighting groups by `sum(weightCol)`. Returns
-    * (group, weight, shard, shard_load) — shard ids are 0-based. */
+    * (group, weight, shard, shard_load) — shard ids are 0-based.
+    * `maxGroups` bounds the driver collect (the limit(max+1) decider
+    * convention): planning is for group-level objects, and a caller
+    * holding more groups than the bound should pre-bucket them. */
   def planShards(df: DataFrame, groupCol: String, weightCol: String,
-                 numShards: Int): DataFrame = {
+                 numShards: Int, maxGroups: Int = 100000): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val groups = df
+    val rolled = df
       .groupBy(col(groupCol).cast("string").as("g"))
       .agg(sum(col(weightCol)).as("w"))
+    val collected = rolled
+      .limit(maxGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      // LPT order: heaviest first, group-ascending ties
-      .sortBy { case (g, w) => (-w, g) }
+    require(collected.length <= maxGroups,
+      s"planShards collects the group list to the driver; more than " +
+        s"$maxGroups groups — pre-bucket the group column or raise maxGroups")
+    // LPT order: heaviest first, group-ascending ties
+    val groups = collected.sortBy { case (g, w) => (-w, g) }
     val loads = new Array[Long](numShards)
     val assigned = groups.map { case (g, w) =>
       var best = 0

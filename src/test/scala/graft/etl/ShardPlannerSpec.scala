@@ -52,6 +52,17 @@ class ShardPlannerSpec extends SparkSpec {
     }
   }
 
+  test("the group-list collect is bounded: past maxGroups it refuses") {
+    val rows = (0 until 12).map(i => s"g$i" -> 1L)
+    intercept[IllegalArgumentException] {
+      ShardPlanner.planShards(rows.toDF("source", "n_chars"),
+        "source", "n_chars", 2, maxGroups = 10)
+    }
+    // exactly at the bound it still plans every group
+    assert(ShardPlanner.planShards(rows.toDF("source", "n_chars"),
+      "source", "n_chars", 2, maxGroups = 12).count() === 12L)
+  }
+
   test("equal weights tie-break to the lowest-index shard, round-robin") {
     val got = run(Seq("a" -> 5L, "b" -> 5L, "c" -> 5L), 3)
       .map(r => r._1 -> r._3).toMap
