@@ -334,7 +334,62 @@ object ClusterQueries {
       "SELECT vec_id, label, CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sim_e6 " +
       s"FROM rr WHERE sim > 0 ORDER BY sim_e6 DESC, vec_id LIMIT $JlTop"
 
+  // ---- q201: cluster-quality report -------------------------------------
+
+  /** The clustering self-measurement rung (the q192/q196 "engine
+    * measures its own ladder" convention applied to k-means): per
+    * cluster, the exact mean within-cluster squared-L2 scatter and the
+    * nearest other centroid with its squared distance — the numbers a
+    * deployment reads to judge k (tight + well-separated cells) before
+    * trusting the IVF/SemDeDup machinery built on them. Squared
+    * quantities throughout (no sqrt — exact integers; readers compare
+    * ratios themselves, the q196 undivided-sum convention). mean_ssw
+    * is bounded by dim·(2·2²⁰)² ≈ 2.8e14 — long-safe at any corpus
+    * size; the SSW sum rides Decimal internally. */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = KMeans.fit(embeddings(s, d), "vec_id", "embedding", K, Iters)
+    val centLit = typedlit(cents.indices.map(i => i -> cents(i)).toMap)
+    val intra = assigned
+      .withColumn("__d", KMeans.sqDist(col("__v"), element_at(centLit, col("cluster_id"))))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__d").cast("decimal(38,0)")).as("__ssw"))
+      .select(col("cluster_id"), col("n_members"),
+        expr("cast(__ssw div n_members as bigint)").as("mean_ssw"))
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val spark = s
+    import spark.implicits._
+    val nn = cents.indices.map { i =>
+      val (bj, bd) = cents.indices.filter(_ != i)
+        .map(j => j -> sqd(cents(i), cents(j)))
+        .minBy { case (j, dd) => (dd, j) }
+      (i, bj, bd)
+    }.toDF("cluster_id", "nn_cell", "nn_dist")
+    intra.join(nn, Seq("cluster_id")).orderBy(col("cluster_id"))
+  }
+
+  private def q201Sql: String = {
+    val fi = Iters + 1
+    chainSql.stripSuffix(", ") + ", " +
+      s"ddq AS (SELECT a.cell, CAST(list_sum(list_transform(list_zip(a.v, c.c), " +
+      s"z -> (z[1] - z[2]) * (z[1] - z[2]))) AS HUGEINT) AS dist " +
+      s"FROM a$fi a JOIN c$Iters c ON c.cell = a.cell), " +
+      "intra AS (SELECT cell, COUNT(*) AS n_members, " +
+      "CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_ssw FROM ddq GROUP BY cell), " +
+      s"cd AS (SELECT x.cell AS cell, y.cell AS oc, " +
+      "CAST(list_sum(list_transform(list_zip(x.c, y.c), " +
+      s"z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2 " +
+      s"FROM c$Iters x JOIN c$Iters y ON x.cell <> y.cell), " +
+      "nn AS (SELECT cell, oc AS nn_cell, d2 AS nn_dist, " +
+      "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, oc) AS rn FROM cd) " +
+      "SELECT i.cell AS cluster_id, i.n_members, i.mean_ssw, " +
+      "nn.nn_cell, nn.nn_dist " +
+      "FROM intra i JOIN nn ON nn.cell = i.cell AND nn.rn = 1 ORDER BY cluster_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_cluster_quality" -> q201 _,
     "q118_kmeans_clusters" -> q118,
     "q119_semantic_dedup" -> q119,
     "q132_pq_adc_topk" -> q132,
@@ -343,6 +398,7 @@ object ClusterQueries {
     "q164_jl_project_topk" -> q164 _)
 
   val oracle: Map[String, String] = Map(
+    "q201_cluster_quality" -> q201Sql,
     "q118_kmeans_clusters" -> q118Sql,
     "q119_semantic_dedup" -> q119Sql,
     "q132_pq_adc_topk" -> q132Sql,
