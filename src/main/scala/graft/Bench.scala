@@ -373,6 +373,9 @@ object Bench {
       // kernel assignment, within-cluster pair compare); at sf0.1 they
       // sit on the multi-job floor like q115 — x10 is the honest regime
       "q118_kmeans_clusters", "q119_semantic_dedup",
+      // r10: the cluster-quality report rides the same fit chain as
+      // q118; its rollups are assignment-proportional
+      "q201_cluster_quality",
       // r5-late: all data-proportional — SCD2/as-of are window passes
       // over the 1M-event log, substring spans are a corpus shingle
       // shuffle, CDC apply is a fact-table aggregate (q124's merge is
