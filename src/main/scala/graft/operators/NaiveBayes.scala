@@ -36,13 +36,14 @@ import org.apache.spark.sql.functions._
   * persisted warehouse and classifies only the batch — work
   * O(state + batch), the corpus text is never re-read.
   *
-  * Scale shape: state is |V|·S-bounded (S = #classes, small); scoring
-  * is ONE word-keyed join of the per-doc tf relation (doc-linear)
-  * against the count state, one (doc, class) rollup, and a broadcast of
-  * the S per-class scalar rows; the argmax window partitions by doc id
-  * (S rows per partition key — no global window). No all-pairs, no
-  * driver loops; at 1000 executors every stage keys on doc ids or
-  * words.
+  * Scale shape: state is |V|·S-bounded (S = #classes, small). Below
+  * the [[MaxBroadcastModelRows]] guard the model broadcasts as a map
+  * and every document scores ROW-LOCALLY in one corpus pass — zero
+  * scoring shuffles, argmax in place; past the guard a word-keyed join
+  * of the per-doc tf relation (doc-linear) + one (doc, class) rollup +
+  * one per-doc argmax aggregate computes the same integers. No
+  * all-pairs, no driver loops beyond the S-bounded class scalars; at
+  * 1000 executors every stage keys on doc ids or words.
   */
 object NaiveBayes {
 
