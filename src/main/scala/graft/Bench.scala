@@ -452,7 +452,10 @@ object Bench {
       "q197_nb_loo", "q198_cluster_label_vote",
       // r10: incremental embedding near-dup — only the 1/7 batch is
       // signed; probe = touched sig buckets of the persisted state
-      "q199_embed_neardup_incr")
+      "q199_embed_neardup_incr",
+      // r10: contamination decision table — three corpus-proportional
+      // text layers (normalize, 3-gram, 13-gram) under one artifact
+      "q202_contamination_decisions")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

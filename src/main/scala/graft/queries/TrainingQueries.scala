@@ -405,8 +405,63 @@ object TrainingQueries {
     "q62_sequence_packing" -> q62 _,
     "q63_corpus_curation" -> q63 _,
     "q71_contamination" -> q71 _,
-    "q78_chunk_pipeline" -> q78 _
+    "q78_chunk_pipeline" -> q78 _,
+    "q202_contamination_decisions" -> q202 _
   )
+
+  // Contamination decision table (r10): the q188 keep/drop-artifact
+  // convention applied to DECONTAMINATION — one row per eval doc with
+  // verdict ∈ {exact_dup, dirty_13gram, suspect_3gram, clean} under
+  // documented precedence (an exact train copy also shares every
+  // 13-gram; a 13-gram hit subsumes high 3-gram containment) plus the
+  // evidence each layer produced: the matching train doc (min id),
+  // the dirty-13-gram count (q153's rule), and the exact integer
+  // 3-gram containment (q71's fraction as e6 — suspects gate at 0.8).
+  // Composes the three oracle-green layers under ONE hash.
+  private def q202(s: SparkSession, d: String): DataFrame =
+    contaminationDecisions(documents(s, d))
+
+  /** The q202 body over an explicit corpus — factored so the spec can
+    * plant the exact_dup branch and the precedence ladder the sf
+    * fixtures don't reach (the q188 convention). */
+  private[queries] def contaminationDecisions(docs: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 10 === 0
+    val nh = md5(graft.operators.Dedup.normalized(col("text")))
+    val exact = docs.filter(isEval).select(col("doc_id"), nh.as("__nh"))
+      .join(docs.filter(!isEval)
+          .select(nh.as("__nh"), col("doc_id").as("__tid"))
+          .groupBy(col("__nh")).agg(min(col("__tid")).as("exact_match_id")),
+        Seq("__nh"), "left")
+      .select(col("doc_id"), col("exact_match_id"))
+    def grams(n: Int) = docs.select(col("doc_id"),
+      explode(call_function("graft_shingles", col("text"), lit(n))).as("shingle"))
+    val sh13 = grams(13)
+    val dirty13 = sh13.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .join(sh13.filter(col("doc_id") % 10 =!= 0)
+        .select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty_13grams"))
+    val sh3 = grams(3)
+    val cont3 = sh3.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .join(sh3.filter(col("doc_id") % 10 =!= 0)
+          .select(col("shingle")).distinct().withColumn("hit", lit(1L)),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), sum(coalesce(col("hit"), lit(0L))).as("__nh3"))
+    exact
+      .join(dirty13, Seq("doc_id"), "left")
+      .join(cont3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_match_id"),
+        coalesce(col("n_dirty_13grams"), lit(0L)).as("n_dirty_13grams"),
+        expr("coalesce(__nh3, 0L) * 1000000L div greatest(coalesce(__n, 1L), 1L)")
+          .as("containment_e6"))
+      .withColumn("verdict",
+        when(col("exact_match_id").isNotNull, lit("exact_dup"))
+          .when(col("n_dirty_13grams") > 0, lit("dirty_13gram"))
+          .when(col("containment_e6") >= 800000L, lit("suspect_3gram"))
+          .otherwise(lit("clean")))
+  }
 
   val oracle: Map[String, String] = Map(
     // q152: per-source P75 via the same cum*4 >= 3*total lower-quantile
@@ -653,6 +708,42 @@ object TrainingQueries {
         "AS contamination " +
         "FROM ev LEFT JOIN train ON train.s = ev.s " +
         "GROUP BY ev.doc_id ORDER BY ev.doc_id"),
+    // q202: the three layers' oracles composed under one hash — exact
+    // normalized-text match, q153's distinct-13-gram rule, q71's
+    // containment as e6 integers, the same verdict CASE chain
+    "q202_contamination_decisions" ->
+      ("WITH nt AS (SELECT doc_id, " +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nx FROM documents), " +
+        "th AS (SELECT nx, MIN(doc_id) AS exact_match_id FROM nt " +
+        "WHERE doc_id % 10 <> 0 GROUP BY 1), " +
+        "ex AS (SELECT nt.doc_id, th.exact_match_id FROM nt " +
+        "LEFT JOIN th ON th.nx = nt.nx WHERE nt.doc_id % 10 = 0), " +
+        "t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
+        "s13 AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(l) - 12), " +
+        "i -> array_to_string(l[i:i+12], ' '))) AS ss FROM t), " +
+        "d13 AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n13 FROM " +
+        "(SELECT doc_id, unnest(ss) AS s FROM s13 WHERE doc_id % 10 = 0) e JOIN " +
+        "(SELECT DISTINCT unnest(ss) AS s FROM s13 WHERE doc_id % 10 <> 0) tr " +
+        "USING (s) GROUP BY 1), " +
+        "s3 AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(l) - 2), " +
+        "i -> array_to_string(l[i:i+2], ' '))) AS ss FROM t), " +
+        "c3 AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh FROM " +
+        "(SELECT doc_id, unnest(ss) AS s FROM s3 WHERE doc_id % 10 = 0) e LEFT JOIN " +
+        "(SELECT DISTINCT unnest(ss) AS s FROM s3 WHERE doc_id % 10 <> 0) tr " +
+        "USING (s) GROUP BY 1) " +
+        "SELECT ex.doc_id, ex.exact_match_id, " +
+        "CAST(COALESCE(d13.n13, 0) AS BIGINT) AS n_dirty_13grams, " +
+        "CAST(COALESCE(c3.nh, 0) * 1000000 // GREATEST(COALESCE(c3.n, 1), 1) AS BIGINT) " +
+        "AS containment_e6, " +
+        "CASE WHEN ex.exact_match_id IS NOT NULL THEN 'exact_dup' " +
+        "WHEN COALESCE(d13.n13, 0) > 0 THEN 'dirty_13gram' " +
+        "WHEN COALESCE(c3.nh, 0) * 1000000 // GREATEST(COALESCE(c3.n, 1), 1) >= 800000 " +
+        "THEN 'suspect_3gram' ELSE 'clean' END AS verdict " +
+        "FROM ex LEFT JOIN d13 USING (doc_id) LEFT JOIN c3 USING (doc_id) " +
+        "ORDER BY ex.doc_id"),
     "q71_contamination" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents), " +
         "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), " +
