@@ -1428,7 +1428,20 @@ object TextQueries {
     graft.operators.NaiveBayes
       .classifyLoo(documents(s, d), "doc_id", "lang", "text")
 
+  // PSI feature-drift monitor (r10): the standard between-snapshots
+  // drift gate on a cheap numeric feature — per 100-char doc-length
+  // bin, the exact fixed-point PSI term between the warehouse (%7 ≠ 0)
+  // and the incoming batch (%7 = 0); total PSI = Σ terms. The numeric
+  // companion of the q179/q181 token-distribution KL.
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    graft.operators.DriftMonitor.psiByBin(
+      docs.filter(!isNew), docs.filter(isNew), "n_chars", binWidth = 100L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_psi_drift" -> q203 _,
     "q197_nb_loo" -> q197 _,
     "q195_naive_bayes_incr" -> q195 _,
     "q194_classifier_report" -> q194 _,
@@ -1938,7 +1951,42 @@ object TextQueries {
       "WHERE a.rn = 1 ORDER BY a.doc_id"
   }
 
+  /** q203 twin: bin counts both sides, the scalar row, the ilog2 chain
+    * over every logged value, the same clamped cross-multiplied term. */
+  private def psiDriftOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("rb AS (SELECT CAST(n_chars AS BIGINT) // 100 AS bin, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_ref FROM documents " +
+      "WHERE doc_id % 7 <> 0 GROUP BY 1)")
+    ctes += ("cbq AS (SELECT CAST(n_chars AS BIGINT) // 100 AS bin, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_cur FROM documents " +
+      "WHERE doc_id % 7 = 0 GROUP BY 1)")
+    ctes += ("jq AS (SELECT COALESCE(rb.bin, cbq.bin) AS bin, " +
+      "COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur " +
+      "FROM rb FULL OUTER JOIN cbq ON rb.bin = cbq.bin)")
+    ctes += ("scq AS (SELECT CAST(COUNT(*) AS BIGINT) AS b, " +
+      "CAST(SUM(n_ref) AS BIGINT) AS nr, CAST(SUM(n_cur) AS BIGINT) AS nc " +
+      "FROM jq)")
+    ctes += ("lvP AS MATERIALIZED (SELECT DISTINCT n_ref + 1 AS x FROM jq " +
+      "UNION SELECT DISTINCT n_cur + 1 FROM jq " +
+      "UNION SELECT nr + b FROM scq UNION SELECT nc + b FROM scq)")
+    ctes ++= ilog2ChainCtes("P")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT jq.bin, jq.n_ref, jq.n_cur, " +
+      "CAST(GREATEST((CAST(jq.n_ref + 1 AS HUGEINT) * (scq.nc + scq.b) - " +
+      "CAST(jq.n_cur + 1 AS HUGEINT) * (scq.nr + scq.b)) * " +
+      "((SELECT lg FROM lgP WHERE x = jq.n_ref + 1) - " +
+      "(SELECT lg FROM lgP WHERE x = scq.nr + scq.b) - " +
+      "(SELECT lg FROM lgP WHERE x = jq.n_cur + 1) + " +
+      "(SELECT lg FROM lgP WHERE x = scq.nc + scq.b)) * " +
+      "1000000000, CAST(0 AS HUGEINT)) // " +
+      "(CAST(scq.nr + scq.b AS HUGEINT) * (scq.nc + scq.b) * 65536) " +
+      "AS BIGINT) AS psi_term_e9 " +
+      "FROM jq, scq ORDER BY jq.bin"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q203_psi_drift" -> psiDriftOracle,
     "q197_nb_loo" -> nbLooOracle,
     "q195_naive_bayes_incr" -> naiveBayesOracle(" AND a.doc_id % 5 = 0"),
     "q194_classifier_report" -> classifierReportOracle,
