@@ -455,7 +455,9 @@ object Bench {
       "q199_embed_neardup_incr",
       // r10: contamination decision table — three corpus-proportional
       // text layers (normalize, 3-gram, 13-gram) under one artifact
-      "q202_contamination_decisions")
+      "q202_contamination_decisions",
+      // r10: PSI drift — two pruned column scans + bin-count algebra
+      "q203_psi_drift")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>
