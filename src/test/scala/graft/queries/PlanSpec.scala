@@ -329,6 +329,20 @@ class PlanSpec extends SparkSpec {
       s"the per-size error rollup must combine map-side:\n$p")
   }
 
+  test("q203 PSI drift: map-side-combined bin counts, pruned scans, " +
+      "no window, no sort-merge (r10)") {
+    val p = plan("q203_psi_drift")
+    assert(p.contains("partial_count"),
+      s"the bin counts must combine map-side:\n$p")
+    // the full-outer bin join rightly sort-merges (full-outer cannot
+    // broadcast) — but over BIN COUNTS, never document rows: the sort
+    // children must be aggregates, and no Window anywhere
+    assert(!p.contains("Window"), p)
+    // only the needed columns reach the scans (doc_id for the split,
+    // n_chars for the bins — never text)
+    assert(!p.contains("text"), s"the text column must never be read:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
