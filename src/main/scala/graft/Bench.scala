@@ -556,11 +556,39 @@ object Bench {
             case _ => None
           }
           def med(v: Double) = HealPolicy.decodeMedian(v, vf)
-          val meds = qs.obj.collect {
-            case (k, JDouble(v)) => key(k) -> med(v)
-            case (k, JInt(v)) => key(k) -> med(v.toDouble)
-            case (k, JDecimal(v)) => key(k) -> med(v.toDouble)
-          }.toMap
+          def num(j: JValue): Option[Double] = j match {
+            case JDouble(v) => Some(v)
+            case JInt(v) => Some(v.toDouble)
+            case JDecimal(v) => Some(v.toDouble)
+            case _ => None
+          }
+          // r14 "arr" rung: medians ride a positional array ordered by
+          // the "qn" range spec; the non-numeric keys ride "qx"
+          val meds: Map[String, Double] =
+            if (kf.contains("arr")) {
+              val qn = (parsed \ "qn") match {
+                case JString(s) => s
+                case _ => ""
+              }
+              val vals = (parsed \ "queries") match {
+                case JArray(vs) => vs.flatMap(num)
+                case _ => List.empty[Double]
+              }
+              val numeric = HealPolicy.decodeRanges(qn).zip(vals).map {
+                case (n, v) => HealPolicy.canonKey(n.toString) -> med(v)
+              }
+              val extras = (parsed \ "qx") match {
+                case o: JObject => o.obj.flatMap { case (k, j) =>
+                  num(j).map(v => HealPolicy.canonKey(k) -> med(v))
+                }
+                case _ => List.empty[(String, Double)]
+              }
+              (numeric ++ extras).toMap
+            } else qs.obj.collect {
+              case (k, JDouble(v)) => key(k) -> med(v)
+              case (k, JInt(v)) => key(k) -> med(v.toDouble)
+              case (k, JDecimal(v)) => key(k) -> med(v.toDouble)
+            }.toMap
           val pf = (parsed \ "floor") match {
             case JDouble(v) => Some(v)
             case JInt(v) => Some(v.toDouble)
@@ -618,11 +646,17 @@ object Bench {
     val rerunEvidence = healedPairs.collect {
       case (m, Some(orig)) => m.name -> ((orig, m.median))
     }
-    val confirmedRegr = regrLog.collect {
+    val confirmedRegrAll = regrLog.collect {
       case (n, (prior, _, _, fin))
           if HealPolicy.confirmedRegression(fin, Some(prior)) =>
         HealPolicy.shortName(n)
-    }.toSeq.distinct.take(6)
+    }.toSeq.distinct
+    // r11 (VERDICT r10 what's-wrong #1): the take(6) cap silently
+    // truncated evidence the round it was exactly full — the final
+    // line now always carries the TOTAL confirmed count ("regr_n"),
+    // so saturation is visible from the artifact alone.
+    val regrN = confirmedRegrAll.size
+    val confirmedRegr = confirmedRegrAll.take(6)
     // base names shorten to the compact line's own qNN keys; extras
     // (x10_/x_ann_) keep full names; capped so a stall-heavy round
     // cannot overflow the 1900-char tail budget (fallback below drops
@@ -698,31 +732,40 @@ object Bench {
       }
       val qs2 = renderQs(keyOf, vfMode)
       val post = if (dropPost) "" else f""""floor_post":$floorPost%.3f,"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,$post%s"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"regr":$regr%s,"queries":$qs2%s,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,$post%s"floor_r":$floorRJson%s,$kf%s$vf%s"suspect":$susp%s,"regr":$regr%s,"regr_n":$regrN%d,"queries":$qs2%s,"sf":"$sfDir"}"""
     }
-    // degradation ladder: "regr" (r10 — confirmed cross-round
-    // regressions, the complement of "suspect") drops together with
-    // the suspect list at each rung; the telemetry line always keeps
-    // the full regr evidence map regardless.
-    val finalLine = Seq(
-      renderFinal(suspectJson, regrJson, None),
-      renderFinal("[]", "[]", None),
-      renderFinal(suspectJson, regrJson, Some("b36")),
-      renderFinal("[]", "[]", Some("b36")),
-      // r10: fold the x10_qNNN keys too ("kf":"b36x") — at 169 queries
-      // + ~40 x10 lines the full x10 names became the dominant term
-      renderFinal(suspectJson, regrJson, Some("b36x")),
-      renderFinal("[]", "[]", Some("b36x")),
-      // r9 final rung: centisecond integer medians ("vf":"cs") — at
-      // 179+ base entries even bare-b36 keys with "0.12" values brush
-      // the budget; ints buy ~2 chars per entry
-      renderFinal(suspectJson, regrJson, Some("b36x"), Some("cs")),
-      renderFinal("[]", "[]", Some("b36x"), Some("cs")),
-      // r13 emergency rung: the two train-line keys fold to their
-      // underscore-safe short forms ("kf":"b36xt") and floor_post
-      // moves to the telemetry lines — ~40 more chars, bought BEFORE
-      // the with-lists rung crossed the bar (1888/1900 at 199 base)
-      renderFinal("[]", "[]", Some("b36xt"), Some("cs"), dropPost = true))
+    // r14 "arr" rung (VERDICT r10 #1 — the standing format from here):
+    // numeric base keys leave the line entirely — the key SET encodes
+    // once as a range spec ("qn":"1-81,83-203") and the cs-int medians
+    // ride a positional array in ascending-key order; the two
+    // non-numeric train keys ride the tiny "qx" object at their
+    // b36xt short forms. Measured at the 204-entry r10 surface:
+    // 1889 -> ~1010 chars, ~890 of headroom (~4+ chars/entry means
+    // ~100 more queries before the next rung is needed).
+    def renderFinalArr(susp: String, regr: String): Option[String] = {
+      val keyed = healedBase.map { m =>
+        (HealPolicy.shortName(m.name), math.round(m.median * 100))
+      }
+      HealPolicy.arrPayload(keyed).map { case (qn, qv, qx) =>
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","floor":$floor%.3f,"floor_post":$floorPost%.3f,"floor_r":$floorRJson%s,"kf":"arr","vf":"cs","suspect":$susp%s,"regr":$regr%s,"regr_n":$regrN%d,"qn":"$qn%s","queries":$qv%s,"qx":$qx%s,"sf":"$sfDir"}"""
+      }
+    }
+    // degradation ladder, re-prioritized r11 (VERDICT r10 #1): the
+    // suspect/regr lists are the artifact's regression evidence, so
+    // EVERY with-lists rung is tried before ANY listless one —
+    // readable decimal keys when the surface is small, then the arr
+    // rung (which dominates all the key-compression rungs it
+    // replaces), with the legacy b36x/b36xt rungs kept only as
+    // fallbacks for a hypothetical non-numeric-keyed surface where
+    // the arr rung declines. The telemetry line always keeps the full
+    // regr evidence map regardless.
+    val finalLine = (Seq(
+      Some(renderFinal(suspectJson, regrJson, None)),
+      renderFinalArr(suspectJson, regrJson),
+      Some(renderFinal(suspectJson, regrJson, Some("b36x"), Some("cs"))),
+      Some(renderFinal("[]", "[]", Some("b36xt"), Some("cs"),
+        dropPost = true)),
+      renderFinalArr("[]", "[]")).flatten)
       .find(_.length < 1900)
       .getOrElse(renderFinal("[]", "[]", Some("b36xt"), Some("cs"),
         dropPost = true))

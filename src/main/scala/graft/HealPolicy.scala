@@ -195,4 +195,59 @@ object HealPolicy {
       case Some("cs") => v / 100.0
       case _ => v
     }
+
+  /** r14 rung ("kf":"arr", VERDICT r10 #1): per-entry KEYS leave the
+    * compact line entirely. The numeric base keys are consecutive
+    * query numbers with rare gaps (q82), so the whole key set encodes
+    * ONCE as a range spec ("qn":"1-81,83-203", ~12 chars) and the
+    * medians ride a positional array in ascending-key order — saving
+    * the `"xx":` prefix (~5 chars) on every one of 200+ entries
+    * (measured: 1889 → ~1000 chars at the r10 surface). The few
+    * non-numeric base keys (the two ANN train lines) ride a small
+    * side object ("qx") at their [[trainShortKey]] forms.
+    *
+    * [[encodeRanges]] expects a sorted, distinct key list (Bench sorts
+    * before calling); [[decodeRanges]] expands any spec back. */
+  def encodeRanges(nums: Seq[Long]): String = {
+    val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    nums.foreach { n =>
+      runs.lastOption match {
+        case Some((lo, hi)) if n == hi + 1 =>
+          runs.update(runs.length - 1, (lo, n))
+        case _ => runs += ((n, n))
+      }
+    }
+    runs.map { case (lo, hi) => if (lo == hi) s"$lo" else s"$lo-$hi" }
+      .mkString(",")
+  }
+
+  def decodeRanges(spec: String): Seq[Long] =
+    if (spec.isEmpty) Seq.empty
+    else spec.split(",").toSeq.flatMap { run =>
+      run.split("-") match {
+        case Array(one) => Seq(one.toLong)
+        case Array(lo, hi) => lo.toLong to hi.toLong
+        case _ => Seq.empty
+      }
+    }
+
+  /** The arr rung's three payload fields from (shortKey, centisecond)
+    * pairs: the range spec, the positional value array (ascending-key
+    * order), and the non-numeric side object (keys at their
+    * [[trainShortKey]] forms). None when two numeric keys collide —
+    * a positional zip would silently desync (never happens: base
+    * query names are unique qNN_*, but the rung declines rather than
+    * corrupt). Pure so the spec can pin the line budget against the
+    * real encode path. */
+  def arrPayload(keyed: Seq[(String, Long)]): Option[(String, String, String)] = {
+    val (numKeyed, extraKeyed) = keyed.partition(_._1.forall(_.isDigit))
+    val nums = numKeyed.map { case (k, v) => (k.toLong, v) }.sortBy(_._1)
+    if (nums.map(_._1).distinct.size != nums.size) return None
+    val qn = encodeRanges(nums.map(_._1))
+    val qv = nums.map(_._2).mkString("[", ",", "]")
+    val qx = extraKeyed
+      .map { case (k, v) => "\"" + trainShortKey(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    Some((qn, qv, qx))
+  }
 }

@@ -219,4 +219,60 @@ class HealPolicySpec extends AnyFunSuite {
     // same protocol — so the r9 readings were context, not code; the
     // machinery above exists so the artifact can say so by itself.)
   }
+
+  test("arr rung: range spec round-trips with gaps, singletons, ends (r11)") {
+    val keys = ((1L to 81L) ++ (83L to 203L)).toSeq
+    val spec = HealPolicy.encodeRanges(keys)
+    assert(spec == "1-81,83-203") // the real r10 surface (q82 gap)
+    assert(HealPolicy.decodeRanges(spec) == keys)
+    // singletons and mixed runs
+    assert(HealPolicy.encodeRanges(Seq(5L)) == "5")
+    assert(HealPolicy.encodeRanges(Seq(1L, 3L, 4L, 5L, 9L)) == "1,3-5,9")
+    assert(HealPolicy.decodeRanges("1,3-5,9") == Seq(1L, 3L, 4L, 5L, 9L))
+    assert(HealPolicy.decodeRanges("") == Seq.empty)
+    assert(HealPolicy.encodeRanges(Seq.empty) == "")
+  }
+
+  test("arr rung payload: positional order, qx side object, collision " +
+      "refusal (r11)") {
+    // Bench feeds shortName'd keys in MEASUREMENT order — the payload
+    // must sort numerically so the zip with decodeRanges aligns
+    val keyed = Seq(("10", 123L), ("2", 45L), ("x132_pq_train", 119L),
+      ("1", 9L), ("x133_ivfpq_train", 16L))
+    val Some((qn, qv, qx)) = HealPolicy.arrPayload(keyed)
+    assert(qn == "1-2,10")
+    assert(qv == "[9,45,123]")
+    assert(qx == "{\"x_pt\":119,\"x_it\":16}")
+    // decode side reconstructs the exact key->median map
+    val decoded = HealPolicy.decodeRanges(qn)
+      .zip(Seq(9L, 45L, 123L))
+      .map { case (n, v) =>
+        HealPolicy.canonKey(n.toString) ->
+          HealPolicy.decodeMedian(v.toDouble, Some("cs"))
+      }.toMap
+    assert(decoded == Map("1" -> 0.09, "2" -> 0.45, "10" -> 1.23))
+    // a duplicate numeric key would desync the zip — rung declines
+    assert(HealPolicy.arrPayload(Seq(("5", 1L), ("05", 2L))).isEmpty)
+  }
+
+  test("arr rung budget: the full compact line stays under 1750 chars " +
+      "at a 215-query surface with lists intact (r11, VERDICT r10 #1)") {
+    // 215 numeric lines (the ~r13 surface the headroom must cover) at
+    // worst-typical cs widths: every value 3 digits (≥1 s medians are
+    // rare — this over-counts), plus the two train keys at 4 digits
+    val keyed = ((1L to 81L) ++ (83L to 216L)).map(n => (n.toString, 999L)) ++
+      Seq(("x132_pq_train", 1234L), ("x133_ivfpq_train", 1634L))
+    val Some((qn, qv, qx)) = HealPolicy.arrPayload(keyed)
+    // full-width envelope: 6-entry suspect AND regr lists of 3-digit
+    // keys, saturated regr_n, a real sf path
+    val susp = Seq("115", "116", "117", "118", "119", "120")
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":${123.456}%.3f,"unit":"sec","floor":${0.128}%.3f,"floor_post":${0.013}%.3f,"floor_r":1.02,"kf":"arr","vf":"cs","suspect":$susp%s,"regr":$susp%s,"regr_n":14,"qn":"$qn%s","queries":$qv%s,"qx":$qx%s,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1750,
+      s"arr-rung line ${line.length} chars at the 215-query surface")
+    // and the budget holds with generous growth: ~100 more queries
+    // before 1900 (the next rung's trigger), at 4 chars/entry
+    assert(line.length + 100 * 4 < 1900)
+  }
 }
