@@ -32,11 +32,25 @@ object ShardPlanner {
   def planShards(df: DataFrame, groupCol: String, weightCol: String,
                  numShards: Int, maxGroups: Int = 100000): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    // r11 (ADVICE): getLong below assumed a non-null Long sum — a
+    // double weight column ClassCastException'd and an all-null group
+    // NPE'd, both without a message. Weights are capacity units
+    // (bytes/rows/tokens): require an integral column, and let a group
+    // whose weights are all NULL plan at weight 0.
+    val wType = df.schema(weightCol).dataType
+    require(wType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"planShards weights are capacity units (bytes/rows/tokens) and " +
+      s"must be integral; '$weightCol' is $wType — pre-scale and cast")
     val spark = df.sparkSession
     import spark.implicits._
     val rolled = df
       .groupBy(col(groupCol).cast("string").as("g"))
-      .agg(sum(col(weightCol)).as("w"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("w"))
     val collected = rolled
       .limit(maxGroups + 1)
       .collect()

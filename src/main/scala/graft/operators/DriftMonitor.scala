@@ -60,12 +60,15 @@ object DriftMonitor {
       .agg(count(lit(1)).as("b"), sum(col("n_ref")).as("nr"),
         sum(col("n_cur")).as("nc"))
       .head()
-    val (nBins, d1, d2) =
-      (row.getLong(0), row.getLong(1) + row.getLong(0),
-        row.getLong(2) + row.getLong(0))
+    // nBins first (r11, ADVICE): with BOTH inputs empty the sums are
+    // NULL (sum over an empty relation) and reading them would NPE
+    // before the designed diagnostic fires; nBins > 0 guarantees the
+    // sums are non-null (every joined row coalesces to >= 0)
+    val nBins = row.getLong(0)
+    require(nBins > 0, "PSI needs at least one observed bin")
+    val (d1, d2) = (row.getLong(1) + nBins, row.getLong(2) + nBins)
     val ilg = graft.functions.IntLog2.ilog2e16 _
     val (lgD1, lgD2) = (ilg(d1), ilg(d2))
-    require(nBins > 0, "PSI needs at least one observed bin")
     // each term is ≥ 0 mathematically ((p−q) and lg(p/q) share sign);
     // the greatest(·,0) guards the few-ULP fixed-point noise floor on
     // near-equal bins — the SourceDivergence Gibbs-clamp convention,

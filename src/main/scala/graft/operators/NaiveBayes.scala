@@ -165,10 +165,32 @@ object NaiveBayes {
     val dt = dBySrc.values.sum
     val ilg = graft.functions.IntLog2.ilog2e16 _
     val srcs = perSrcN.keys.toArray.sorted
+    // r11 (ADVICE): an all-token-less corpus leaves no scorable class —
+    // the fast path would AIOOBE at bcSrcs(best) and the fallback would
+    // silently emit zero rows, both breaking the one-row-per-document
+    // contract. Fail with the exclusion rule spelled out instead.
+    require(srcs.nonEmpty,
+      "NaiveBayes: no class has any training token (classes without " +
+        "tokens are excluded from the candidate set, so an all-token-less " +
+        "state cannot score anything)")
     val lgnvArr = srcs.map(s => ilg(perSrcN(s) + v))
     val priorArr = srcs.map(s => ilg(dBySrc(s)) - ilg(dt))
 
-    if (modelRows <= maxModel) {
+    // r11 (ADVICE): the typed fast path scores ids as Long — a
+    // non-integral id column would silently null out under the cast and
+    // diverge from the fallback (which carries ids untouched). Integral
+    // ids cast back to their exact input type after scoring; any other
+    // id type routes to the relational path, which is id-type-agnostic.
+    val idType = toScore.schema(idCol).dataType
+    val idIntegral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+    if (modelRows <= maxModel && idIntegral) {
       // FAST PATH: the model is exactly the thing small enough to ship
       // to every executor (that is the point of NB) — w → per-class
       // lg(c+1) vector, broadcast once; each document then scores in
@@ -194,10 +216,14 @@ object NaiveBayes {
         .as[(Long, String, String)]
         .mapPartitions { rows =>
           val model = bc.value
+          // one compiled pattern per PARTITION (r11, VERDICT r10 #5):
+          // String.split(regex) re-compiles per call — the exact cost
+          // plans/GraftTokens exists to avoid on the relational paths
+          val ws = java.util.regex.Pattern.compile("\\s+")
           rows.map { case (id, lbl, text) =>
             val s = bcPrior.clone()
             var nw = 0L
-            Option(text).getOrElse("").split("\\s+").iterator
+            ws.split(Option(text).getOrElse("")).iterator
               .filter(_.nonEmpty).foreach { w =>
                 nw += 1
                 val arr = model.get(w)
@@ -222,6 +248,7 @@ object NaiveBayes {
         }
         .toDF(idCol, labelCol, "predicted", "score_e16", "margin_e16",
           "correct")
+        .withColumn(idCol, col(idCol).cast(idType))
     } else {
       // FALLBACK: model past the broadcast bound — the same integers
       // via a word-keyed join (lg(c+1) precomputed per MODEL row, not
@@ -289,6 +316,18 @@ object NaiveBayes {
     graft.plans.GraftExtensions.ensure(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._
+    // LOO has no relational fallback, so a non-integral id cannot be
+    // routed around the Long-typed scorer (r11, ADVICE) — refuse loudly
+    // instead of nulling ids out under the cast
+    val looIdType = docs.schema(idCol).dataType
+    require(looIdType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"classifyLoo requires an integral id column; '$idCol' is " +
+      s"$looIdType — project a numeric id first")
     val counts = wordCounts(docs, labelCol, textCol).localCheckpoint(true)
     val perSrcN = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -330,11 +369,13 @@ object NaiveBayes {
         // dt == 1 → the lone doc's own class is excluded below and no
         // other class exists, so this value is never read
         val lgDt1 = if (bcDt > 1L) ilgF(bcDt - 1L) else 0L
+        // one compiled pattern per partition (r11, VERDICT r10 #5)
+        val ws = java.util.regex.Pattern.compile("\\s+")
         rows.flatMap { case (id, lbl, text) =>
           val own = idx.getOrElse(lbl, -1)
           val tf = scala.collection.mutable.HashMap.empty[String, Long]
           var nw = 0L
-          Option(text).getOrElse("").split("\\s+").iterator
+          ws.split(Option(text).getOrElse("")).iterator
             .filter(_.nonEmpty).foreach { w =>
               nw += 1
               tf.update(w, tf.getOrElse(w, 0L) + 1L)
@@ -381,6 +422,7 @@ object NaiveBayes {
         }
       }
       .toDF(idCol, labelCol, "predicted", "score_e16", "margin_e16", "correct")
+      .withColumn(idCol, col(idCol).cast(looIdType))
   }
 
   /** Per-class evaluation rollup of a [[classify]] output — the

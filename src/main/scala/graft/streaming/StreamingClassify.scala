@@ -35,7 +35,17 @@ object StreamingClassify {
 
   /** foreachBatch sink: classify-then-append against the warehouse
     * under `warehouseDir` (layout: word_counts/, doc_counts/,
-    * decisions/ — all parquet, append-only). */
+    * decisions/ — all parquet, one `batch=<id>` partition dir per
+    * micro-batch).
+    *
+    * Replay-idempotent (r11, ADVICE): every write targets the batch's
+    * OWN partition dir with mode overwrite, so a foreachBatch replay
+    * after stream restart REPLACES its earlier (possibly partial)
+    * output instead of appending a duplicate — the additive NB state
+    * never double-counts, and decisions stay exactly-once. Warehouse
+    * reads take `batch < batchId` (partition-pruned), which is both
+    * the prefix-model semantics AND what makes the replayed batch
+    * blind to its own earlier partial state rows. */
   def nbSink(warehouseDir: String, idCol: String, labelCol: String,
              textCol: String)
             (batchDf: DataFrame, batchId: Long): Unit = {
@@ -45,18 +55,24 @@ object StreamingClassify {
       .localCheckpoint(true)
     val wcPath = s"$warehouseDir/word_counts"
     val dcPath = s"$warehouseDir/doc_counts"
-    def readOr(p: String, empty: => DataFrame): DataFrame =
-      if (new java.io.File(p).exists) spark.read.parquet(p) else empty
-    val whWc = readOr(wcPath,
+    def readPrefix(p: String, cols: Seq[String],
+                   empty: => DataFrame): DataFrame =
+      if (new java.io.File(p).exists)
+        spark.read.parquet(p).where(col("batch") < batchId)
+          .select(cols.map(col): _*)
+      else empty
+    val whWc = readPrefix(wcPath, Seq("src", "w", "c"),
       NaiveBayes.wordCounts(batch.limit(0), labelCol, textCol))
-    val whDc = readOr(dcPath, NaiveBayes.docCounts(batch.limit(0), labelCol))
+    val whDc = readPrefix(dcPath, Seq("src", "d"),
+      NaiveBayes.docCounts(batch.limit(0), labelCol))
     NaiveBayes
       .classifyIncremental(whWc, whDc, batch, idCol, labelCol, textCol)
-      .write.mode("append").parquet(s"$warehouseDir/decisions")
+      .write.mode("overwrite")
+      .parquet(s"$warehouseDir/decisions/batch=$batchId")
     NaiveBayes.wordCounts(batch, labelCol, textCol)
-      .write.mode("append").parquet(wcPath)
+      .write.mode("overwrite").parquet(s"$wcPath/batch=$batchId")
     NaiveBayes.docCounts(batch, labelCol)
-      .write.mode("append").parquet(dcPath)
+      .write.mode("overwrite").parquet(s"$dcPath/batch=$batchId")
   }
 
   /** Wire a document stream into the sink. Read results from

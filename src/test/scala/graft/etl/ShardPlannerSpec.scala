@@ -70,4 +70,22 @@ class ShardPlannerSpec extends SparkSpec {
     // on the first empty slot
     assert(got === Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
+
+  test("non-integral weights refuse with a message; all-NULL groups " +
+      "plan at weight 0 (r11, ADVICE)") {
+    val e = intercept[IllegalArgumentException] {
+      ShardPlanner.planShards(
+        Seq("a" -> 1.5, "b" -> 2.5).toDF("source", "n_chars"),
+        "source", "n_chars", 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
+    // a group whose weights are all NULL used to NPE — it now plans
+    // at weight 0 (and, being lightest, lands last in LPT order)
+    val rows = Seq(("a", Some(7L)), ("b", None), ("a", Some(3L)))
+    val got = ShardPlanner.planShards(
+        rows.toDF("source", "n_chars"), "source", "n_chars", 2)
+      .as[(String, Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === ("a", 10L, 0, 10L))
+    assert(got("b") === ("b", 0L, 1, 0L))
+  }
 }

@@ -67,4 +67,13 @@ class DriftMonitorSpec extends SparkSpec {
     assert(out(0L)._1 === 100L && out(0L)._2 === 0L)
     assert(out(2L)._1 === 0L && out(2L)._2 === 100L)
   }
+
+  test("both inputs empty fails with the designed diagnostic, not an " +
+      "NPE (r11, ADVICE)") {
+    val empty = Seq.empty[Long].toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      DriftMonitor.psiByBin(empty, empty, "v", 100L).collect()
+    }
+    assert(e.getMessage.contains("at least one observed bin"))
+  }
 }

@@ -291,6 +291,50 @@ class NaiveBayesSpec extends SparkSpec {
     assert(fast === fallback)
   }
 
+  test("non-integral ids route to the id-agnostic path; integral ids " +
+      "keep their exact type (r11, ADVICE)") {
+    // string ids: the Long-typed fast path would null them out — the
+    // guard must route to the relational path, which carries them
+    val sdocs = Seq(("doc-a", "u", "k k l"), ("doc-b", "v", "m m n"),
+      ("doc-c", "u", "k l l"))
+    val out = NaiveBayes.classify(sdocs.toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text")
+    assert(out.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(out.select("doc_id").as[String].collect().sorted ===
+      Array("doc-a", "doc-b", "doc-c"))
+    // and the string-id result matches the long-id result row for row
+    val ldocs = sdocs.zipWithIndex.map { case ((_, l, t), i) => (i.toLong, l, t) }
+    val lout = NaiveBayes.classify(ldocs.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+      .as[(Long, String, String, Long, Long, Boolean)]
+      .collect().sortBy(_._1).map { case (_, l, p, s, m, c) => (l, p, s, m, c) }
+    val sout = out
+      .as[(String, String, String, Long, Long, Boolean)]
+      .collect().sortBy(_._1).map { case (_, l, p, s, m, c) => (l, p, s, m, c) }
+    assert(sout === lout)
+    // an INT id comes back as int, not silently widened to long
+    val idocs = Seq((1, "u", "k k"), (2, "v", "m m"))
+    assert(NaiveBayes.classify(idocs.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+      .schema("doc_id").dataType === org.apache.spark.sql.types.IntegerType)
+    // LOO has no fallback: a string id refuses with the routing hint
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.classifyLoo(sdocs.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
+  test("an all-token-less state refuses with the exclusion rule named " +
+      "(r11, ADVICE)") {
+    val docs = Seq((1L, "u", ""), (2L, "v", "   ")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.classify(docs, "doc_id", "lang", "text").collect()
+    }
+    assert(e.getMessage.contains("no class has any training token"))
+  }
+
   test("classReport: counts, precision and recall per class") {
     val docs = Seq(
       (1L, "code", "def class return import def"),

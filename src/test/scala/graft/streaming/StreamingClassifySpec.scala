@@ -31,11 +31,25 @@ class StreamingClassifySpec extends SparkSpec {
     val chunks = docs.grouped(size).toSeq
     chunks.foreach { c => input.addData(c); q.processAllAvailable() }
     q.stop()
-    val streamed = spark.read.parquet(s"$whDir/decisions")
+    def readDecisions() = spark.read.parquet(s"$whDir/decisions")
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        col("score_e16"), col("margin_e16"), col("correct"))
       .as[(Long, String, String, Long, Long, Boolean)]
       .collect().toSeq.sortBy(_._1)
+    val streamed = readDecisions()
     // exactly-once: one decision per streamed doc
     assert(streamed.map(_._1) === docs.map(_._1))
+    // replay idempotency (r11, ADVICE): re-running the LAST micro-batch
+    // through the sink — the restart-replay shape — must leave the
+    // decision log AND the additive count state unchanged, not append
+    // duplicates that would permanently skew priors/likelihoods
+    def wcTotal() = spark.read.parquet(s"$whDir/word_counts")
+      .groupBy().agg(sum(col("c"))).as[Long].head()
+    val wcBefore = wcTotal()
+    StreamingClassify.nbSink(whDir, "doc_id", "lang", "text")(
+      chunks.last.toDF("doc_id", "lang", "text"), chunks.size - 1L)
+    assert(readDecisions() === streamed)
+    assert(wcTotal() === wcBefore)
     // per-chunk: the batch incremental operator against the prefix
     val expected = chunks.zipWithIndex.flatMap { case (c, i) =>
       val prefix = chunks.take(i).flatten
