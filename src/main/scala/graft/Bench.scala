@@ -457,7 +457,14 @@ object Bench {
       // text layers (normalize, 3-gram, 13-gram) under one artifact
       "q202_contamination_decisions",
       // r10: PSI drift — two pruned column scans + bin-count algebra
-      "q203_psi_drift")
+      "q203_psi_drift",
+      // r11: incremental PSI rides the same pruned scans (three
+      // bin-count legs + the additive merge); the shard re-plan's
+      // weight rollups are corpus-proportional (the greedy is
+      // group-bounded). q204 stays out with q194's rationale — it is
+      // a rollup of q193's chain, no independent scale signal beyond
+      // the q193 rung already measured.
+      "q205_psi_incr", "q206_shard_replan")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

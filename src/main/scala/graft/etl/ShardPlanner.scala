@@ -32,20 +32,7 @@ object ShardPlanner {
   def planShards(df: DataFrame, groupCol: String, weightCol: String,
                  numShards: Int, maxGroups: Int = 100000): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    // r11 (ADVICE): getLong below assumed a non-null Long sum — a
-    // double weight column ClassCastException'd and an all-null group
-    // NPE'd, both without a message. Weights are capacity units
-    // (bytes/rows/tokens): require an integral column, and let a group
-    // whose weights are all NULL plan at weight 0.
-    val wType = df.schema(weightCol).dataType
-    require(wType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }, s"planShards weights are capacity units (bytes/rows/tokens) and " +
-      s"must be integral; '$weightCol' is $wType — pre-scale and cast")
+    requireIntegralWeights(df, weightCol)
     val spark = df.sparkSession
     import spark.implicits._
     val rolled = df
@@ -74,5 +61,104 @@ object ShardPlanner {
     assigned.toSeq
       .map { case (g, w, s) => (g, w, s, loads(s)) }
       .toDF(groupCol, "weight", "shard", "shard_load")
+  }
+
+  /** Incremental re-plan (r11, VERDICT r10 #4): a compaction pipeline
+    * does not re-plan the warehouse from scratch — it re-plans against
+    * the EXISTING assignment with a bounded move budget, so work (and
+    * data movement) is proportional to the delta, not the warehouse.
+    *
+    * `existing` is a prior [[planShards]]-shaped artifact
+    * (group, weight, shard); `delta` is the new batch's raw rows,
+    * rolled to per-group weight deltas. Groups the delta never touches
+    * KEEP their shard unconditionally. Touched groups re-enter the
+    * greedy at their merged weight in LPT order over the kept groups'
+    * loads: a NEW group places on the lightest shard (a placement, not
+    * a move); a CHANGED group moves to the lightest shard only while
+    * the move budget lasts (each actual shard switch consumes one
+    * move), otherwise it stays put. Fully deterministic — the same
+    * (weight desc, group asc) order and lowest-index tie-break as
+    * [[planShards]], budget consumed in that order.
+    *
+    * Output: (group, weight, shard, shard_load, moved) — weight is the
+    * merged weight, shard_load the FINAL loads, moved true only for
+    * changed groups that switched shards. Driver-bounded exactly like
+    * [[planShards]] (the limit(max+1) refusal on both collected
+    * lists). */
+  def replanShards(existing: DataFrame, delta: DataFrame, groupCol: String,
+                   weightCol: String, numShards: Int, maxMoves: Int,
+                   maxGroups: Int = 100000): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(maxMoves >= 0, "maxMoves must be non-negative")
+    requireIntegralWeights(delta, weightCol)
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val ex = existing
+      .select(col(groupCol).cast("string").as("g"),
+        col("weight").cast("long").as("w"), col("shard").cast("int").as("s"))
+      .limit(maxGroups + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    require(ex.length <= maxGroups,
+      s"replanShards collects the existing assignment to the driver; " +
+        s"more than $maxGroups groups — pre-bucket or raise maxGroups")
+    require(ex.map(_._1).distinct.length == ex.length,
+      "existing assignment has duplicate groups")
+    require(ex.forall(t => t._3 >= 0 && t._3 < numShards),
+      s"existing assignment uses shard ids outside [0, $numShards)")
+    val dl = delta
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("w"))
+      .limit(maxGroups + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(dl.length <= maxGroups,
+      s"replanShards collects the delta group list to the driver; " +
+        s"more than $maxGroups groups — pre-bucket or raise maxGroups")
+    val dMap = dl.toMap
+    val exMap = ex.map(t => t._1 -> ((t._2, t._3))).toMap
+    val unchanged = ex.filter(t => !dMap.contains(t._1))
+    val loads = new Array[Long](numShards)
+    unchanged.foreach(t => loads(t._3) += t._2)
+    val candidates = dl.map { case (g, dw) =>
+      exMap.get(g) match {
+        case Some((w0, s0)) => (g, w0 + dw, Some(s0))
+        case None => (g, dw, None)
+      }
+    }.sortBy { case (g, w, _) => (-w, g) }
+    var moves = 0
+    val placed = candidates.map { case (g, w, old) =>
+      var best = 0
+      var i = 1
+      while (i < numShards) {
+        if (loads(i) < loads(best)) best = i // strict < = lowest-index ties
+        i += 1
+      }
+      val (tgt, moved) = old match {
+        case None => (best, false)
+        case Some(s0) if best == s0 => (s0, false)
+        case Some(s0) =>
+          if (moves < maxMoves) { moves += 1; (best, true) } else (s0, false)
+      }
+      loads(tgt) += w
+      (g, w, tgt, moved)
+    }
+    (unchanged.map(t => (t._1, t._2, t._3, false)) ++ placed).toSeq
+      .map { case (g, w, s, m) => (g, w, s, loads(s), m) }
+      .toDF(groupCol, "weight", "shard", "shard_load", "moved")
+  }
+
+  /** Weights are capacity units (bytes/rows/tokens) — require an
+    * integral column (r11, ADVICE: a double column ClassCastException'd
+    * and all-NULL groups NPE'd, both without a message; NULL-only
+    * groups now plan at weight 0 via the coalesce at the rollup). */
+  private def requireIntegralWeights(df: DataFrame, weightCol: String): Unit = {
+    val wType = df.schema(weightCol).dataType
+    require(wType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"shard-plan weights are capacity units (bytes/rows/tokens) and " +
+      s"must be integral; '$weightCol' is $wType — pre-scale and cast")
   }
 }

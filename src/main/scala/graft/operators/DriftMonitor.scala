@@ -35,24 +35,46 @@ import org.apache.spark.sql.functions._
   */
 object DriftMonitor {
 
+  /** (bin, n) histogram of `valueCol` at `binWidth` — the PSI state
+    * relation (r11): bin counts are exactly mergeable (counts add, the
+    * q181 argument), so a warehouse persists each side's histogram and
+    * [[psiFromBinCounts]] re-gates from state without rescanning any
+    * snapshot. Bin cardinality = value range / width, data-bounded. */
+  def binCounts(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.select(expr(s"cast($valueCol as bigint) div $binWidth").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge two bin-count states (counts add). */
+  def mergeBinCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
   /** Per-bin PSI terms between `reference` and `current` over
     * `valueCol` bucketed at `binWidth`:
     * (bin, n_ref, n_cur, psi_term_e9), bin-ascending ordering left to
     * the caller. Total PSI = Σ psi_term_e9. */
   def psiByBin(reference: DataFrame, current: DataFrame, valueCol: String,
-               binWidth: Long): DataFrame = {
-    require(binWidth > 0, "binWidth must be positive")
-    graft.plans.GraftExtensions.ensure(reference.sparkSession)
-    def bins(df: DataFrame, out: String) = df
-      .select(expr(s"cast($valueCol as bigint) div $binWidth").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+               binWidth: Long): DataFrame =
+    psiFromBinCounts(binCounts(reference, valueCol, binWidth),
+      binCounts(current, valueCol, binWidth))
+
+  /** The PSI gate from persisted [[binCounts]] state — the incremental
+    * form (r11, VERDICT r10 #3): both sides are (bin, n) histograms,
+    * merged by addition as batches land; the documents themselves are
+    * never re-read. Identical output to [[psiByBin]] over the same
+    * underlying rows (smoothing denominators and the bin union move
+    * with the merged state exactly as a fresh scan's would). */
+  def psiFromBinCounts(refBins: DataFrame, curBins: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensure(refBins.sparkSession)
     // two consumers (scalar rollup + the term pass) — left LAZY
     // deliberately: the relation is bin-count-sized, its recompute is
     // two pruned column scans, and an eager checkpoint A-B-measured
     // NEUTRAL at sf0.1 (0.66 both ways) — the q173 rule: don't pay
     // materialization that doesn't buy wall time
-    val joined = bins(reference, "n_ref")
-      .join(bins(current, "n_cur"), Seq("bin"), "full_outer")
+    val joined = refBins.select(col("bin"), col("n").as("n_ref"))
+      .join(curBins.select(col("bin"), col("n").as("n_cur")),
+        Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

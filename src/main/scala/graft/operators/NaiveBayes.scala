@@ -425,6 +425,67 @@ object NaiveBayes {
       .withColumn(idCol, col(idCol).cast(looIdType))
   }
 
+  /** The default margin cutoffs for [[thresholdSweep]] — 0 to 32 bits
+    * of decision margin in doublings, e16 fixed-point (2¹⁶ = one bit
+    * of log2 evidence between the best and runner-up class). */
+  val DefaultMarginCutoffsE16: Seq[Long] =
+    Seq(0L, 32768L, 65536L, 131072L, 262144L, 524288L, 1048576L, 2097152L)
+
+  /** Margin-threshold calibration sweep over a [[classify]] decision
+    * table — the operating-curve artifact a deployment reads to PICK
+    * the gate threshold (q194 reports precision/recall only at the
+    * argmax decision; a corpus gate keeps documents whose decision
+    * CONFIDENCE clears a bar, trading kept volume for precision).
+    * Margin (best − runner-up, always ≥ 0) is the confidence signal —
+    * absolute scores scale with document length and cannot share one
+    * cutoff across documents.
+    *
+    * One row per cutoff: (cutoff_e16, n_kept, n_correct, keep_rate_e6,
+    * precision_e6, recall_e6) where n_kept counts docs with
+    * margin ≥ cutoff, n_correct the correctly-predicted among them,
+    * keep_rate over ALL docs, precision over the kept, and recall
+    * against ALL correctly-predicted docs (the share of good decisions
+    * the gate retains). All integer arithmetic, non-negative divisions.
+    *
+    * ONE pass over the decision table (VERDICT r10 #2's "no
+    * re-scoring"): each doc bins to the largest cutoff ≤ its margin
+    * (map-side combine to ≤ cutoffs+1 rows), and the cumulative-from-
+    * above rollup runs on the collected bin table — bounded like a
+    * centroid list, no window over the corpus. */
+  def thresholdSweep(classified: DataFrame,
+                     cutoffsE16: Seq[Long] = DefaultMarginCutoffsE16): DataFrame = {
+    require(cutoffsE16.nonEmpty, "thresholdSweep needs at least one cutoff")
+    val cuts = cutoffsE16.distinct.sorted
+    val spark = classified.sparkSession
+    import spark.implicits._
+    // largest cutoff index whose cutoff <= margin; -1 below the lowest
+    val binExpr = cuts.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (c, i)) =>
+        when(col("margin_e16") >= lit(c), lit(i)).otherwise(acc)
+    }
+    val bins = classified
+      .groupBy(binExpr.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("nc"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val total = bins.values.map(_._1).sum
+    val totalCorrect = bins.values.map(_._2).sum
+    // suffix sums: kept at cutoff i = every bin >= i
+    val rows = cuts.indices.map { i =>
+      val kept = (i until cuts.length)
+        .map(j => bins.getOrElse(j, (0L, 0L))).reduce[(Long, Long)] {
+          case ((a, b), (c2, d2)) => (a + c2, b + d2)
+        }
+      val (nKept, nCorrect) = kept
+      (cuts(i), nKept, nCorrect,
+        nKept * 1000000L / math.max(total, 1L),
+        nCorrect * 1000000L / math.max(nKept, 1L),
+        nCorrect * 1000000L / math.max(totalCorrect, 1L))
+    }
+    rows.toDF("cutoff_e16", "n_kept", "n_correct", "keep_rate_e6",
+      "precision_e6", "recall_e6")
+  }
+
   /** Per-class evaluation rollup of a [[classify]] output — the
     * classifier-eval report artifact (one row per TRUE class):
     * (label, n_docs, n_predicted, n_correct, precision_e6, recall_e6).

@@ -1440,7 +1440,45 @@ object TextQueries {
       docs.filter(!isNew), docs.filter(isNew), "n_chars", binWidth = 100L)
   }
 
+  // Classifier calibration curve (r11, VERDICT #2): the q192/q196/q201
+  // self-measurement convention applied to the NB gate — q194 reports
+  // precision/recall only at the argmax decision, but a corpus gate is
+  // deployed at a CONFIDENCE threshold. Per fixed margin cutoff
+  // (0..32 bits of e16 log2 evidence, doublings): kept volume,
+  // precision over the kept, recall of the corpus's good decisions —
+  // all from q193's decision table in ONE binning pass (largest
+  // cutoff ≤ margin, map-side combine to ≤ 9 rows), no re-scoring,
+  // the cumulative rollup over the collected cutoff-bounded bin list.
+  private def q204(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes.thresholdSweep(
+      graft.operators.NaiveBayes
+        .classify(documents(s, d), "doc_id", "lang", "text"))
+
+  // Incremental PSI (r11, VERDICT #3): the drift family's warehouse
+  // form — q203 scans both snapshots fresh every run; here both sides
+  // are persisted (bin, n) HISTOGRAM state (counts add, the q181
+  // contract), the current side accumulating batch by batch (simulated
+  // in-plan over a %2 split of the q203 batch), and the gate
+  // recomputes from state without re-reading any document. Oracle =
+  // q203's SQL verbatim — smoothing denominators and the bin union
+  // move with the merged state exactly as a fresh scan's would, so the
+  // artifact hash EQUALS q203's (the q187/q189 design-working reading).
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = col("doc_id") % 7 === 0
+    val refState = graft.operators.DriftMonitor
+      .binCounts(docs.filter(!isNew), "n_chars", binWidth = 100L)
+    val curWarehouse = graft.operators.DriftMonitor.binCounts(
+      docs.filter(isNew && col("doc_id") % 2 === 0), "n_chars", 100L)
+    val curBatch = graft.operators.DriftMonitor.binCounts(
+      docs.filter(isNew && col("doc_id") % 2 =!= 0), "n_chars", 100L)
+    graft.operators.DriftMonitor.psiFromBinCounts(refState,
+      graft.operators.DriftMonitor.mergeBinCounts(curWarehouse, curBatch))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_psi_incr" -> q205 _,
+    "q204_threshold_sweep" -> q204 _,
     "q203_psi_drift" -> q203 _,
     "q197_nb_loo" -> q197 _,
     "q195_naive_bayes_incr" -> q195 _,
@@ -1951,6 +1989,34 @@ object TextQueries {
       "WHERE a.rn = 1 ORDER BY a.doc_id"
   }
 
+  /** q204 twin: the NB decision table's margins (rkb rn=1 vs rn=2),
+    * then per fixed cutoff the kept/correct counts and the three e6
+    * rates — every division `//` on non-negatives (margins ≥ 0 by
+    * construction, counts ≥ 0). */
+  private def thresholdSweepOracle: String =
+    "WITH " + naiveBayesCtes.mkString(", ") +
+      ", decq AS (SELECT a.doc_id, " +
+      "a.score - COALESCE(b.score, a.score) AS margin, " +
+      "CASE WHEN a.lbl = a.lang THEN 1 ELSE 0 END AS corr " +
+      "FROM rkb a LEFT JOIN rkb b ON b.doc_id = a.doc_id AND b.rn = 2 " +
+      "WHERE a.rn = 1), " +
+      "totq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(COALESCE(SUM(corr), 0) AS BIGINT) AS nc FROM decq), " +
+      "cutsq AS (SELECT CAST(t.cut AS BIGINT) AS cut FROM (VALUES (0), " +
+      "(32768), (65536), (131072), (262144), (524288), (1048576), " +
+      "(2097152)) t(cut)), " +
+      "aggq AS (SELECT c.cut, CAST(COUNT(d.doc_id) AS BIGINT) AS n_kept, " +
+      "CAST(COALESCE(SUM(d.corr), 0) AS BIGINT) AS n_correct " +
+      "FROM cutsq c LEFT JOIN decq d ON d.margin >= c.cut GROUP BY 1) " +
+      "SELECT aggq.cut AS cutoff_e16, aggq.n_kept, aggq.n_correct, " +
+      "CAST(aggq.n_kept * 1000000 // GREATEST(totq.n, 1) AS BIGINT) " +
+      "AS keep_rate_e6, " +
+      "CAST(aggq.n_correct * 1000000 // GREATEST(aggq.n_kept, 1) AS BIGINT) " +
+      "AS precision_e6, " +
+      "CAST(aggq.n_correct * 1000000 // GREATEST(totq.nc, 1) AS BIGINT) " +
+      "AS recall_e6 " +
+      "FROM aggq, totq ORDER BY aggq.cut"
+
   /** q203 twin: bin counts both sides, the scalar row, the ilog2 chain
     * over every logged value, the same clamped cross-multiplied term. */
   private def psiDriftOracle: String = {
@@ -1986,6 +2052,10 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q205: the incremental path must answer exactly what the
+    // from-scratch q203 scan answers — its oracle verbatim
+    "q205_psi_incr" -> psiDriftOracle,
+    "q204_threshold_sweep" -> thresholdSweepOracle,
     "q203_psi_drift" -> psiDriftOracle,
     "q197_nb_loo" -> nbLooOracle,
     "q195_naive_bayes_incr" -> naiveBayesOracle(" AND a.doc_id % 5 = 0"),

@@ -161,7 +161,29 @@ object WarehouseQueries {
     graft.etl.ShardPlanner
       .planShards(documents(s, d), "source", "n_chars", numShards = 4)
 
+  // Incremental shard re-plan (r11, VERDICT #4): a compaction pipeline
+  // re-plans against the EXISTING assignment with a bounded move
+  // budget — untouched groups keep their shard, touched groups
+  // re-enter the greedy at their merged weight (new groups place,
+  // changed groups move only while the budget lasts). The delta here
+  // exercises all three classes: src19 arrives whole (NEW), the
+  // sub-'src2' sources grow by their %4 docs (CHANGED), src2..src9
+  // stay untouched (KEPT). Oracle = BOTH greedies replayed as
+  // recursive CTEs (the q200 pattern): the warehouse LPT builds the
+  // existing plan, the budgeted re-plan walks candidates over the
+  // kept groups' loads with the moves counter in its state.
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isBatch = (col("doc_id") % 4 === 0 && col("source") < "src2") ||
+      col("source") === "src19"
+    val existing = graft.etl.ShardPlanner.planShards(
+      docs.filter(!isBatch), "source", "n_chars", numShards = 4)
+    graft.etl.ShardPlanner.replanShards(existing, docs.filter(isBatch),
+      "source", "n_chars", numShards = 4, maxMoves = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_shard_replan" -> q206 _,
     "q200_shard_plan" -> q200 _,
     "q135_freq_state_median" -> q135 _,
     "q144_mad_outliers" -> q144 _,
@@ -196,7 +218,80 @@ object WarehouseQueries {
       "fin.loads[st.shard + 1] AS shard_load " +
       "FROM step st, fin WHERE st.g IS NOT NULL ORDER BY source"
 
+  /** q206 twin: both greedies replayed — `estep` rebuilds the existing
+    * plan (q200's LPT over the warehouse split), `rstep` walks the
+    * delta candidates (merged weight DESC, group ASC) with the budget
+    * counter in its recursion state: new groups take the first-minimal
+    * slot, changed groups take it only while moves < 2 and their
+    * target differs from their kept shard. Kept groups ride through
+    * from `unchg` with moved = FALSE. */
+  private def shardReplanOracle: String = {
+    val batchPred = "(doc_id % 4 = 0 AND source < 'src2') OR source = 'src19'"
+    // the budgeted target shard for the candidate row c over state st
+    val tgt = "CASE WHEN c.old_shard IS NULL " +
+      "THEN list_indexof(st.loads, list_min(st.loads)) - 1 " +
+      "WHEN list_indexof(st.loads, list_min(st.loads)) - 1 = c.old_shard " +
+      "THEN c.old_shard " +
+      "WHEN st.moves < 2 " +
+      "THEN list_indexof(st.loads, list_min(st.loads)) - 1 " +
+      "ELSE c.old_shard END"
+    val isMove = "(c.old_shard IS NOT NULL " +
+      "AND list_indexof(st.loads, list_min(st.loads)) - 1 <> c.old_shard " +
+      "AND st.moves < 2)"
+    "WITH RECURSIVE " +
+      "whd AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS w, " +
+      "ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS rn " +
+      s"FROM documents WHERE NOT ($batchPred) GROUP BY 1), " +
+      "estep AS (" +
+      "SELECT 0 AS i, [CAST(0 AS BIGINT), 0, 0, 0] AS loads, " +
+      "CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS w, " +
+      "CAST(NULL AS INT) AS shard " +
+      "UNION ALL " +
+      "SELECT s.rn, " +
+      "list_transform([1, 2, 3, 4], j -> CASE " +
+      "WHEN j = list_indexof(st.loads, list_min(st.loads)) " +
+      "THEN st.loads[j] + s.w ELSE st.loads[j] END), " +
+      "s.g, s.w, " +
+      "CAST(list_indexof(st.loads, list_min(st.loads)) - 1 AS INT) " +
+      "FROM estep st JOIN whd s ON s.rn = st.i + 1), " +
+      "oldp AS (SELECT g, w, shard FROM estep WHERE g IS NOT NULL), " +
+      "dlq AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS dw " +
+      s"FROM documents WHERE $batchPred GROUP BY 1), " +
+      "unchg AS (SELECT o.g, o.w, o.shard FROM oldp o " +
+      "WHERE NOT EXISTS (SELECT 1 FROM dlq d WHERE d.g = o.g)), " +
+      "base AS (SELECT [" +
+      "CAST(COALESCE(SUM(CASE WHEN shard = 0 THEN w END), 0) AS BIGINT), " +
+      "CAST(COALESCE(SUM(CASE WHEN shard = 1 THEN w END), 0) AS BIGINT), " +
+      "CAST(COALESCE(SUM(CASE WHEN shard = 2 THEN w END), 0) AS BIGINT), " +
+      "CAST(COALESCE(SUM(CASE WHEN shard = 3 THEN w END), 0) AS BIGINT)" +
+      "] AS loads FROM unchg), " +
+      "cand AS (SELECT d.g, COALESCE(o.w, 0) + d.dw AS w, " +
+      "o.shard AS old_shard, " +
+      "ROW_NUMBER() OVER (ORDER BY COALESCE(o.w, 0) + d.dw DESC, d.g) AS rn " +
+      "FROM dlq d LEFT JOIN oldp o ON o.g = d.g), " +
+      "rstep AS (" +
+      "SELECT 0 AS i, (SELECT loads FROM base) AS loads, 0 AS moves, " +
+      "CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS w, " +
+      "CAST(NULL AS INT) AS shard, CAST(NULL AS BOOLEAN) AS moved " +
+      "UNION ALL " +
+      "SELECT c.rn, " +
+      s"list_transform([1, 2, 3, 4], j -> CASE WHEN j = 1 + ($tgt) " +
+      "THEN st.loads[j] + c.w ELSE st.loads[j] END), " +
+      s"st.moves + CASE WHEN $isMove THEN 1 ELSE 0 END, " +
+      s"c.g, c.w, CAST($tgt AS INT), $isMove " +
+      "FROM rstep st JOIN cand c ON c.rn = st.i + 1), " +
+      "fin AS (SELECT loads FROM rstep ORDER BY i DESC LIMIT 1) " +
+      "SELECT u.g AS source, u.w AS weight, u.shard, " +
+      "fin.loads[u.shard + 1] AS shard_load, FALSE AS moved " +
+      "FROM unchg u, fin " +
+      "UNION ALL " +
+      "SELECT st.g, st.w, st.shard, fin.loads[st.shard + 1], st.moved " +
+      "FROM rstep st, fin WHERE st.g IS NOT NULL " +
+      "ORDER BY source"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q206_shard_replan" -> shardReplanOracle,
     "q200_shard_plan" -> shardPlanOracle,
     // q144: medians via the same cum*2 >= total rank rule, MAD as the
     // median of the absolute-deviation grid, 3-MAD integer flag

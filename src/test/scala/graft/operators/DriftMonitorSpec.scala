@@ -68,6 +68,40 @@ class DriftMonitorSpec extends SparkSpec {
     assert(out(2L)._1 === 0L && out(2L)._2 === 100L)
   }
 
+  test("incremental ≡ from-scratch on every split of a planted fixture " +
+      "(r11, q205)") {
+    val ref = Seq(10L, 15L, 110L, 120L, 250L, 260L, 270L, 505L)
+    val cur = Seq(12L, 130L, 140L, 150L, 280L, 900L)
+    val full = run(ref, cur, 100L)
+    def viaState(refSide: Seq[Long], curA: Seq[Long], curB: Seq[Long]) =
+      DriftMonitor.psiFromBinCounts(
+          DriftMonitor.binCounts(refSide.toDF("v"), "v", 100L),
+          DriftMonitor.mergeBinCounts(
+            DriftMonitor.binCounts(curA.toDF("v"), "v", 100L),
+            DriftMonitor.binCounts(curB.toDF("v"), "v", 100L)))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (b, r, c, t) => b -> ((r, c, t)) }.toMap
+    // every split of the current side into (accumulated state, batch) —
+    // including the empty-batch and everything-is-the-batch ends
+    (0 to cur.length).foreach { k =>
+      val (a, b) = cur.splitAt(k)
+      assert(viaState(ref, a, b) === full, s"cur split at $k")
+    }
+    // the reference snapshot persists as state too: psiByBin over raw
+    // rows ≡ psiFromBinCounts over its own histogram, any ref split
+    (0 to ref.length).foreach { k =>
+      val (a, b) = ref.splitAt(k)
+      val got = DriftMonitor.psiFromBinCounts(
+          DriftMonitor.mergeBinCounts(
+            DriftMonitor.binCounts(a.toDF("v"), "v", 100L),
+            DriftMonitor.binCounts(b.toDF("v"), "v", 100L)),
+          DriftMonitor.binCounts(cur.toDF("v"), "v", 100L))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (b2, r, c, t) => b2 -> ((r, c, t)) }.toMap
+      assert(got === full, s"ref split at $k")
+    }
+  }
+
   test("both inputs empty fails with the designed diagnostic, not an " +
       "NPE (r11, ADVICE)") {
     val empty = Seq.empty[Long].toDF("v")

@@ -291,6 +291,69 @@ class NaiveBayesSpec extends SparkSpec {
     assert(fast === fallback)
   }
 
+  test("thresholdSweep ≡ per-cutoff brute force over a decision table " +
+      "(r11, q204)") {
+    val rnd = new scala.util.Random(61)
+    // synthetic decision-table rows: only margin_e16/correct are read
+    val dec = (0 until 300).map { i =>
+      val margin =
+        if (rnd.nextBoolean()) rnd.nextInt(70000).toLong
+        else rnd.nextInt(3000000).toLong
+      (i.toLong, "l", "p", -999L, margin, rnd.nextInt(3) > 0)
+    }
+    val df = dec.toDF("doc_id", "lang", "predicted", "score_e16",
+      "margin_e16", "correct")
+    val cuts = NaiveBayes.DefaultMarginCutoffsE16
+    val total = dec.size.toLong
+    val totalCorrect = dec.count(_._6).toLong
+    def expectFor(cs: Seq[Long]) = cs.map { c =>
+      val kept = dec.filter(_._5 >= c)
+      val nk = kept.size.toLong
+      val nc = kept.count(_._6).toLong
+      (c, nk, nc, nk * 1000000L / math.max(total, 1L),
+        nc * 1000000L / math.max(nk, 1L),
+        nc * 1000000L / math.max(totalCorrect, 1L))
+    }
+    val got = NaiveBayes.thresholdSweep(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expectFor(cuts))
+    // custom cutoffs arrive unsorted with duplicates — output is the
+    // distinct ascending sweep
+    val got2 = NaiveBayes.thresholdSweep(df, Seq(500000L, 0L, 500000L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === expectFor(Seq(0L, 500000L)))
+    // cutoff 0 keeps everything (margins are ≥ 0 by construction)
+    assert(got.head === ((0L, total, totalCorrect, 1000000L,
+      totalCorrect * 1000000L / total, 1000000L)))
+    // empty decision table: one all-zero row per cutoff, guards hold
+    val empty = dec.take(0).toDF("doc_id", "lang", "predicted",
+      "score_e16", "margin_e16", "correct")
+    val gotE = NaiveBayes.thresholdSweep(empty, Seq(0L, 100L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotE === Seq((0L, 0L, 0L, 0L, 0L, 0L), (100L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("thresholdSweep over a real classify run: monotone kept volume, " +
+      "precision at the top of the curve (r11, q204)") {
+    val rnd = new scala.util.Random(67)
+    val docs = (0 until 60).map { i =>
+      val l = Vector("u", "v")(rnd.nextInt(2))
+      val vocab = if (l == "u") Vector("k", "l", "m") else Vector("m", "n", "o")
+      (i.toLong, l, (0 to rnd.nextInt(8) + 1)
+        .map(_ => vocab(rnd.nextInt(3))).mkString(" "))
+    }
+    val sweep = NaiveBayes.thresholdSweep(
+        NaiveBayes.classify(docs.toDF("doc_id", "lang", "text"),
+          "doc_id", "lang", "text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // kept volume and correct-kept are non-increasing in the cutoff
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    case _ => }
+    // the full-corpus row keeps everything
+    assert(sweep.head._2 === 60L && sweep.head._4 === 1000000L)
+  }
+
   test("non-integral ids route to the id-agnostic path; integral ids " +
       "keep their exact type (r11, ADVICE)") {
     // string ids: the Long-typed fast path would null them out — the
