@@ -343,6 +343,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), s"the text column must never be read:\n$p")
   }
 
+  test("q204 threshold sweep: the shipped plan is the collected bin " +
+      "table — the classify chain + binning ran at plan construction, " +
+      "no corpus window, no re-scoring (r11)") {
+    val p = plan("q204_threshold_sweep")
+    assert(p.contains("LocalTableScan"),
+      s"the sweep rows must be a driver-built local relation:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Window") &&
+      !p.contains("Join"), s"nothing distributed may survive:\n$p")
+  }
+
+  test("q205 incremental PSI: same shape as q203 — map-side bin " +
+      "counts, no window, text never read; merge is union+re-aggregate " +
+      "with no extra join (r11)") {
+    val p = plan("q205_psi_incr")
+    assert(p.contains("partial_count"),
+      s"the bin counts must combine map-side:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the state merge must combine map-side:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("text"), s"the text column must never be read:\n$p")
+    // exactly ONE join survives: the full-outer bin join of the two
+    // sides — the additive merge is union + aggregate, never a join
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"the merge must not join:\n$p")
+  }
+
+  test("q206 shard re-plan: the shipped plan is the driver-built " +
+      "assignment artifact (both rollups ran at plan construction) " +
+      "(r11)") {
+    val p = plan("q206_shard_replan")
+    assert(p.contains("LocalTableScan"),
+      s"the plan artifact must be a driver-built local relation:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
