@@ -464,7 +464,11 @@ object Bench {
       // group-bounded). q204 stays out with q194's rationale — it is
       // a rollup of q193's chain, no independent scale signal beyond
       // the q193 rung already measured.
-      "q205_psi_incr", "q206_shard_replan")
+      "q205_psi_incr", "q206_shard_replan",
+      // r11 post-closing: the evidence report is corpus-proportional
+      // through its one wordCounts tokenize pass (the top-k itself is
+      // vocab-bounded)
+      "q207_nb_evidence")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

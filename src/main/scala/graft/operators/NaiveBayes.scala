@@ -486,6 +486,59 @@ object NaiveBayes {
       "precision_e6", "recall_e6")
   }
 
+  /** Per-class top-k evidence words — the model-explanation artifact
+    * ("WHY does the gate route documents to this class"): for every
+    * (class, word) the model has seen, the exact one-vs-rest log-odds
+    * of the word under the same add-one/ilog2 algebra the scorer uses,
+    *
+    *   logodds_e16(s, w) = [lg(c_s(w)+1) − lg(N_s+|V|)]
+    *                     − [lg(c_rest(w)+1) − lg(N−N_s+|V|)]
+    *
+    * with c_rest = Σ_{t≠s} c_t(w) — positive means w pulls documents
+    * TOWARD s. Top `k` per class, (logodds desc, word asc) ties.
+    * Output: (src, rank, w, c_in, c_rest, logodds_e16).
+    *
+    * Scale shape: the relation is the |V|·S count state (never the
+    * corpus); one word-keyed total rollup + one S-bounded
+    * sort_array(collect_list) top-k aggregate (the q55 argmax
+    * convention — no rank window, no self-join); per-class smoothing
+    * constants ride a broadcast S-row join. */
+  def classEvidence(wordCountsIn: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = wordCountsIn.sparkSession
+    graft.plans.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val counts = wordCountsIn.localCheckpoint(true)
+    val perSrcN = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(perSrcN.nonEmpty,
+      "classEvidence: no class has any training token")
+    val v = counts.agg(countDistinct(col("w"))).head().getLong(0)
+    val nAll = perSrcN.values.sum
+    val ilg = graft.functions.IntLog2.ilog2e16 _
+    val consts = perSrcN.toSeq.sorted
+      .map { case (s, n) => (s, ilg(n + v), ilg(nAll - n + v)) }
+      .toDF("src", "lgnv_in", "lgnv_rest")
+    val wordTot = counts.groupBy(col("w")).agg(sum(col("c")).as("tot"))
+    counts
+      .join(wordTot, Seq("w"))
+      .join(broadcast(consts), Seq("src"))
+      .select(col("src"), col("w"), col("c").as("c_in"),
+        (col("tot") - col("c")).as("c_rest"),
+        (lg(col("c") + 1L) - col("lgnv_in")
+          - lg(col("tot") - col("c") + 1L) + col("lgnv_rest"))
+          .as("logodds_e16"))
+      .groupBy(col("src"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("logodds_e16")).as("no"), col("w"),
+        col("c_in"), col("c_rest")))), 1, k).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("r.w").as("w"), col("r.c_in").as("c_in"),
+        col("r.c_rest").as("c_rest"),
+        (-col("r.no")).as("logodds_e16"))
+  }
+
   /** Per-class evaluation rollup of a [[classify]] output — the
     * classifier-eval report artifact (one row per TRUE class):
     * (label, n_docs, n_predicted, n_correct, precision_e6, recall_e6).

@@ -1476,7 +1476,18 @@ object TextQueries {
       graft.operators.DriftMonitor.mergeBinCounts(curWarehouse, curBatch))
   }
 
+  // NB class-evidence report (r11 post-closing): the model-explanation
+  // artifact for the q193 gate — per class, the top-8 words by exact
+  // one-vs-rest log-odds under the scorer's own add-one/ilog2 algebra
+  // (positive = pulls documents toward the class). Works off the
+  // |V|·S count STATE, never the corpus; top-k via the q55
+  // sort_array(collect_list) convention (no rank window).
+  private def q207(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes.classEvidence(
+      graft.operators.NaiveBayes.wordCounts(documents(s, d), "lang", "text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_nb_evidence" -> q207 _,
     "q205_psi_incr" -> q205 _,
     "q204_threshold_sweep" -> q204 _,
     "q203_psi_drift" -> q203 _,
@@ -2017,6 +2028,44 @@ object TextQueries {
       "AS recall_e6 " +
       "FROM aggq, totq ORDER BY aggq.cut"
 
+  /** q207 twin: the count/total CTEs, the ilog2 chain over every value
+    * the log-odds touches (c+1, rest+1, both smoothing denominators),
+    * the same one-vs-rest difference, ROW_NUMBER (lo DESC, w ASC) ≤ 8. */
+  private def nbEvidenceOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += ("tokb AS (SELECT doc_id, lang, u.w AS w FROM (SELECT doc_id, " +
+      "lang, list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), " +
+      "x -> x <> '') AS ws FROM documents) t, UNNEST(t.ws) AS u(w))")
+    ctes += ("cntb AS MATERIALIZED (SELECT lang AS lbl, w, " +
+      "CAST(COUNT(*) AS BIGINT) AS c FROM tokb GROUP BY 1, 2)")
+    ctes += "vvb AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cntb)"
+    ctes += "pnb AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS n FROM cntb GROUP BY 1)"
+    ctes += "nallb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cntb)"
+    ctes += ("wtb AS MATERIALIZED (SELECT w, CAST(SUM(c) AS BIGINT) AS tot " +
+      "FROM cntb GROUP BY 1)")
+    ctes += ("lvE AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cntb " +
+      "UNION SELECT DISTINCT wtb.tot - cntb.c + 1 FROM cntb " +
+      "JOIN wtb USING (w) " +
+      "UNION SELECT DISTINCT p.n + (SELECT v FROM vvb) FROM pnb p " +
+      "UNION SELECT DISTINCT (SELECT n FROM nallb) - p.n + " +
+      "(SELECT v FROM vvb) FROM pnb p)")
+    ctes ++= ilog2ChainCtes("E")
+    ctes += ("loq AS (SELECT cntb.lbl, cntb.w, cntb.c AS c_in, " +
+      "wtb.tot - cntb.c AS c_rest, " +
+      "(SELECT lg FROM lgE WHERE x = cntb.c + 1) " +
+      "- (SELECT lg FROM lgE WHERE x = p.n + (SELECT v FROM vvb)) " +
+      "- (SELECT lg FROM lgE WHERE x = wtb.tot - cntb.c + 1) " +
+      "+ (SELECT lg FROM lgE WHERE x = (SELECT n FROM nallb) - p.n + " +
+      "(SELECT v FROM vvb)) AS lo " +
+      "FROM cntb JOIN wtb USING (w) JOIN pnb p ON p.lbl = cntb.lbl)")
+    ctes += ("rkq AS (SELECT lbl, w, c_in, c_rest, lo, " +
+      "ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY lo DESC, w ASC) AS rnk " +
+      "FROM loq)")
+    "WITH " + ctes.result().mkString(", ") +
+      " SELECT lbl AS src, CAST(rnk AS BIGINT) AS rank, w, c_in, c_rest, " +
+      "lo AS logodds_e16 FROM rkq WHERE rnk <= 8 ORDER BY src, rank"
+  }
+
   /** q203 twin: bin counts both sides, the scalar row, the ilog2 chain
     * over every logged value, the same clamped cross-multiplied term. */
   private def psiDriftOracle: String = {
@@ -2052,6 +2101,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q207_nb_evidence" -> nbEvidenceOracle,
     // q205: the incremental path must answer exactly what the
     // from-scratch q203 scan answers — its oracle verbatim
     "q205_psi_incr" -> psiDriftOracle,

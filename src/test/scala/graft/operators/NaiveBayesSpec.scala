@@ -291,6 +291,58 @@ class NaiveBayesSpec extends SparkSpec {
     assert(fast === fallback)
   }
 
+  test("classEvidence ≡ brute-force one-vs-rest log-odds top-k; ties " +
+      "break word-ascending (r11, q207)") {
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("k", "l", "m", "n", "o", "p", "q")
+    val docs = (0 until 40).map { i =>
+      val lbl = Vector("u", "v", "w")(rnd.nextInt(3))
+      (i.toLong, lbl, (0 to rnd.nextInt(9))
+        .map(_ => vocab(rnd.nextInt(7))).mkString(" "))
+    }
+    val ilg = graft.functions.IntLog2.ilog2e16 _
+    // independent reference: plain-Scala counts and algebra
+    val toks = docs.flatMap { case (_, l, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(l -> _) }
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byClass = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val wTot = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = toks.map(_._2).distinct.size.toLong
+    val nAll = toks.size.toLong
+    val expect = cnt.keys.toSeq.map { case (s, w) =>
+      val cIn = cnt((s, w)); val cRest = wTot(w) - cIn
+      val lo = ilg(cIn + 1) - ilg(byClass(s) + v) -
+        ilg(cRest + 1) + ilg(nAll - byClass(s) + v)
+      (s, w, cIn, cRest, lo)
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, w, _, _, lo) => (-lo, w) }.take(3).zipWithIndex
+        .map { case ((s, w, ci, cr, lo), i) => (s, i + 1L, w, ci, cr, lo) })
+      .toMap
+    val got = NaiveBayes.classEvidence(
+        NaiveBayes.wordCounts(docs.toDF("doc_id", "lang", "text"),
+          "lang", "text"), k = 3)
+      .as[(String, Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (s, rows) => assert(got(s) === rows, s) }
+    // planted tie: two words with identical counts everywhere — equal
+    // log-odds, word-ascending order decides
+    val tie = Seq((1L, "a", "zz yy zz yy"), (2L, "b", "xx"))
+    val tied = NaiveBayes.classEvidence(
+        NaiveBayes.wordCounts(tie.toDF("doc_id", "lang", "text"),
+          "lang", "text"), k = 2)
+      .as[(String, Long, String, Long, Long, Long)].collect()
+      .filter(_._1 == "a").sortBy(_._2)
+    assert(tied.map(_._3).toSeq === Seq("yy", "zz"))
+    assert(tied(0)._6 === tied(1)._6) // genuinely tied log-odds
+    // all-token-less state refuses with the named rule
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.classEvidence(NaiveBayes.wordCounts(
+        Seq((1L, "a", "")).toDF("doc_id", "lang", "text"), "lang", "text"))
+    }
+    assert(e.getMessage.contains("no class has any training token"))
+  }
+
   test("thresholdSweep ≡ per-cutoff brute force over a decision table " +
       "(r11, q204)") {
     val rnd = new scala.util.Random(61)

@@ -378,6 +378,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("q207 NB evidence: no rank window (the q55 sort_array top-k " +
+      "convention); works off the checkpointed count state (r11)") {
+    val p = plan("q207_nb_evidence")
+    assert(!p.contains("Window"),
+      s"top-k must be the bounded collect_list aggregate, not a rank " +
+        s"window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the |V|·S count state must be pinned once:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the S-row constants must broadcast:\n$p")
+  }
+
   test("q149 date window becomes a PartitionFilter (non-window directories never read)") {
     val p = plan("q149_date_partitioned_events")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
