@@ -581,12 +581,24 @@ object Bench {
                 case JString(s) => s
                 case _ => ""
               }
-              val vals = (parsed \ "queries") match {
-                case JArray(vs) => vs.flatMap(num)
-                case _ => List.empty[Double]
+              // positional decode is alignment-critical (r12, ADVICE):
+              // a single non-numeric entry or a qn/array length
+              // mismatch would silently shift every later median onto
+              // the wrong query key — treat either as a parse failure
+              // and degrade to NO numeric priors instead.
+              val valsOpt: Option[List[Double]] = (parsed \ "queries") match {
+                case JArray(vs) =>
+                  val each = vs.map(num)
+                  if (each.forall(_.isDefined)) Some(each.flatten) else None
+                case _ => None
               }
-              val numeric = HealPolicy.decodeRanges(qn).zip(vals).map {
-                case (n, v) => HealPolicy.canonKey(n.toString) -> med(v)
+              val names = HealPolicy.decodeRanges(qn)
+              val numeric = valsOpt match {
+                case Some(vals) if names.length == vals.length =>
+                  names.zip(vals).map {
+                    case (n, v) => HealPolicy.canonKey(n.toString) -> med(v)
+                  }
+                case _ => List.empty[(String, Double)]
               }
               val extras = (parsed \ "qx") match {
                 case o: JObject => o.obj.flatMap { case (k, j) =>

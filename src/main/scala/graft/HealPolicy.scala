@@ -240,7 +240,14 @@ object HealPolicy {
     * corrupt). Pure so the spec can pin the line budget against the
     * real encode path. */
   def arrPayload(keyed: Seq[(String, Long)]): Option[(String, String, String)] = {
-    val (numKeyed, extraKeyed) = keyed.partition(_._1.forall(_.isDigit))
+    // strictly-ASCII, non-empty, toLong-safe keys only (r12, ADVICE):
+    // "".forall(_.isDigit) is TRUE, and isDigit admits non-ASCII
+    // digits / >18-digit keys — all of which would throw in the
+    // k.toLong below AFTER the full sweep, losing the final line.
+    // Anything unparseable rides the qx side object instead.
+    def longSafeDigits(k: String): Boolean =
+      k.nonEmpty && k.length <= 18 && k.forall(c => c >= '0' && c <= '9')
+    val (numKeyed, extraKeyed) = keyed.partition(p => longSafeDigits(p._1))
     val nums = numKeyed.map { case (k, v) => (k.toLong, v) }.sortBy(_._1)
     if (nums.map(_._1).distinct.size != nums.size) return None
     val qn = encodeRanges(nums.map(_._1))

@@ -197,9 +197,12 @@ object WarehouseQueries {
     * to the first minimal slot (list_indexof finds the FIRST match —
     * the operator's strict-< scan). */
   private def shardPlanOracle: String =
+    // COALESCE mirrors the operator (r12, ADVICE): planShards
+    // coalesces an all-NULL-weight group to 0, so the oracle must too
+    // — a bare SUM would propagate NULL through w and the rank order.
     "WITH RECURSIVE srcs AS (SELECT source AS g, " +
-      "CAST(SUM(n_chars) AS BIGINT) AS w, " +
-      "ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS rn " +
+      "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS w, " +
+      "ROW_NUMBER() OVER (ORDER BY COALESCE(SUM(n_chars), 0) DESC, source) AS rn " +
       "FROM documents GROUP BY 1), " +
       "step AS (" +
       "SELECT 0 AS i, [CAST(0 AS BIGINT), 0, 0, 0] AS loads, " +
@@ -239,8 +242,12 @@ object WarehouseQueries {
       "AND list_indexof(st.loads, list_min(st.loads)) - 1 <> c.old_shard " +
       "AND st.moves < 2)"
     "WITH RECURSIVE " +
-      "whd AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS w, " +
-      "ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS rn " +
+      // COALESCE in whd/dlq mirrors replanShards (r12, ADVICE): an
+      // all-NULL-weight group plans at 0 operator-side; a bare SUM
+      // would send NULL through cand's merged weight and diverge.
+      "whd AS (SELECT source AS g, " +
+      "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS w, " +
+      "ROW_NUMBER() OVER (ORDER BY COALESCE(SUM(n_chars), 0) DESC, source) AS rn " +
       s"FROM documents WHERE NOT ($batchPred) GROUP BY 1), " +
       "estep AS (" +
       "SELECT 0 AS i, [CAST(0 AS BIGINT), 0, 0, 0] AS loads, " +
@@ -255,7 +262,8 @@ object WarehouseQueries {
       "CAST(list_indexof(st.loads, list_min(st.loads)) - 1 AS INT) " +
       "FROM estep st JOIN whd s ON s.rn = st.i + 1), " +
       "oldp AS (SELECT g, w, shard FROM estep WHERE g IS NOT NULL), " +
-      "dlq AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS dw " +
+      "dlq AS (SELECT source AS g, " +
+      "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS dw " +
       s"FROM documents WHERE $batchPred GROUP BY 1), " +
       "unchg AS (SELECT o.g, o.w, o.shard FROM oldp o " +
       "WHERE NOT EXISTS (SELECT 1 FROM dlq d WHERE d.g = o.g)), " +

@@ -57,7 +57,7 @@ object StreamingClassify {
     val dcPath = s"$warehouseDir/doc_counts"
     def readPrefix(p: String, cols: Seq[String],
                    empty: => DataFrame): DataFrame =
-      if (new java.io.File(p).exists)
+      if (WarehouseFs.exists(spark, p))
         spark.read.parquet(p).where(col("batch") < batchId)
           .select(cols.map(col): _*)
       else empty

@@ -39,14 +39,16 @@ object StreamingDrift {
              (batchDf: DataFrame, batchId: Long): Unit = {
     val spark = batchDf.sparkSession
     val refPath = s"$warehouseDir/ref_bins"
-    require(new java.io.File(refPath).exists,
+    require(WarehouseFs.exists(spark, refPath),
       s"StreamingDrift needs the reference histogram at $refPath — " +
-        "call writeReference(...) before starting the stream")
+        "call writeReference(...) before starting the stream " +
+        "(existence is resolved through the path's Hadoop FileSystem, " +
+        "so hdfs:///s3a:// warehouses work)")
     val curPath = s"$warehouseDir/cur_bins"
     val batchBins = DriftMonitor
       .binCounts(batchDf, valueCol, binWidth).localCheckpoint(true)
     val prior =
-      if (new java.io.File(curPath).exists)
+      if (WarehouseFs.exists(spark, curPath))
         spark.read.parquet(curPath).where(col("batch") < batchId)
           .select(col("bin"), col("n"))
       else batchBins.limit(0)

@@ -44,7 +44,7 @@ object StreamingNearDup {
     val bandsPath = s"$warehouseDir/bands"
     val docsPath = s"$warehouseDir/docs"
     def readOr(p: String, empty: => DataFrame): DataFrame =
-      if (new java.io.File(p).exists) spark.read.parquet(p) else empty
+      if (WarehouseFs.exists(spark, p)) spark.read.parquet(p) else empty
     val whBands = readOr(bandsPath,
       Dedup.lshBandWarehouse(batch.limit(0), idCol, textCol,
         numPerms, numBands, shingleN))

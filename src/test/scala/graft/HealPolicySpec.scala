@@ -255,6 +255,24 @@ class HealPolicySpec extends AnyFunSuite {
     assert(HealPolicy.arrPayload(Seq(("5", 1L), ("05", 2L))).isEmpty)
   }
 
+  test("arr rung payload: toLong-unsafe keys ride qx, never throw " +
+      "(r12, ADVICE)") {
+    // "".forall(_.isDigit) is true, isDigit admits non-ASCII digits,
+    // and 19 digits overflow Long — each used to reach k.toLong and
+    // throw AFTER the full sweep; all must route to the qx side object
+    val keyed = Seq(("3", 7L), ("", 1L), ("9999999999999999999", 2L),
+      ("٠١", 3L)) // Arabic-Indic digits: isDigit-true
+    val Some((qn, qv, qx)) = HealPolicy.arrPayload(keyed)
+    assert(qn == "3")
+    assert(qv == "[7]")
+    // unparseable keys survive (shortKey'd) rather than kill the line
+    assert(qx.contains(":1") && qx.contains(":2") && qx.contains(":3"))
+    // an 18-digit key still parses — the boundary is inclusive
+    val Some((qn2, _, _)) =
+      HealPolicy.arrPayload(Seq(("999999999999999999", 4L)))
+    assert(qn2 == "999999999999999999")
+  }
+
   test("arr rung budget: the full compact line stays under 1750 chars " +
       "at a 215-query surface with lists intact (r11, VERDICT r10 #1)") {
     // 215 numeric lines (the ~r13 surface the headroom must cover) at
