@@ -468,7 +468,12 @@ object Bench {
       // r11 post-closing: the evidence report is corpus-proportional
       // through its one wordCounts tokenize pass (the top-k itself is
       // vocab-bounded)
-      "q207_nb_evidence")
+      "q207_nb_evidence",
+      // r12: the ingest capstone composes seven corpus-proportional
+      // rungs (segments, exact class, LSH probe, 13/3-gram layers, NB
+      // gate, PSI, re-plan rollup) — ITS x10 point is the composition's
+      // scale sentinel, not the members'
+      "q208_ingest_capstone")
     val scaledResults: Seq[Measure] =
       if (only.isDefined || !new java.io.File(scaledDir).isDirectory) Seq()
       else scaledNames.flatMap { n =>

@@ -154,7 +154,13 @@ object CorpusScaleSmoke {
       // r10: minhash accuracy curve — signature/banding corpus-
       // proportional, pair work ∝ candidates (dup density), the curve
       // rollup 4 rows; label vote rides the q69 LSH/components terms
-      "q196_minhash_accuracy", "q198_cluster_label_vote")
+      "q196_minhash_accuracy", "q198_cluster_label_vote",
+      // r12: the ingest capstone — the claim is that composition adds
+      // NOTHING super-linear on top of its members: segment/exact/LSH/
+      // shingle/NB/PSI exchanges all ∝ corpus (their individual smoke
+      // claims above), the verdict assembly joins are batch-sized, and
+      // the re-plan rollup is one (source, w) row per source
+      "q208_ingest_capstone")
       .filter(wanted).map { name =>
       val (sec, w, r, rows) = runq(name)
       f""""${name.takeWhile(_ != '_')}":{"sec":$sec%.2f,"shuffle_write_mb":${w / 1e6}%.1f,"shuffle_read_mb":${r / 1e6}%.1f,"rows":$rows}"""

@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.ScalarOpsQueries.queries ++
       graft.queries.SinkQueries.queries ++
       graft.queries.ClusterQueries.queries ++
-      graft.queries.WarehouseQueries.queries
+      graft.queries.WarehouseQueries.queries ++
+      graft.queries.CapstoneQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.ScalarOpsQueries.oracle ++
       graft.queries.SinkQueries.oracle ++
       graft.queries.ClusterQueries.oracle ++
-      graft.queries.WarehouseQueries.oracle
+      graft.queries.WarehouseQueries.oracle ++
+      graft.queries.CapstoneQueries.oracle
 }

@@ -525,12 +525,12 @@ object DedupQueries {
   )
 
   /** Normalized-text expression shared by the generated oracles. */
-  private val normSql =
+  private[queries] val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   /** `'\s+'` as a SQL literal (triple-quoted interpolations below do not
     * process backslash escapes, so the regex is injected from here). */
-  private val wsRe = "'\\s+'"
+  private[queries] val wsRe = "'\\s+'"
 
   /** Generated DuckDB mirror of [[Dedup.minHashLshPortable]] (32 perms,
     * 8 bands × 4, 3-token shingles, threshold 0.3, maxBucket 1000):
@@ -561,7 +561,7 @@ object DedupQueries {
        |          ON a.b = b2.b AND a.bhash = b2.bhash AND a.doc_id < b2.doc_id)""".stripMargin
   }
 
-  private def minHashPairCtes: String =
+  private[queries] def minHashPairCtes: String =
     s"""$minHashCandCtes,
        |tk AS (SELECT doc_id, list_distinct(string_split_regex($normSql, $wsRe)) AS toks FROM documents),
        |jac AS (SELECT id_a, id_b,

@@ -1661,7 +1661,7 @@ object TextQueries {
     * CTE `lv<tag>` of distinct positive BIGINTs `x`, ending in
     * `lg<tag>(x, lg)`. The same blocks `unigramScoreCtes` inlines;
     * factored bare for the q179/q180 information-measure oracles. */
-  private def ilog2ChainCtes(tag: String): Seq[String] = {
+  private[queries] def ilog2ChainCtes(tag: String): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += (s"g${tag}0 AS MATERIALIZED (SELECT x, " +
       "CAST(length(format('{:b}', x)) - 1 AS BIGINT) AS msb, " +
@@ -1881,29 +1881,34 @@ object TextQueries {
     * intermediates, CAST AS BIGINT at the end. */
   /** Counts, sizes, per-doc tf and lengths — the model-side CTEs every
     * NB oracle (q193/q195/q197) starts from. */
-  private def naiveBayesBaseCtes: Seq[String] = {
+  /** The training relation is a parameter (default the raw table) so
+    * q208 can train over "documents minus this batch's dedup/decontam
+    * drops" — the capstone's drops-feed-priors composition point. */
+  private[queries] def naiveBayesBaseCtes(
+      corpus: String = "documents"): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += ("tokb AS (SELECT doc_id, lang, u.w AS w FROM (SELECT doc_id, lang, " +
       "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws " +
-      "FROM documents) t, UNNEST(t.ws) AS u(w))")
+      s"FROM $corpus) t, UNNEST(t.ws) AS u(w))")
     ctes += ("cntb AS MATERIALIZED (SELECT lang AS lbl, w, " +
       "CAST(COUNT(*) AS BIGINT) AS c FROM tokb GROUP BY 1, 2)")
     ctes += "vvb AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cntb)"
     ctes += "pnb AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS n FROM cntb GROUP BY 1)"
     ctes += ("dcb AS (SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS d " +
-      "FROM documents GROUP BY 1)")
-    ctes += "dtb AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt FROM documents)"
+      s"FROM $corpus GROUP BY 1)")
+    ctes += s"dtb AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt FROM $corpus)"
     ctes += ("tfb AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf " +
       "FROM tokb GROUP BY 1, 2)")
     ctes += ("dlb AS (SELECT d0.doc_id, d0.lang, COALESCE(t.nw, 0) AS nw " +
-      "FROM documents d0 LEFT JOIN (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nw " +
+      s"FROM $corpus d0 LEFT JOIN (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nw " +
       "FROM tfb GROUP BY 1) t USING (doc_id))")
     ctes.result()
   }
 
-  private def naiveBayesCtes: Seq[String] = {
+  private[queries] def naiveBayesCtes(
+      corpus: String = "documents"): Seq[String] = {
     val ctes = Seq.newBuilder[String]
-    ctes ++= naiveBayesBaseCtes
+    ctes ++= naiveBayesBaseCtes(corpus)
     ctes += ("lvB AS MATERIALIZED (SELECT DISTINCT c + 1 AS x FROM cntb " +
       "UNION SELECT DISTINCT n + (SELECT v FROM vvb) FROM pnb " +
       "UNION SELECT DISTINCT d FROM dcb " +
@@ -1932,7 +1937,7 @@ object TextQueries {
     * form must answer exactly what the full rebuild answers on its
     * docs). */
   private def naiveBayesOracle(filter: String): String =
-    "WITH " + naiveBayesCtes.mkString(", ") +
+    "WITH " + naiveBayesCtes().mkString(", ") +
       " SELECT a.doc_id, a.lang, a.lbl AS predicted, a.score AS score_e16, " +
       "a.score - COALESCE(b.score, a.score) AS margin_e16, " +
       "a.lbl = a.lang AS correct " +
@@ -1941,7 +1946,7 @@ object TextQueries {
 
   /** q194 twin: per-class precision/recall over the rn=1 decisions. */
   private def classifierReportOracle: String =
-    "WITH " + naiveBayesCtes.mkString(", ") +
+    "WITH " + naiveBayesCtes().mkString(", ") +
       ", cls AS (SELECT doc_id, lang, lbl AS predicted FROM rkb WHERE rn = 1), " +
       "tr AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
       "CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
@@ -1962,7 +1967,7 @@ object TextQueries {
     * contract). */
   private def nbLooOracle: String = {
     val ctes = Seq.newBuilder[String]
-    ctes ++= naiveBayesBaseCtes
+    ctes ++= naiveBayesBaseCtes()
     // per (doc, candidate class, word ∈ doc): class count adjusted by
     // the doc's own tf when the class is the doc's own
     ctes += ("jt AS (SELECT t.doc_id, dl.lang, c2.lbl, t.tf, " +
@@ -2005,7 +2010,7 @@ object TextQueries {
     * rates — every division `//` on non-negatives (margins ≥ 0 by
     * construction, counts ≥ 0). */
   private def thresholdSweepOracle: String =
-    "WITH " + naiveBayesCtes.mkString(", ") +
+    "WITH " + naiveBayesCtes().mkString(", ") +
       ", decq AS (SELECT a.doc_id, " +
       "a.score - COALESCE(b.score, a.score) AS margin, " +
       "CASE WHEN a.lbl = a.lang THEN 1 ELSE 0 END AS corr " +
@@ -2068,7 +2073,11 @@ object TextQueries {
 
   /** q203 twin: bin counts both sides, the scalar row, the ilog2 chain
     * over every logged value, the same clamped cross-multiplied term. */
-  private def psiDriftOracle: String = {
+  /** The q203 PSI machinery factored for reuse (r12, q208): the bin /
+    * rollup / log-chain CTEs and the per-bin term expression (reads
+    * `jq` and `scq`, CAST ... AS BIGINT included) — q203 orders the
+    * terms, the capstone SUMs them into its gate scalar. */
+  private[queries] def psiCtes: Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += ("rb AS (SELECT CAST(n_chars AS BIGINT) // 100 AS bin, " +
       "CAST(COUNT(*) AS BIGINT) AS n_ref FROM documents " +
@@ -2086,9 +2095,11 @@ object TextQueries {
       "UNION SELECT DISTINCT n_cur + 1 FROM jq " +
       "UNION SELECT nr + b FROM scq UNION SELECT nc + b FROM scq)")
     ctes ++= ilog2ChainCtes("P")
-    "WITH " + ctes.result().mkString(", ") +
-      " SELECT jq.bin, jq.n_ref, jq.n_cur, " +
-      "CAST(GREATEST((CAST(jq.n_ref + 1 AS HUGEINT) * (scq.nc + scq.b) - " +
+    ctes.result()
+  }
+
+  private[queries] val psiTermSql: String =
+    "CAST(GREATEST((CAST(jq.n_ref + 1 AS HUGEINT) * (scq.nc + scq.b) - " +
       "CAST(jq.n_cur + 1 AS HUGEINT) * (scq.nr + scq.b)) * " +
       "((SELECT lg FROM lgP WHERE x = jq.n_ref + 1) - " +
       "(SELECT lg FROM lgP WHERE x = scq.nr + scq.b) - " +
@@ -2096,9 +2107,12 @@ object TextQueries {
       "(SELECT lg FROM lgP WHERE x = scq.nc + scq.b)) * " +
       "1000000000, CAST(0 AS HUGEINT)) // " +
       "(CAST(scq.nr + scq.b AS HUGEINT) * (scq.nc + scq.b) * 65536) " +
-      "AS BIGINT) AS psi_term_e9 " +
+      "AS BIGINT)"
+
+  private def psiDriftOracle: String =
+    "WITH " + psiCtes.mkString(", ") +
+      s" SELECT jq.bin, jq.n_ref, jq.n_cur, $psiTermSql AS psi_term_e9 " +
       "FROM jq, scq ORDER BY jq.bin"
-  }
 
   val oracle: Map[String, String] = Map(
     "q207_nb_evidence" -> nbEvidenceOracle,

@@ -230,6 +230,28 @@ object WarehouseQueries {
     * from `unchg` with moved = FALSE. */
   private def shardReplanOracle: String = {
     val batchPred = "(doc_id % 4 = 0 AND source < 'src2') OR source = 'src19'"
+    "WITH RECURSIVE " +
+      shardReplanCtes(s"FROM documents WHERE NOT ($batchPred)",
+        s"FROM documents WHERE $batchPred") + " " +
+      "SELECT u.g AS source, u.w AS weight, u.shard, " +
+      "fin.loads[u.shard + 1] AS shard_load, FALSE AS moved " +
+      "FROM unchg u, fin " +
+      "UNION ALL " +
+      "SELECT st.g, st.w, st.shard, fin.loads[st.shard + 1], st.moved " +
+      "FROM rstep st, fin WHERE st.g IS NOT NULL " +
+      "ORDER BY source"
+  }
+
+  /** The q206 recursion factored for reuse (r12, q208): the full
+    * existing-plan rebuild (`whd`/`estep`/`oldp`), the delta rollup
+    * (`dlq` — its FROM/WHERE is the parameter, so the capstone can
+    * point it at the batch docs its own verdict ladder KEPT), and the
+    * budgeted re-plan walk (`unchg`/`base`/`cand`/`rstep`/`fin`).
+    * Both relations must expose `source` and `n_chars`; 4 shards,
+    * 2 moves (the q206/q208 configuration). Emits CTEs only — callers
+    * prepend WITH RECURSIVE and select from unchg/rstep/fin. */
+  private[queries] def shardReplanCtes(whdFromWhere: String,
+                                       dlqFromWhere: String): String = {
     // the budgeted target shard for the candidate row c over state st
     val tgt = "CASE WHEN c.old_shard IS NULL " +
       "THEN list_indexof(st.loads, list_min(st.loads)) - 1 " +
@@ -241,14 +263,13 @@ object WarehouseQueries {
     val isMove = "(c.old_shard IS NOT NULL " +
       "AND list_indexof(st.loads, list_min(st.loads)) - 1 <> c.old_shard " +
       "AND st.moves < 2)"
-    "WITH RECURSIVE " +
-      // COALESCE in whd/dlq mirrors replanShards (r12, ADVICE): an
-      // all-NULL-weight group plans at 0 operator-side; a bare SUM
-      // would send NULL through cand's merged weight and diverge.
-      "whd AS (SELECT source AS g, " +
+    // COALESCE in whd/dlq mirrors replanShards (r12, ADVICE): an
+    // all-NULL-weight group plans at 0 operator-side; a bare SUM
+    // would send NULL through cand's merged weight and diverge.
+    "whd AS (SELECT source AS g, " +
       "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS w, " +
       "ROW_NUMBER() OVER (ORDER BY COALESCE(SUM(n_chars), 0) DESC, source) AS rn " +
-      s"FROM documents WHERE NOT ($batchPred) GROUP BY 1), " +
+      s"$whdFromWhere GROUP BY 1), " +
       "estep AS (" +
       "SELECT 0 AS i, [CAST(0 AS BIGINT), 0, 0, 0] AS loads, " +
       "CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS w, " +
@@ -264,7 +285,7 @@ object WarehouseQueries {
       "oldp AS (SELECT g, w, shard FROM estep WHERE g IS NOT NULL), " +
       "dlq AS (SELECT source AS g, " +
       "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS dw " +
-      s"FROM documents WHERE $batchPred GROUP BY 1), " +
+      s"$dlqFromWhere GROUP BY 1), " +
       "unchg AS (SELECT o.g, o.w, o.shard FROM oldp o " +
       "WHERE NOT EXISTS (SELECT 1 FROM dlq d WHERE d.g = o.g)), " +
       "base AS (SELECT [" +
@@ -288,14 +309,7 @@ object WarehouseQueries {
       s"st.moves + CASE WHEN $isMove THEN 1 ELSE 0 END, " +
       s"c.g, c.w, CAST($tgt AS INT), $isMove " +
       "FROM rstep st JOIN cand c ON c.rn = st.i + 1), " +
-      "fin AS (SELECT loads FROM rstep ORDER BY i DESC LIMIT 1) " +
-      "SELECT u.g AS source, u.w AS weight, u.shard, " +
-      "fin.loads[u.shard + 1] AS shard_load, FALSE AS moved " +
-      "FROM unchg u, fin " +
-      "UNION ALL " +
-      "SELECT st.g, st.w, st.shard, fin.loads[st.shard + 1], st.moved " +
-      "FROM rstep st, fin WHERE st.g IS NOT NULL " +
-      "ORDER BY source"
+      "fin AS (SELECT loads FROM rstep ORDER BY i DESC LIMIT 1)"
   }
 
   val oracle: Map[String, String] = Map(
