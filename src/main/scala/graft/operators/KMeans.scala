@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd k-means over an embedding column, in EXACT
@@ -109,5 +109,47 @@ object KMeans {
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
     (assign(base, cents, cellCol), cents)
+  }
+
+  /** Nearest OTHER centroid per cell: (cellCol, nn_cell, nn_dist) — a
+    * k-row LOCAL relation (centroid lists are driver-bounded by the
+    * KMeans contract; ties break to the lower cell id). */
+  def nnCentroids(spark: SparkSession, cents: Seq[Seq[Long]],
+                  cellCol: String = "cluster_id"): DataFrame = {
+    require(cents.length >= 2, "nearest-other-centroid needs k >= 2")
+    import spark.implicits._
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    cents.indices.map { i =>
+      val (bj, bd) = cents.indices.filter(_ != i)
+        .map(j => j -> sqd(cents(i), cents(j)))
+        .minBy { case (j, dd) => (dd, j) }
+      (i, bj, bd)
+    }.toDF(cellCol, "nn_cell", "nn_dist")
+  }
+
+  /** The cluster-quality report off PERSISTED state (r12, VERDICT r11
+    * #4): q201's artifact — per cluster the exact mean within-cluster
+    * squared-L2 scatter plus the nearest other centroid — computed
+    * from a stored (id, cell) assignment table and a centroid list,
+    * never a re-fit (the q205 bin-state convention: a deployment
+    * reports off yesterday's persisted assignment; only q201's
+    * in-query simulation pays the Lloyd iterations). One id-keyed
+    * join of state to the vector table + one k-row aggregate; the
+    * centroid algebra rides a broadcast literal. */
+  def qualityFromState(assignments: DataFrame, vectors: DataFrame,
+                       idCol: String, vecCol: String, cents: Seq[Seq[Long]],
+                       cellCol: String = "cluster_id"): DataFrame = {
+    val centLit = typedlit(cents.indices.map(i => i -> cents(i)).toMap)
+    val intra = vectors
+      .select(col(idCol), quantize(col(vecCol)).as("__v"))
+      .join(assignments.select(col(idCol), col(cellCol)), Seq(idCol))
+      .withColumn("__d", sqDist(col("__v"), element_at(centLit, col(cellCol))))
+      .groupBy(col(cellCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__d").cast("decimal(38,0)")).as("__ssw"))
+      .select(col(cellCol), col("n_members"),
+        expr("cast(__ssw div n_members as bigint)").as("mean_ssw"))
+    intra.join(nnCentroids(vectors.sparkSession, cents, cellCol), Seq(cellCol))
   }
 }

@@ -108,4 +108,27 @@ object Sampling {
       .filter(hashSlot(col(idCol), salt) < col("__bound"))
       .drop("__bound")
   }
+
+  /** Source-mixture weights from persisted per-source count STATE
+    * (r12, VERDICT r11 #5): q77 computes the temperature weights by
+    * re-reading the corpus, but the (source, n) counts it needs are
+    * exactly the mergeable state the incremental family persists —
+    * counts add (the q181 contract), so the input may carry MULTIPLE
+    * rows per source (one per ingest batch, unaggregated); the merge
+    * is one group-by over state rows, never a document scan. Output
+    * is q77's artifact bit-for-bit: w_s ∝ √n_s relative to the
+    * largest source (α = 0.5 keeps the power IEEE-exact; max is the
+    * order-free normalizer — the q77 oracle-parity rules). */
+  def mixtureWeightsFromState(counts: DataFrame,
+                              sourceCol: String = "source",
+                              nCol: String = "n_docs"): DataFrame = {
+    val merged = counts.groupBy(col(sourceCol))
+      .agg(sum(col(nCol)).as("n_docs"))
+    val top = merged.agg(max(col("n_docs")).as("n_max"))
+    merged.crossJoin(broadcast(top))
+      .select(col(sourceCol), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) /
+          sqrt(col("n_max").cast("double")) * 1e6)
+          .cast("long").as("weight_e6"))
+  }
 }

@@ -30,7 +30,23 @@ object CapstoneQueries {
       "doc_id", "lang", "source", "text", "n_chars")
   }
 
+  // Mixture weights off persisted count state (r12, VERDICT r11 #5):
+  // three ingest batches' per-source counts ride as UNAGGREGATED state
+  // rows (the q181 merge-by-addition contract, simulated in-plan over
+  // a %3 split); the operator merges and weights without touching a
+  // document. Oracle = q77's SQL verbatim → artifact hash EQUALS
+  // q77's (the q187/q189 design-working reading).
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val state = (0 until 3).map(i =>
+        docs.filter(col("doc_id") % 3 === i)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+      .reduce(_.unionByName(_))
+    graft.operators.Sampling.mixtureWeightsFromState(state)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_mixture_from_state" -> q210 _,
     "q208_ingest_capstone" -> q208 _)
 
   private def ingestCapstoneOracle: String = {
@@ -136,5 +152,13 @@ object CapstoneQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q210: the state path must answer exactly what the corpus scan
+    // answers — q77's oracle verbatim, hashes equal
+    "q210_mixture_from_state" ->
+      ("WITH ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), " +
+        "m AS (SELECT MAX(n_docs) AS n_max FROM ps) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / sqrt(CAST(n_max AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_e6 " +
+        "FROM ps, m ORDER BY source"),
     "q208_ingest_capstone" -> ingestCapstoneOracle)
 }

@@ -356,17 +356,23 @@ object ClusterQueries {
         sum(col("__d").cast("decimal(38,0)")).as("__ssw"))
       .select(col("cluster_id"), col("n_members"),
         expr("cast(__ssw div n_members as bigint)").as("mean_ssw"))
-    def sqd(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val spark = s
-    import spark.implicits._
-    val nn = cents.indices.map { i =>
-      val (bj, bd) = cents.indices.filter(_ != i)
-        .map(j => j -> sqd(cents(i), cents(j)))
-        .minBy { case (j, dd) => (dd, j) }
-      (i, bj, bd)
-    }.toDF("cluster_id", "nn_cell", "nn_dist")
-    intra.join(nn, Seq("cluster_id")).orderBy(col("cluster_id"))
+    intra.join(KMeans.nnCentroids(s, cents.toSeq), Seq("cluster_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // Cluster quality off PERSISTED state (r12, VERDICT r11 #4): same
+  // artifact as q201 but computed by [[KMeans.qualityFromState]] from
+  // an (id, cluster) assignment table + centroid list — the fit here
+  // only SIMULATES the persisted state (the q205 convention), and the
+  // report path never re-fits: it joins state to the vector table and
+  // aggregates. Oracle = q201's SQL verbatim, so the artifact hash
+  // EQUALS q201's (the q187/q189 design-working reading) — which
+  // re-scopes q201's 2.00× perf pin to the in-query Lloyd simulation.
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = KMeans.fit(embeddings(s, d), "vec_id", "embedding", K, Iters)
+    KMeans.qualityFromState(
+      assigned.select(col("vec_id"), col("cluster_id")),
+      embeddings(s, d), "vec_id", "embedding", cents.toSeq)
   }
 
   private def q201Sql: String = {
@@ -389,6 +395,7 @@ object ClusterQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_cluster_quality_state" -> q209 _,
     "q201_cluster_quality" -> q201 _,
     "q118_kmeans_clusters" -> q118,
     "q119_semantic_dedup" -> q119,
@@ -398,6 +405,9 @@ object ClusterQueries {
     "q164_jl_project_topk" -> q164 _)
 
   val oracle: Map[String, String] = Map(
+    // q209: the state-consuming path must answer exactly what the
+    // in-query fit answers — q201's oracle verbatim, hashes equal
+    "q209_cluster_quality_state" -> q201Sql,
     "q201_cluster_quality" -> q201Sql,
     "q118_kmeans_clusters" -> q118Sql,
     "q119_semantic_dedup" -> q119Sql,

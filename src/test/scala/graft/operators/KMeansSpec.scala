@@ -98,4 +98,46 @@ class KMeansSpec extends SparkSpec {
     // 0 (the smallest id in its cluster) can never be.
     assert(droppedIds.contains(9L) && !droppedIds.contains(0L), droppedIds)
   }
+
+  test("qualityFromState off a HAND-PLANTED assignment no fit produced " +
+      "— the report is a pure function of state (r12)") {
+    // 4 unit-grid vectors; a deliberately non-Lloyd assignment (vec 3
+    // is parked in cell 0 far from its centroid) with hand centroids
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 0))
+      .toDF("vec_id", "cluster_id")
+    val s = 1048576L // 2^20
+    val cents = Seq(Seq(0L, 0L), Seq(0L, s))
+    val rows = KMeans.qualityFromState(assign, vecs,
+        "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    // cell 0 members: d²(v0)=0, d²(v1)=s², d²(v3)=2s² → mean = s²
+    assert(rows(0) == ((3L, s * s, 1, s * s)))
+    // cell 1: only v2, exactly on its centroid
+    assert(rows(1) == ((1L, 0L, 0, s * s)))
+  }
+
+  test("qualityFromState(fit state) ≡ the fit-path report (r12)") {
+    val (assigned, cents) = KMeans.fit(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    // the fit path: distances off the carried __v (q201's shape)
+    val centLit = typedlit(cents.indices.map(i => i -> cents(i)).toMap)
+    val direct = assigned
+      .withColumn("__d", KMeans.sqDist($"__v", element_at(centLit, $"cluster_id")))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"__d".cast("decimal(38,0)")).as("__ssw"))
+      .select($"cluster_id", $"n_members",
+        expr("cast(__ssw div n_members as bigint)").as("mean_ssw"))
+      .join(KMeans.nnCentroids(spark, cents.toSeq), Seq("cluster_id"))
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val fromState = KMeans.qualityFromState(
+        assigned.select($"vec_id", $"cluster_id"), corpus,
+        "vec_id", "embedding", cents.toSeq)
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    assert(fromState == direct)
+  }
 }
