@@ -52,18 +52,97 @@ import graft.operators.{Dedup, DriftMonitor, NaiveBayes, SegmentDedup}
   * `drift_alert` ride every row as constants — the batch-level
   * go/no-go a monitoring consumer reads off any row.
   *
+  * Two entry points (r12): [[ingestDecisions]] derives every state
+  * relation from a warehouse-docs relation in-plan (the q171/q185/
+  * q195 simulation convention — what the self-contained q208 query
+  * runs), and [[ingestDecisionsFromState]] consumes an [[IngestState]]
+  * of PERSISTED relations — the deployment/streaming form
+  * ([[graft.streaming.StreamingIngest]]), where each batch pays only
+  * batch-proportional work plus bounded state probes.
+  *
   * Scale shape: the batch is pinned once (`localCheckpoint`) and
   * every rung touches warehouse state the way its proven incremental
   * form does — segment hashes, LSH bands, count/histogram state are
   * all bounded or banded, never all-pairs; the NB gate scores only
   * survivors (candidate restriction before the heavy kernel, the
   * q196 lesson); the re-plan collects one bounded row per SOURCE.
-  * In production each state relation is a persisted table (the
-  * streaming twins' warehouse layout); here they are derived in-plan
-  * from the warehouse relation, the q171/q185/q195 simulation
-  * convention.
   */
 object IngestCapstone {
+
+  /** The persisted warehouse relations the ladder consumes — each one
+    * a member rung's own proven state shape, each mergeable the way
+    * that rung merges (unions/distinct/min/count-add), so ingest
+    * appends state deltas instead of rewriting:
+    *  - `segmentHashes` (`__h`): distinct segment md5s (q171);
+    *  - `exactClasses` (`__nh`, `__m`): min doc id per normalized-text
+    *    class — min-merge on read, so unaggregated appends are legal;
+    *  - `lshBands` (id, band, bhash) + `docs` (id, text): the q185
+    *    signature warehouse and its exact-Jaccard verify side;
+    *  - `bench13`/`bench3` (`__s`): the decontamination benchmark's
+    *    distinct shingle sets (static — written once);
+    *  - `nbWordCounts` (src, w, c) / `nbDocCounts` (src, d): the q195
+    *    count state (merge group-bys anyway — duplicates add);
+    *  - `refBins` (bin, n): the PSI reference histogram (static);
+    *  - `existingPlan` (source, weight, shard): the current shard
+    *    plan — REPLACED by each re-plan, not merged (movement budgets
+    *    are path-dependent by design, q206). */
+  final case class IngestState(segmentHashes: DataFrame,
+                               exactClasses: DataFrame,
+                               lshBands: DataFrame,
+                               docs: DataFrame,
+                               bench13: DataFrame,
+                               bench3: DataFrame,
+                               nbWordCounts: DataFrame,
+                               nbDocCounts: DataFrame,
+                               refBins: DataFrame,
+                               existingPlan: DataFrame)
+
+  /** 3-word lines, the q171 segmentation convention (shared with the
+    * streaming twin's state-delta writes). */
+  private[graft] def lined(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", split(col(textCol), "\\s+"))
+      .withColumn("__lined", array_join(
+        transform(
+          sequence(lit(1), expr("(size(__toks) + 2) div 3")),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
+        "\n"))
+      .select(col(idCol), col("__lined"))
+
+  private def normHash(textCol: String) = md5(Dedup.normalized(col(textCol)))
+
+  /** Distinct word-`n`-gram set of `df` — (idCol, `__s`). */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = df
+    .select(col(idCol),
+      explode(call_function("graft_shingles", col(textCol), lit(n)))
+        .as("__s"))
+    .distinct()
+
+  /** Derive every state relation from a warehouse-docs relation — the
+    * in-plan simulation the q208 query runs; a deployment persists
+    * these instead (see the [[IngestState]] layout). */
+  def ingestState(warehouse: DataFrame, benchmark: DataFrame,
+                  idCol: String, labelCol: String, sourceCol: String,
+                  textCol: String, weightCol: String,
+                  numShards: Int = 4, psiBinWidth: Long = 100L): IngestState =
+    IngestState(
+      segmentHashes = SegmentDedup.segmentHashState(
+        lined(warehouse, idCol, textCol), "__lined", "\n"),
+      exactClasses = warehouse
+        .select(normHash(textCol).as("__nh"), col(idCol))
+        .groupBy(col("__nh")).agg(min(col(idCol)).as("__m")),
+      lshBands = Dedup.lshBandWarehouse(warehouse, idCol, textCol),
+      docs = warehouse.select(col(idCol), col(textCol)),
+      bench13 = shingleSet(benchmark, idCol, textCol, 13)
+        .select(col("__s")).distinct(),
+      bench3 = shingleSet(benchmark, idCol, textCol, 3)
+        .select(col("__s")).distinct(),
+      nbWordCounts = NaiveBayes.wordCounts(warehouse, labelCol, textCol),
+      nbDocCounts = NaiveBayes.docCounts(warehouse, labelCol),
+      refBins = DriftMonitor.binCounts(warehouse, weightCol, psiBinWidth),
+      existingPlan = ShardPlanner
+        .planShards(warehouse, sourceCol, weightCol, numShards))
 
   /** One decision row per batch doc:
     * (idCol, sourceCol, n_segments, n_removed, survivor,
@@ -81,7 +160,25 @@ object IngestCapstone {
                       numShards: Int = 4, maxMoves: Int = 2,
                       psiBinWidth: Long = 100L,
                       psiAlertE9: Long = 100000000L,
-                      lshThreshold: Double = 0.3): DataFrame = {
+                      lshThreshold: Double = 0.3): DataFrame =
+    ingestDecisionsFromState(
+      ingestState(warehouse, benchmark, idCol, labelCol, sourceCol,
+        textCol, weightCol, numShards, psiBinWidth),
+      batch0, idCol, labelCol, sourceCol, textCol, weightCol,
+      numShards, maxMoves, psiBinWidth, psiAlertE9, lshThreshold)
+
+  /** [[ingestDecisions]] off persisted [[IngestState]] relations —
+    * identical decision table (spec-pinned), batch-proportional work:
+    * the batch is lined/hashed/signed/shingled/tokenized once each;
+    * warehouse contact is the member rungs' own bounded probes. */
+  def ingestDecisionsFromState(state: IngestState, batch0: DataFrame,
+                               idCol: String, labelCol: String,
+                               sourceCol: String, textCol: String,
+                               weightCol: String,
+                               numShards: Int = 4, maxMoves: Int = 2,
+                               psiBinWidth: Long = 100L,
+                               psiAlertE9: Long = 100000000L,
+                               lshThreshold: Double = 0.3): DataFrame = {
     graft.plans.GraftExtensions.ensure(batch0.sparkSession)
     // every rung reads the batch — pin it once (multi-consumer rule)
     val batch = batch0
@@ -89,29 +186,23 @@ object IngestCapstone {
         col(weightCol))
       .localCheckpoint(true)
 
-    // 1. segment evidence: 3-word lines (the q171 convention), batch
-    //    lines dead when in the warehouse segment state or repeated
-    def lined(df: DataFrame): DataFrame = df
-      .withColumn("__toks", split(col(textCol), "\\s+"))
-      .withColumn("__lined", array_join(
-        transform(
-          sequence(lit(1), expr("(size(__toks) + 2) div 3")),
-          i => concat_ws(" ",
-            slice(col("__toks"), (i - lit(1)) * lit(3) + lit(1), lit(3)))),
-        "\n"))
-      .select(col(idCol), col("__lined"))
+    // 1. segment evidence: batch lines dead when in the warehouse
+    //    segment state or repeated earlier in the batch (q171's rule)
     val seg = SegmentDedup
-      .dedupSegmentsIncremental(lined(warehouse), lined(batch),
-        idCol, "__lined", "\n")
+      .dedupSegmentsIncrementalFromState(state.segmentHashes,
+        lined(batch, idCol, textCol), idCol, "__lined", "\n")
       .select(col(idCol), col("n_segments"), col("n_removed"))
 
     // 2. exact: min id over the normalized-text class of warehouse ∪
-    //    batch — one hash-partitioned shuffle, no skew
-    val nh = md5(Dedup.normalized(col(textCol)))
-    val classMin = warehouse.select(nh.as("__nh"), col(idCol))
-      .unionByName(batch.select(nh.as("__nh"), col(idCol)))
-      .groupBy(col("__nh")).agg(min(col(idCol)).as("__m"))
-    val exact = batch.select(col(idCol), nh.as("__nh"))
+    //    batch — state classes min-merged with the batch's own (state
+    //    appends need not be aggregated; least() skips the absent side)
+    val batchMin = batch.select(normHash(textCol).as("__nh"), col(idCol))
+      .groupBy(col("__nh")).agg(min(col(idCol)).as("__bm"))
+    val classMin = state.exactClasses
+      .groupBy(col("__nh")).agg(min(col("__m")).as("__wm"))
+      .join(batchMin, Seq("__nh"), "full")
+      .select(col("__nh"), least(col("__wm"), col("__bm")).as("__m"))
+    val exact = batch.select(col(idCol), normHash(textCol).as("__nh"))
       .join(classMin, Seq("__nh"))
       .select(col(idCol),
         when(col("__m") < col(idCol), col("__m")).as("__exs"))
@@ -121,8 +212,8 @@ object IngestCapstone {
     //    counterpart's own verdict — redundancy is transitive enough
     //    for a keep/drop table (q188 keeps the component min likewise)
     val pairs = Dedup.minHashLshIncremental(
-      Dedup.lshBandWarehouse(warehouse, idCol, textCol),
-      warehouse, batch, idCol, textCol, threshold = lshThreshold)
+      state.lshBands, state.docs, batch, idCol, textCol,
+      threshold = lshThreshold)
     val near = pairs
       .select(col("id_a").as("__x"), col("id_b").as("__y"))
       .unionByName(pairs.select(col("id_b").as("__x"), col("id_a").as("__y")))
@@ -132,17 +223,11 @@ object IngestCapstone {
 
     // 4. decontamination vs the benchmark (q202's layers): distinct
     //    13-gram hits, distinct-3-gram containment
-    def shingleSet(df: DataFrame, n: Int): DataFrame = df
-      .select(col(idCol),
-        explode(call_function("graft_shingles", col(textCol), lit(n)))
-          .as("__s"))
-      .distinct()
-    def benchSet(n: Int): DataFrame =
-      shingleSet(benchmark, n).select(col("__s")).distinct()
-    val d13 = shingleSet(batch, 13).join(benchSet(13), Seq("__s"))
+    val d13 = shingleSet(batch, idCol, textCol, 13)
+      .join(state.bench13, Seq("__s"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("__n13"))
-    val c3 = shingleSet(batch, 3)
-      .join(benchSet(3).withColumn("__hit", lit(1L)), Seq("__s"), "left")
+    val c3 = shingleSet(batch, idCol, textCol, 3)
+      .join(state.bench3.withColumn("__hit", lit(1L)), Seq("__s"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n3"),
         sum(coalesce(col("__hit"), lit(0L))).as("__nh3"))
@@ -181,14 +266,14 @@ object IngestCapstone {
       pre.filter(col("__pre").isNull).select(col(idCol)),
       Seq(idCol), "left_semi")
     val nb = NaiveBayes.classifyIncremental(
-        NaiveBayes.wordCounts(warehouse, labelCol, textCol),
-        NaiveBayes.docCounts(warehouse, labelCol),
+        state.nbWordCounts, state.nbDocCounts,
         survivors, idCol, labelCol, textCol)
       .select(col(idCol), col("predicted"), col("margin_e16"))
 
     // 6. PSI gate — one bounded driver scalar (q203's exact algebra)
     val psiE9 = DriftMonitor
-      .psiByBin(warehouse, batch, weightCol, psiBinWidth)
+      .psiFromBinCounts(state.refBins,
+        DriftMonitor.binCounts(batch, weightCol, psiBinWidth))
       .agg(coalesce(sum(col("psi_term_e9")), lit(0L)))
       .head().getLong(0)
 
@@ -198,9 +283,7 @@ object IngestCapstone {
           .otherwise(lit("kept"))))
 
     // 7. budgeted shard re-plan over the kept docs only
-    val existing = ShardPlanner
-      .planShards(warehouse, sourceCol, weightCol, numShards)
-    val plan = ShardPlanner.replanShards(existing,
+    val plan = ShardPlanner.replanShards(state.existingPlan,
         decided.filter(col("verdict") === "kept")
           .select(col(sourceCol), col(weightCol)),
         sourceCol, weightCol, numShards, maxMoves)

@@ -103,18 +103,37 @@ object SegmentDedup {
   def dedupSegmentsIncremental(warehouse: DataFrame, batch: DataFrame,
                                idCol: String, textCol: String,
                                delimRegex: String,
-                               joinDelim: String = "\n"): DataFrame = {
+                               joinDelim: String = "\n"): DataFrame =
+    dedupSegmentsIncrementalFromState(
+      segmentHashState(warehouse, textCol, delimRegex),
+      batch, idCol, textCol, delimRegex, joinDelim)
+
+  /** The persisted warehouse form of the segment state: one (`__h`)
+    * row per distinct nonblank segment's 16-byte md5 — union-mergeable
+    * (distinct-on-read), the relation a deployment stores instead of
+    * re-hashing the corpus per batch (r12, the StreamingIngest state
+    * layout). */
+  def segmentHashState(warehouse: DataFrame, textCol: String,
+                       delimRegex: String): DataFrame =
+    warehouse
+      .select(explode(split(col(textCol), delimRegex)).as("__seg"))
+      .filter(length(col("__seg")) > 0)
+      .select(unhex(md5(col("__seg"))).as("__h"))
+      .distinct()
+
+  /** [[dedupSegmentsIncremental]] off persisted [[segmentHashState]]
+    * rows (need not be pre-distinct — the join is existence-keyed). */
+  def dedupSegmentsIncrementalFromState(state: DataFrame, batch: DataFrame,
+                                        idCol: String, textCol: String,
+                                        delimRegex: String,
+                                        joinDelim: String = "\n"): DataFrame = {
     require(idCol != textCol, "id and text columns must differ")
     Seq("pos", "clean_text", "n_segments", "n_removed",
         "__seg", "__segs", "__h", "__rn", "__rm", "__wh").foreach { c =>
       require(idCol != c && textCol != c,
         s"'$c' is reserved by dedupSegmentsIncremental")
     }
-    val whHashes = warehouse
-      .select(explode(split(col(textCol), delimRegex)).as("__seg"))
-      .filter(length(col("__seg")) > 0)
-      .select(unhex(md5(col("__seg"))).as("__h"))
-      .distinct()
+    val whHashes = state.select(col("__h")).distinct()
       .withColumn("__wh", lit(1))
     val batchArr = batch
       .select(col(idCol), split(col(textCol), delimRegex).as("__segs"))

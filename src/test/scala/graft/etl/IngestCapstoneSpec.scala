@@ -156,6 +156,31 @@ class IngestCapstoneSpec extends SparkSpec {
     }
   }
 
+  test("fromState tolerates unaggregated/duplicated mergeable state " +
+      "rows (the append-only warehouse contract, r12)") {
+    val st = IngestCapstone.ingestState(warehouse, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars")
+    // mess up every relation the way append-only ingest would:
+    // segment hashes and exact classes duplicated outright (their
+    // merges are distinct/min — idempotent), NB counts split across
+    // extra rows (their merge ADDS, so duplication would change
+    // semantics; a 0-count companion row must not).
+    val doubledHashes = st.segmentHashes.unionByName(st.segmentHashes)
+    val doubledClasses = st.exactClasses.unionByName(st.exactClasses)
+    val splitWc = st.nbWordCounts.unionByName(
+      st.nbWordCounts.withColumn("c", lit(0L)))
+    val splitDc = st.nbDocCounts.unionByName(
+      st.nbDocCounts.withColumn("d", lit(0L)))
+    val viaMessyState = IngestCapstone.ingestDecisionsFromState(
+        st.copy(segmentHashes = doubledHashes,
+          exactClasses = doubledClasses,
+          nbWordCounts = splitWc, nbDocCounts = splitDc),
+        batch, "doc_id", "lang", "source", "text", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.mkString("|")).toMap
+    val clean = result.map { case (k, r) => k -> r.mkString("|") }
+    assert(viaMessyState == clean)
+  }
+
   test("PSI constants equal the member operator's sum") {
     val psi = DriftMonitor.psiByBin(warehouse, batch, "n_chars", 100L)
       .agg(coalesce(sum(col("psi_term_e9")), lit(0L))).head().getLong(0)

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.etl.{IngestCapstone, ShardPlanner}
+import graft.operators.DriftMonitor
+
+/** Chunked replay of the sf0.001 batch docs through the accumulating
+  * ingest warehouse: each chunk's streamed verdict/evidence columns
+  * must equal the oracle-green q208 operator run against
+  * (initial warehouse ∪ kept-so-far); its psi_e9 must equal the
+  * member gate against the FIXED bootstrap reference; its routes must
+  * equal the movement-budgeted re-plan chain. Plus the r11
+  * replay-idempotence contract: re-running the last micro-batch
+  * leaves decisions AND additive state untouched. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("doc_id", "lang", "source", "text", "n_chars")
+
+  test("streaming ingest warehouse replay equals the per-chunk batch " +
+      "capstone over initial ∪ kept-so-far") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+      .select(cols.map(col): _*)
+      .localCheckpoint(true)
+    val isBatch = col("doc_id") % 7 === 0
+    val warehouse0 = docs.filter(!isBatch)
+    val benchmark = docs.filter(!isBatch && col("doc_id") % 10 === 0)
+    val batchRows = docs.filter(isBatch)
+      .as[(Long, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val whDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ingest").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ingest-ck").toString
+    StreamingIngest.bootstrap(whDir, warehouse0, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars")
+
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingIngest.run(input.toDF().toDF(cols: _*),
+      "doc_id", "lang", "source", "text", "n_chars", whDir, ckDir)
+    val chunks = batchRows.grouped(
+      math.max(1, math.ceil(batchRows.size / 3.0).toInt)).toSeq
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    def evidence(df: DataFrame): Seq[(Long, String)] = df
+      .select(col("doc_id"), col("source"), col("n_segments"),
+        col("n_removed"), col("survivor"), col("n_dirty_13grams"),
+        col("containment_e6"), col("predicted"), col("margin_e16"),
+        col("verdict"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.mkString("|")).sortBy(_._1)
+    def readDecisions() = spark.read.parquet(s"$whDir/decisions")
+      .localCheckpoint(true)
+    val streamedAll = readDecisions()
+    // exactly-once: one decision per streamed doc
+    assert(evidence(streamedAll).map(_._1) === batchRows.map(_._1))
+
+    // the independent chain: batch capstone per chunk over the
+    // accumulated corpus + the replan chain + the fixed-ref psi
+    val refBins = DriftMonitor
+      .binCounts(warehouse0, "n_chars", 100L).localCheckpoint(true)
+    var wh = warehouse0
+    var plan = ShardPlanner.planShards(warehouse0, "source", "n_chars", 4)
+      .select(col("source"), col("weight"), col("shard"))
+      .localCheckpoint(true)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val chunk = c.toDF(cols: _*).localCheckpoint(true)
+      val expected = IngestCapstone.ingestDecisions(
+          wh, chunk, benchmark,
+          "doc_id", "lang", "source", "text", "n_chars")
+        .localCheckpoint(true)
+      val streamed = streamedAll.where(col("batch") === i)
+      assert(evidence(streamed) === evidence(expected),
+        s"chunk $i verdict/evidence diverged")
+      // psi: the member gate vs the FIXED bootstrap reference
+      val psi = DriftMonitor.psiFromBinCounts(refBins,
+          DriftMonitor.binCounts(chunk, "n_chars", 100L))
+        .agg(coalesce(sum(col("psi_term_e9")), lit(0L))).head().getLong(0)
+      assert(streamed.select(col("psi_e9")).distinct()
+        .as[Long].collect().toSeq === Seq(psi), s"chunk $i psi diverged")
+      // routes: the movement-budgeted replan chain
+      val keptSrc = expected.filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("source"))
+      val kept = chunk.join(keptSrc.select(col("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint(true)
+      val replan = ShardPlanner.replanShards(plan,
+          kept.select(col("source"), col("n_chars")),
+          "source", "n_chars", 4, 2)
+        .localCheckpoint(true)
+      val expRoutes = keptSrc
+        .join(replan.select(col("source"), col("shard"), col("moved")),
+          Seq("source"))
+        .select(col("doc_id"), col("shard"), col("moved"))
+        .as[(Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+      val gotRoutes = streamed.filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("shard"), col("moved"))
+        .as[(Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(gotRoutes === expRoutes, s"chunk $i routes diverged")
+      wh = wh.unionByName(kept).localCheckpoint(true)
+      plan = replan.select(col("source"), col("weight"), col("shard"))
+        .localCheckpoint(true)
+    }
+
+    // replay idempotence (r11 convention): re-running the LAST
+    // micro-batch must leave decisions and additive state unchanged
+    def wcTotal() = spark.read.parquet(s"$whDir/word_counts")
+      .groupBy().agg(sum(col("c"))).as[Long].head()
+    val before = evidence(streamedAll)
+    val wcBefore = wcTotal()
+    StreamingIngest.ingestSink(whDir, "doc_id", "lang", "source",
+      "text", "n_chars")(chunks.last.toDF(cols: _*), chunks.size - 1L)
+    assert(evidence(readDecisions()) === before)
+    assert(wcTotal() === wcBefore)
+  }
+}
