@@ -100,8 +100,11 @@ object StreamingIngest {
     val planAll = spark.read.parquet(s"$warehouseDir/plan")
       .where(col("batch") < batchId)
       .localCheckpoint(true)
-    // partition values infer as INT — cast before the typed driver read
-    val lastPlan = planAll.agg(max(col("batch").cast("long")))
+    // partition values infer as INT — cast before the typed driver
+    // read; a cold-start bootstrap writes an EMPTY plan (no rows at
+    // all), so the max coalesces to the bootstrap partition id
+    val lastPlan = planAll
+      .agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
       .head().getLong(0)
     val state = IngestState(
       segmentHashes = readPrefix("seg_hashes", Seq("__h")),

@@ -119,4 +119,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(evidence(readDecisions()) === before)
     assert(wcTotal() === wcBefore)
   }
+
+  test("cold start: an EMPTY bootstrapped warehouse accepts the first " +
+      "batch's survivors and dedups within it") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 60)
+      .select(cols.map(col): _*)
+    val empty = docs.limit(0)
+    // benchmark must be non-empty for the gram layers to mean anything;
+    // use one held-out doc (its shingles are the only dirt detectable)
+    val benchmark = docs.filter(col("doc_id") === 1)
+    val whDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ingest-cold").toString
+    StreamingIngest.bootstrap(whDir, empty, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars")
+    val batch = docs.filter(col("doc_id") =!= 1)
+    StreamingIngest.ingestSink(whDir, "doc_id", "lang", "source",
+      "text", "n_chars")(batch, 0L)
+    val got = spark.read.parquet(s"$whDir/decisions")
+    assert(got.count() == batch.count())
+    // with no prior corpus the model trains on the batch's own
+    // survivors; every verdict is still decided and kept docs route
+    val verdicts = got.select(col("verdict")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(verdicts.contains("kept"), verdicts)
+    assert(got.filter(col("verdict") === "kept")
+      .filter(col("shard").isNull).count() == 0)
+    // the accepted corpus seeded: batch 1 sees batch 0's kept state
+    val firstKept = got.filter(col("verdict") === "kept").count()
+    assert(spark.read.parquet(s"$whDir/docs")
+      .where(col("batch") === 0).count() == firstKept)
+    // an exact copy of a kept doc arriving in batch 1 must now drop
+    val keptId = got.filter(col("verdict") === "kept")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val copy = docs.filter(col("doc_id") === keptId)
+      .withColumn("doc_id", lit(99999L))
+    StreamingIngest.ingestSink(whDir, "doc_id", "lang", "source",
+      "text", "n_chars")(copy, 1L)
+    val d1 = spark.read.parquet(s"$whDir/decisions")
+      .where(col("batch") === 1).head()
+    assert(d1.getAs[String]("verdict") == "exact_dup" &&
+      d1.getAs[Long]("survivor") == keptId)
+  }
 }
