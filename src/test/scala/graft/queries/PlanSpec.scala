@@ -402,4 +402,40 @@ class PlanSpec extends SparkSpec {
     assert(!dataFilters.contains("event_date"),
       s"date filter leaked into data filters ($dataFilters):\n$p")
   }
+
+  test("q210 mixture-from-state: the 1-row max broadcasts, no Window, " +
+      "map-side-combined count state (r12)") {
+    val p = plan("q210_mixture_from_state")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the n_max scalar must ride a 1-row broadcast, never shuffle " +
+        s"the weights frame:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-source state rollup must combine map-side:\n$p")
+  }
+
+  test("q209 quality-from-state: centroid algebra is a broadcast " +
+      "literal — no centroid join, no Window, no cartesian (r12)") {
+    val p = plan("q209_cluster_quality_state")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // the k-row nnCentroids relation is driver-local; its join to the
+    // k-row intra rollup must broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"the k-row report joins must broadcast:\n$p")
+    // one aggregation over the state⋈vectors join with a map-side phase
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-cluster scatter must combine map-side:\n$p")
+  }
+
+  test("q208 capstone final assembly: batch-sized evidence joins " +
+      "broadcast, no cartesian, no single-partition window (r12)") {
+    val p = plan("q208_ingest_capstone")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      s"no corpus-wide single-partition window may survive:\n$p")
+    // the pinned pre-NB evidence relation reads back as an RDD boundary
+    // (the heavy dedup/decontam chain executes exactly once)
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed evidence relation:\n$p")
+  }
 }
