@@ -214,12 +214,14 @@ object IngestCapstone {
     val pairs = Dedup.minHashLshIncremental(
       state.lshBands, state.docs, batch, idCol, textCol,
       threshold = lshThreshold)
+    // pairs come ordered (id_a = least, id_b = greatest), so of the
+    // oracle's two-orientation formulation only the (flagged = id_b,
+    // counterpart = id_a) branch can produce rows — group the larger
+    // side directly instead of unioning a provably-empty orientation
+    // (r13 ADVICE: the other branch was dead code doubling the scan)
     val near = pairs
-      .select(col("id_a").as("__x"), col("id_b").as("__y"))
-      .unionByName(pairs.select(col("id_b").as("__x"), col("id_a").as("__y")))
-      .filter(col("__y") < col("__x"))
-      .join(batch.select(col(idCol).as("__x")), Seq("__x"), "left_semi")
-      .groupBy(col("__x").as(idCol)).agg(min(col("__y")).as("__nrs"))
+      .join(batch.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .groupBy(col("id_b").as(idCol)).agg(min(col("id_a")).as("__nrs"))
 
     // 4. decontamination vs the benchmark (q202's layers): distinct
     //    13-gram hits, distinct-3-gram containment

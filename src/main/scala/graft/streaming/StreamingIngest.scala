@@ -59,15 +59,27 @@ object StreamingIngest {
 
   /** Write the static references and the initial accepted-corpus
     * state (as `batch=-1` partitions) — REQUIRED before the stream
-    * starts. `warehouse` may be empty-but-schema'd for a cold start. */
+    * starts. `warehouse` may be empty-but-schema'd for a cold start.
+    *
+    * The STRUCTURAL parameters — `numShards` (how many slots the plan
+    * routes into) and `psiBinWidth` (the binning every PSI comparison
+    * against `ref_bins` must share) — are persisted to `config/` and
+    * read back by [[ingestSink]], so a warehouse bootstrapped with
+    * non-default values can never be probed with mismatched binning or
+    * re-planned into the wrong slot count (r13 ADVICE: the sink used
+    * to hard-wire its own defaults). */
   def bootstrap(warehouseDir: String, warehouse: DataFrame,
                 benchmark: DataFrame, idCol: String, labelCol: String,
                 sourceCol: String, textCol: String, weightCol: String,
                 numShards: Int = 4, psiBinWidth: Long = 100L): Unit = {
+    val spark = warehouse.sparkSession
     val st = IngestCapstone.ingestState(warehouse, benchmark, idCol,
       labelCol, sourceCol, textCol, weightCol, numShards, psiBinWidth)
     def boot(df: DataFrame, dir: String): Unit =
       df.write.mode("overwrite").parquet(s"$warehouseDir/$dir/batch=-1")
+    import spark.implicits._
+    Seq((numShards, psiBinWidth)).toDF("num_shards", "psi_bin_width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$warehouseDir/config")
     st.bench13.write.mode("overwrite").parquet(s"$warehouseDir/bench13")
     st.bench3.write.mode("overwrite").parquet(s"$warehouseDir/bench3")
     st.refBins.write.mode("overwrite").parquet(s"$warehouseDir/ref_bins")
@@ -81,31 +93,39 @@ object StreamingIngest {
       "plan")
   }
 
-  /** foreachBatch sink against the warehouse under `warehouseDir`. */
+  /** foreachBatch sink against the warehouse under `warehouseDir`.
+    *
+    * `numShards`/`psiBinWidth` are NOT parameters: they are read from
+    * the warehouse's persisted `config/` (written by [[bootstrap]]),
+    * so per-batch PSI is always computed with the binning `ref_bins`
+    * was built with and re-plans always target the bootstrapped slot
+    * count. The remaining knobs are batch-time POLICY (alert level,
+    * movement budget, verify threshold) and stay caller-tunable. */
   def ingestSink(warehouseDir: String, idCol: String, labelCol: String,
                  sourceCol: String, textCol: String, weightCol: String,
-                 numShards: Int = 4, maxMoves: Int = 2,
-                 psiBinWidth: Long = 100L, psiAlertE9: Long = 100000000L,
+                 maxMoves: Int = 2, psiAlertE9: Long = 100000000L,
                  lshThreshold: Double = 0.3)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     val spark = batchDf.sparkSession
-    require(WarehouseFs.exists(spark, s"$warehouseDir/ref_bins"),
+    require(WarehouseFs.exists(spark, s"$warehouseDir/config"),
       s"StreamingIngest needs the bootstrapped warehouse at $warehouseDir" +
         " — call bootstrap(...) before starting the stream")
+    val cfg = spark.read.parquet(s"$warehouseDir/config").head()
+    val numShards = cfg.getAs[Int]("num_shards")
+    val psiBinWidth = cfg.getAs[Long]("psi_bin_width")
     def readPrefix(dir: String, cols: Seq[String]): DataFrame =
       spark.read.parquet(s"$warehouseDir/$dir")
         .where(col("batch") < batchId)
         .select(cols.map(col): _*)
-    // the plan is replaced, not merged: take the latest partition
-    val planAll = spark.read.parquet(s"$warehouseDir/plan")
-      .where(col("batch") < batchId)
-      .localCheckpoint(true)
-    // partition values infer as INT — cast before the typed driver
-    // read; a cold-start bootstrap writes an EMPTY plan (no rows at
-    // all), so the max coalesces to the bootstrap partition id
-    val lastPlan = planAll
-      .agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
-      .head().getLong(0)
+    // the plan is replaced, not merged: list the partition directories
+    // to find the latest one before this batch, then read ONLY it —
+    // plan history grows one partition per batch, so scanning the full
+    // history's rows every micro-batch is O(batches) for a 1-partition
+    // answer (r13 ADVICE; bootstrap always writes batch=-1)
+    val lastPlan = WarehouseFs.listPartitionIds(
+        spark, s"$warehouseDir/plan", "batch")
+      .filter(_ < batchId)
+      .reduceOption(_ max _).getOrElse(-1L)
     val state = IngestState(
       segmentHashes = readPrefix("seg_hashes", Seq("__h")),
       exactClasses = readPrefix("exact_classes", Seq("__nh", "__m")),
@@ -118,7 +138,8 @@ object StreamingIngest {
       nbDocCounts = readPrefix("doc_counts", Seq("src", "d")),
       refBins = spark.read.parquet(s"$warehouseDir/ref_bins")
         .select(col("bin"), col("n")),
-      existingPlan = planAll.where(col("batch") === lastPlan)
+      existingPlan = spark.read
+        .parquet(s"$warehouseDir/plan/batch=$lastPlan")
         .select(col(sourceCol), col("weight"), col("shard")))
     // decided AND mined for state deltas — pin once
     val batch = batchDf
@@ -160,15 +181,19 @@ object StreamingIngest {
       "plan")
   }
 
-  /** Wire a document stream into the sink. Read decisions from
+  /** Wire a document stream into the sink, forwarding the batch-time
+    * policy knobs (structural numShards/psiBinWidth ride the persisted
+    * `config/` — see [[ingestSink]]). Read decisions from
     * `<warehouseDir>/decisions`. */
   def run(docs: DataFrame, idCol: String, labelCol: String,
           sourceCol: String, textCol: String, weightCol: String,
-          warehouseDir: String, checkpointDir: String): StreamingQuery =
+          warehouseDir: String, checkpointDir: String,
+          maxMoves: Int = 2, psiAlertE9: Long = 100000000L,
+          lshThreshold: Double = 0.3): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(
         ingestSink(warehouseDir, idCol, labelCol, sourceCol, textCol,
-          weightCol) _)
+          weightCol, maxMoves, psiAlertE9, lshThreshold) _)
       .start()
 }

@@ -17,4 +17,22 @@ object WarehouseFs {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** Integral partition values under `path` (`<col>=<id>` directories),
+    * via one FileSystem listing — the O(1-listing) way to find the
+    * latest partition of an ever-growing history (vs scanning every
+    * partition's rows, which is O(batches) per micro-batch). Non-pattern
+    * entries (e.g. `_SUCCESS`) are skipped. */
+  def listPartitionIds(spark: SparkSession, path: String,
+                       col: String): Seq[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq()
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(col + "=") =>
+        n.stripPrefix(col + "=") }
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+  }
 }

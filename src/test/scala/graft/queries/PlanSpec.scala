@@ -431,8 +431,16 @@ class PlanSpec extends SparkSpec {
       "broadcast, no cartesian, no single-partition window (r12)") {
     val p = plan("q208_ingest_capstone")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
-      s"no corpus-wide single-partition window may survive:\n$p")
+    // per-line window check (the q165/q167 pattern; r13 ADVICE — the
+    // old compound could both false-fail on an unrelated
+    // SinglePartition exchange and false-pass a real global window):
+    // every window must be keyed by a dedup hash/band column
+    val windows = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(windows.forall(w =>
+      w.contains("windowspecdefinition(__h") ||
+        w.contains("windowspecdefinition(band")),
+      s"every capstone window must partition by a bounded dedup key, " +
+        s"never globally:\n${windows.mkString("\n")}\n$p")
     // the pinned pre-NB evidence relation reads back as an RDD boundary
     // (the heavy dedup/decontam chain executes exactly once)
     assert(p.contains("Scan ExistingRDD"),
