@@ -343,6 +343,39 @@ object Bench {
         .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
     }
 
+    // Persisted ingest-state capstone probe (r13, VERDICT r12 #1): the
+    // q208 suite line pays an in-plan state SIMULATION per run (the
+    // self-contained-query convention) — re-deriving segment hashes,
+    // exact classes, LSH bands, NB counts and the PSI reference from
+    // the warehouse corpus on every batch. A deployment persists
+    // IngestState ONCE (band state bucketed by (band, bhash), so the
+    // banded probe's warehouse side joins exchange-free) and each batch
+    // pays only its probe. x_ingest_state_build is that one-time cost;
+    // x_ingest_state_probe is the marginal per-batch cost — the number
+    // the q208 x100 smoke's one above-linear term (warehouse re-signing)
+    // turns into at deployment.
+    val ingestStateResults: Seq[Measure] = if (only.isDefined) Seq() else try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(spark, sfDir)
+      val isBatch = col("doc_id") % 7 === 0
+      val mBuild = measure("x_ingest_state_build",
+        graft.etl.IngestCapstone.persistState(
+          graft.etl.IngestCapstone.ingestState(
+            docs.filter(!isBatch),
+            docs.filter(!isBatch && col("doc_id") % 10 === 0),
+            "doc_id", "lang", "source", "text", "n_chars"),
+          "bench_ingest_state"))
+      val m = measure("x_ingest_state_probe",
+        force(graft.etl.IngestCapstone.ingestDecisionsFromState(
+          graft.etl.IngestCapstone.readState(spark, "bench_ingest_state"),
+          docs.filter(isBatch),
+          "doc_id", "lang", "source", "text", "n_chars")))
+      Seq(mBuild, m)
+    } catch { case _: Throwable =>
+      Seq("x_ingest_state_build", "x_ingest_state_probe")
+        .map(Measure(_, -1.0, Seq(), 0.0, (System.nanoTime() - suiteT0) / 1e9))
+    }
+
     // Data-dominated scale point: when the 10×-replicated dataset exists
     // (tools/gen_scaled_data.py), re-run the data-heavy query subset on it
     // as x10_* lines. These measure marginal (data-proportional) cost —
@@ -669,7 +702,7 @@ object Bench {
       } else { logRegr(probeVal, m.median); (m, None) }
     }
     val healedPairs = (results ++ annResults ++ jsonResults ++ asofResults ++
-      scaledResults ++ ivf256Results).map(heal)
+      ingestStateResults ++ scaledResults ++ ivf256Results).map(heal)
     val all = healedPairs.map(_._1)
     val rerunEvidence = healedPairs.collect {
       case (m, Some(orig)) => m.name -> ((orig, m.median))

@@ -35,13 +35,26 @@ object Warehouse {
     * exactly what a production partitioned-table writer does. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8, partitionBy: Seq[String] = Nil,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketedKeys(df, table, Seq(key), buckets, partitionBy, mode)
+
+  /** [[writeBucketed]] on a COMPOSITE key: tables probed by a
+    * multi-column equi-join (e.g. the LSH band state's (band, bhash))
+    * bucket + sort on the full key tuple, so the probe's required
+    * distribution is satisfied by the scan for ANY
+    * requireAllClusterKeys setting — the warehouse side never
+    * exchanges, only the (batch-proportional) probe side shuffles. */
+  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
+                        buckets: Int = 8, partitionBy: Seq[String] = Nil,
+                        mode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "bucketed write needs at least one key")
     val clustered =
       if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
       else df
     val w = clustered.write.mode(mode).format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(table)
   }

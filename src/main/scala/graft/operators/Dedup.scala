@@ -204,6 +204,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
+  /** [[verifyPairs]] with the token legs CANDIDATE-BOUNDED (r13): the
+    * incremental probes' verify side is warehouse-sized, but only ids
+    * appearing in a candidate pair ever need token sets — a broadcast
+    * semi-join against the (pair-bounded) candidate id set keeps the
+    * tokenize kernel off the non-candidate corpus (the q196 lesson;
+    * measured at the x100 probe: the unbounded form tokenizes 500k
+    * docs twice to verify ~7k pairs). The candidate derivation
+    * re-runs the (batch-proportional) pair chain once more — cheap by
+    * construction in the incremental forms, which is why the full
+    * rebuilds keep the unbounded shape (their pair chain IS the
+    * query). Results are identical: verification reads the same rows. */
+  private def verifyPairsCandidates(df: DataFrame, idCol: String,
+                                    textCol: String, threshold: Double,
+                                    pairs: DataFrame): DataFrame = {
+    val cand = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    verifyPairs(df.join(broadcast(cand), Seq(idCol), "left_semi"),
+      idCol, textCol, threshold, pairs)
+  }
+
   /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
     * verification on candidate pairs. */
   private def lshVerify(df: DataFrame, idCol: String, textCol: String,
@@ -321,7 +341,7 @@ object Dedup {
       .distinct()
     val docs = warehouseDocs.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
-    verifyPairs(docs, idCol, textCol, threshold, pairs)
+    verifyPairsCandidates(docs, idCol, textCol, threshold, pairs)
   }
 
   /** 64-bit SimHash per doc: bit b of the hash is set iff the sum of ±1

@@ -181,6 +181,58 @@ class IngestCapstoneSpec extends SparkSpec {
     assert(viaMessyState == clean)
   }
 
+  test("persistState → readState (bucketed deployment layout, r13) " +
+      "answers exactly the in-plan derive path") {
+    val st = IngestCapstone.ingestState(warehouse, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars")
+    IngestCapstone.persistState(st, "capstone_state_spec", buckets = 4)
+    val viaPersisted = IngestCapstone.ingestDecisionsFromState(
+        IngestCapstone.readState(spark, "capstone_state_spec"),
+        batch, "doc_id", "lang", "source", "text", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.mkString("|")).toMap
+    assert(viaPersisted == result.map { case (k, r) => k -> r.mkString("|") })
+  }
+
+  test("the band probe's warehouse side is exchange-free off the " +
+      "persisted (band, bhash)-bucketed table (r13, VERDICT #1)") {
+    val st = IngestCapstone.ingestState(warehouse, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars")
+    IngestCapstone.persistState(st, "capstone_state_plan", buckets = 4)
+    // the probe fragment itself (the full decision query pins the
+    // dedup chain behind a localCheckpoint, so its final plan cannot
+    // show the band join)
+    val persisted = IngestCapstone.readState(spark, "capstone_state_plan")
+    val p = graft.operators.Dedup.minHashLshIncremental(
+        persisted.lshBands, persisted.docs, batch, "doc_id", "text",
+        threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    // walk from the bands-table scan up to its first Join ancestor:
+    // the path must carry no Exchange (a local bucket Sort is fine) —
+    // the probe shuffles only the batch-proportional side, never the
+    // warehouse band state
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("Scan parquet") && l.contains("capstone_state_plan_bands"))
+    assert(scanIdx >= 0, s"expected a scan of the persisted band table:\n$p")
+    var i = scanIdx
+    var d = indent(lines(scanIdx))
+    val path = Seq.newBuilder[String]
+    while (i > 0 && !lines(i).contains("Join")) {
+      i -= 1
+      if (indent(lines(i)) < d && indent(lines(i)) >= 0) {
+        d = indent(lines(i)); path += lines(i)
+      }
+    }
+    val ancestors = path.result()
+    assert(ancestors.exists(_.contains("Join")),
+      s"expected the band probe join above the scan:\n$p")
+    assert(!ancestors.takeWhile(!_.contains("Join"))
+        .exists(_.contains("Exchange")),
+      s"the warehouse band state must reach its probe join without an " +
+        s"Exchange:\n${ancestors.mkString("\n")}\n$p")
+  }
+
   test("PSI constants equal the member operator's sum") {
     val psi = DriftMonitor.psiByBin(warehouse, batch, "n_chars", 100L)
       .agg(coalesce(sum(col("psi_term_e9")), lit(0L))).head().getLong(0)
