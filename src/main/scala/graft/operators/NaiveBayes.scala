@@ -539,6 +539,28 @@ object NaiveBayes {
         (-col("r.no")).as("logodds_e16"))
   }
 
+  /** [[classReport]] off a PERSISTED decision table (r13, VERDICT r12
+    * #3, the q209/q210 state-form contract): q194 re-scores the corpus
+    * through the classify chain every run; a deployment reads the
+    * decisions table the classify batch job (or
+    * [[graft.streaming.StreamingClassify]]'s `decisions/` sink)
+    * already persisted, paying only the S²-row rollup — no tokenize,
+    * no model, no document scan. Decision state is keyed by doc id
+    * and accumulates one append per ingest batch; a replay-idempotent
+    * writer can leave EXACT duplicate rows across reads mid-replay
+    * (the r11 overwrite-partition convention, read defensively) —
+    * `distinct()` restores per-doc uniqueness without choosing among
+    * rows, because scoring is deterministic fixed-point integer
+    * algebra: duplicates are bit-identical. */
+  def classReportFromState(decisions: DataFrame, labelCol: String): DataFrame =
+    classReport(decisions.distinct(), labelCol)
+
+  /** [[thresholdSweep]] off a PERSISTED decision table — same state
+    * contract as [[classReportFromState]]. */
+  def thresholdSweepFromState(decisions: DataFrame,
+                              cutoffsE16: Seq[Long] = DefaultMarginCutoffsE16): DataFrame =
+    thresholdSweep(decisions.distinct(), cutoffsE16)
+
   /** Per-class evaluation rollup of a [[classify]] output — the
     * classifier-eval report artifact (one row per TRUE class):
     * (label, n_docs, n_predicted, n_correct, precision_e6, recall_e6).

@@ -1476,6 +1476,35 @@ object TextQueries {
       graft.operators.DriftMonitor.mergeBinCounts(curWarehouse, curBatch))
   }
 
+  // Classifier report off persisted decision state (r13, VERDICT r12
+  // #3): q194 re-scores the corpus through q193's chain every run; a
+  // deployment reads the decisions table the classify job (or
+  // StreamingClassify's decisions/ sink) already persisted. Simulated
+  // in-plan per the q209/q210 convention: the decision table rides as
+  // three per-batch appends (%3 split) with the LAST batch duplicated
+  // outright (a mid-replay read — the r11 overwrite-partition
+  // idempotence, read defensively). Oracle = q194's SQL verbatim →
+  // artifact hash EQUALS q194's (the q187/q189 design-working reading).
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    graft.operators.NaiveBayes.classReportFromState(
+      decisionState(s, d), "lang")
+  }
+
+  // Threshold sweep off the same persisted decision state (r13): the
+  // operating-curve artifact without re-scoring a single document.
+  // Oracle = q204's SQL verbatim → hash EQUALS q204's.
+  private def q212(s: SparkSession, d: String): DataFrame =
+    graft.operators.NaiveBayes.thresholdSweepFromState(decisionState(s, d))
+
+  // the simulated accumulated-decisions state shared by q211/q212
+  private def decisionState(s: SparkSession, d: String): DataFrame = {
+    val decided = graft.operators.NaiveBayes
+      .classify(documents(s, d), "doc_id", "lang", "text")
+    (0 until 3).map(i => decided.filter(col("doc_id") % 3 === i))
+      .reduce(_.unionByName(_))
+      .unionByName(decided.filter(col("doc_id") % 3 === 2))
+  }
+
   // NB class-evidence report (r11 post-closing): the model-explanation
   // artifact for the q193 gate — per class, the top-8 words by exact
   // one-vs-rest log-odds under the scorer's own add-one/ilog2 algebra
@@ -1487,6 +1516,8 @@ object TextQueries {
       graft.operators.NaiveBayes.wordCounts(documents(s, d), "lang", "text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_threshold_sweep_state" -> q212 _,
+    "q211_classifier_report_state" -> q211 _,
     "q207_nb_evidence" -> q207 _,
     "q205_psi_incr" -> q205 _,
     "q204_threshold_sweep" -> q204 _,
@@ -2115,6 +2146,11 @@ object TextQueries {
       "FROM jq, scq ORDER BY jq.bin"
 
   val oracle: Map[String, String] = Map(
+    // q211/q212: the state-consuming paths must answer exactly what
+    // the corpus re-score answers — q194/q204's oracles verbatim,
+    // artifact hashes EQUAL (the q187/q189/q209/q210 contract)
+    "q212_threshold_sweep_state" -> thresholdSweepOracle,
+    "q211_classifier_report_state" -> classifierReportOracle,
     "q207_nb_evidence" -> nbEvidenceOracle,
     // q205: the incremental path must answer exactly what the
     // from-scratch q203 scan answers — its oracle verbatim

@@ -21,15 +21,35 @@ import graft.operators.{Dedup, NaiveBayes, SegmentDedup}
   * design: the movement budget is the q206 product feature).
   *
   * Warehouse layout under `warehouseDir` (all parquet):
-  *  - static, written once by [[bootstrap]]: `bench13/`, `bench3/`
-  *    (decontamination shingle sets), `ref_bins/` (the PSI reference
-  *    snapshot — each batch gates against the FIXED reference, the
-  *    StreamingDrift semantics; the `decisions/` partition history is
-  *    the drift trajectory);
+  *  - static, written once by [[bootstrap]]: `config/` (structural
+  *    tunables), `bench13/`, `bench3/` (decontamination shingle
+  *    sets), `ref_bins/` (the bootstrap PSI reference snapshot);
   *  - accumulating, one `batch=<id>` partition per micro-batch
   *    (bootstrap state rides `batch=-1`): `seg_hashes/`,
   *    `exact_classes/`, `bands/`, `docs/`, `word_counts/`,
-  *    `doc_counts/`, `plan/`, `decisions/`.
+  *    `doc_counts/`, `bin_deltas/`, `plan/`, `decisions/`.
+  *
+  * PSI reference policy (r13, VERDICT r12 #4 — `refreshEvery` in the
+  * persisted config): with `refreshEvery = 0` (default) every batch
+  * gates against the FIXED bootstrap reference — the StreamingDrift
+  * posture, where the `decisions/` history IS the drift trajectory
+  * away from a pinned baseline. With `refreshEvery = R > 0` the
+  * reference is the ACCEPTED corpus as of the last R-batch boundary:
+  * batch B gates against `ref_bins` merged with the kept docs'
+  * `bin_deltas` of every batch < B − (B mod R) (counts add — the
+  * q205 mergeable-bin contract makes the refresh one bounded
+  * bin-count rollup, never a document re-scan). R = 1 reproduces the
+  * self-contained q208 posture exactly: every batch gates against
+  * the full current accepted corpus (StreamingIngestSpec pins it
+  * chunk-for-chunk); larger R trades alert latency for a stabler
+  * baseline. A deployment refreshes when it wants "drift vs what we
+  * now ship" rather than "drift vs launch" — after a deliberate
+  * distribution change (new source onboarded, re-balance) pick small
+  * R so the alert re-anchors; during an incident investigation pin
+  * R = 0 so the trajectory stays comparable. Replay-safe: the
+  * boundary is a pure function of B and the `bin_deltas` read takes
+  * `batch < boundary ≤ B`, so a replayed batch recomputes the same
+  * reference (its own partial delta is invisible to it).
   *
   * Replay-idempotent (the r11 StreamingClassify convention): every
   * write targets the batch's OWN partition dir with mode overwrite,
@@ -46,8 +66,11 @@ import graft.operators.{Dedup, NaiveBayes, SegmentDedup}
   * reference; its routes equal `replanShards(previous plan, its kept
   * docs)`. The psi/route columns deviate from the self-contained q208
   * query DELIBERATELY: q208 re-derives ref bins and a fresh LPT from
-  * its (static) warehouse, a deployment gates against a pinned
-  * reference and carries a movement-budgeted plan forward.
+  * its (static) warehouse, a deployment gates against a pinned (or
+  * R-boundary-refreshed — see the policy above; `refreshEvery = 1`
+  * closes the psi leg of this deviation and the spec pins THAT
+  * against the accepted-corpus gate chunk-for-chunk) reference and
+  * carries a movement-budgeted plan forward.
   *
   * NB model note: scoring merges the SURVIVORS' counts transiently
   * (the q195 semantics — a doc is scored by a model that has seen its
@@ -71,14 +94,16 @@ object StreamingIngest {
   def bootstrap(warehouseDir: String, warehouse: DataFrame,
                 benchmark: DataFrame, idCol: String, labelCol: String,
                 sourceCol: String, textCol: String, weightCol: String,
-                numShards: Int = 4, psiBinWidth: Long = 100L): Unit = {
+                numShards: Int = 4, psiBinWidth: Long = 100L,
+                refreshEvery: Int = 0): Unit = {
     val spark = warehouse.sparkSession
     val st = IngestCapstone.ingestState(warehouse, benchmark, idCol,
       labelCol, sourceCol, textCol, weightCol, numShards, psiBinWidth)
     def boot(df: DataFrame, dir: String): Unit =
       df.write.mode("overwrite").parquet(s"$warehouseDir/$dir/batch=-1")
     import spark.implicits._
-    Seq((numShards, psiBinWidth)).toDF("num_shards", "psi_bin_width")
+    Seq((numShards, psiBinWidth, refreshEvery))
+      .toDF("num_shards", "psi_bin_width", "refresh_every")
       .coalesce(1).write.mode("overwrite").parquet(s"$warehouseDir/config")
     st.bench13.write.mode("overwrite").parquet(s"$warehouseDir/bench13")
     st.bench3.write.mode("overwrite").parquet(s"$warehouseDir/bench3")
@@ -113,6 +138,19 @@ object StreamingIngest {
     val cfg = spark.read.parquet(s"$warehouseDir/config").head()
     val numShards = cfg.getAs[Int]("num_shards")
     val psiBinWidth = cfg.getAs[Long]("psi_bin_width")
+    val refreshEvery = cfg.getAs[Int]("refresh_every")
+    // rolling PSI reference (scaladoc policy): bootstrap bins merged
+    // with kept-doc bin deltas up to the last refresh boundary
+    val boundary =
+      if (refreshEvery <= 0) 0L else batchId - (batchId % refreshEvery)
+    val refBins0 = spark.read.parquet(s"$warehouseDir/ref_bins")
+      .select(col("bin"), col("n"))
+    val refBins =
+      if (boundary <= 0 ||
+          !WarehouseFs.exists(spark, s"$warehouseDir/bin_deltas")) refBins0
+      else graft.operators.DriftMonitor.mergeBinCounts(refBins0,
+        spark.read.parquet(s"$warehouseDir/bin_deltas")
+          .where(col("batch") < boundary).select(col("bin"), col("n")))
     def readPrefix(dir: String, cols: Seq[String]): DataFrame =
       spark.read.parquet(s"$warehouseDir/$dir")
         .where(col("batch") < batchId)
@@ -136,8 +174,7 @@ object StreamingIngest {
       bench3 = spark.read.parquet(s"$warehouseDir/bench3"),
       nbWordCounts = readPrefix("word_counts", Seq("src", "w", "c")),
       nbDocCounts = readPrefix("doc_counts", Seq("src", "d")),
-      refBins = spark.read.parquet(s"$warehouseDir/ref_bins")
-        .select(col("bin"), col("n")),
+      refBins = refBins,
       existingPlan = spark.read
         .parquet(s"$warehouseDir/plan/batch=$lastPlan")
         .select(col(sourceCol), col("weight"), col("shard")))
@@ -171,6 +208,10 @@ object StreamingIngest {
     delta(kept.select(col(idCol), col(textCol)), "docs")
     delta(NaiveBayes.wordCounts(kept, labelCol, textCol), "word_counts")
     delta(NaiveBayes.docCounts(kept, labelCol), "doc_counts")
+    // written under EVERY policy (cheap, mergeable by addition) so a
+    // warehouse can switch to a rolling reference without backfill
+    delta(graft.operators.DriftMonitor.binCounts(kept, weightCol,
+      psiBinWidth), "bin_deltas")
     // the new plan: the same deterministic re-plan the decisions used
     // (recomputed — the greedy is driver-bounded arithmetic over one
     // row per source), persisted WHOLE so the next batch starts from it

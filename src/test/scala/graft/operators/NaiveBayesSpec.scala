@@ -471,4 +471,26 @@ class NaiveBayesSpec extends SparkSpec {
     assert(pprec === 1000000L)
     assert(prec === 666666L)
   }
+
+  test("classReportFromState / thresholdSweepFromState ≡ the derive " +
+      "paths under split + replay-duplicated state rows (r13)") {
+    val decided = NaiveBayes.classify(crafted.toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text").localCheckpoint(true)
+    // the accumulated decisions table a deployment reads: three batch
+    // appends (%3 split), the middle batch ALSO present twice — the
+    // mid-replay read the r11 overwrite-partition convention allows
+    val state = (0 until 3).map(i =>
+        decided.filter(col("doc_id") % 3 === i))
+      .reduce(_.unionByName(_))
+      .unionByName(decided.filter(col("doc_id") % 3 === 1))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    assert(rows(NaiveBayes.classReportFromState(state, "lang")) ===
+      rows(NaiveBayes.classReport(decided, "lang")))
+    assert(rows(NaiveBayes.thresholdSweepFromState(state)) ===
+      rows(NaiveBayes.thresholdSweep(decided)))
+    // the duplicated rows really were there (the defensive read is
+    // load-bearing, not vacuous)
+    assert(state.count() > decided.count())
+  }
 }

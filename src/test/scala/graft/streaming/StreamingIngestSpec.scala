@@ -120,6 +120,71 @@ class StreamingIngestSpec extends SparkSpec {
     assert(wcTotal() === wcBefore)
   }
 
+  test("rolling PSI reference (refreshEvery=1): each batch gates " +
+      "against the accepted corpus so far — the q208 posture, closed " +
+      "chunk-for-chunk — and a replayed batch recomputes the same " +
+      "reference (r13, VERDICT #4)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+      .select(cols.map(col): _*)
+      .localCheckpoint(true)
+    val isBatch = col("doc_id") % 7 === 0
+    val warehouse0 = docs.filter(!isBatch)
+    val benchmark = docs.filter(!isBatch && col("doc_id") % 10 === 0)
+    val whDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ingest-roll").toString
+    StreamingIngest.bootstrap(whDir, warehouse0, benchmark,
+      "doc_id", "lang", "source", "text", "n_chars", refreshEvery = 1)
+    val batchRows = docs.filter(isBatch)
+      .as[(Long, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val chunks = batchRows.grouped(
+      math.max(1, math.ceil(batchRows.size / 3.0).toInt)).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      StreamingIngest.ingestSink(whDir, "doc_id", "lang", "source",
+        "text", "n_chars")(c.toDF(cols: _*), i.toLong)
+    }
+    val decisions = spark.read.parquet(s"$whDir/decisions")
+      .localCheckpoint(true)
+    // independent chain: the member gate against binCounts(initial ∪
+    // kept-so-far) — i.e. what the self-contained q208 posture computes
+    var wh = warehouse0
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val chunk = c.toDF(cols: _*).localCheckpoint(true)
+      val psiExp = DriftMonitor.psiFromBinCounts(
+          DriftMonitor.binCounts(wh, "n_chars", 100L),
+          DriftMonitor.binCounts(chunk, "n_chars", 100L))
+        .agg(coalesce(sum(col("psi_term_e9")), lit(0L))).head().getLong(0)
+      val got = decisions.where(col("batch") === i)
+        .select(col("psi_e9")).distinct().as[Long].collect().toSeq
+      assert(got === Seq(psiExp), s"chunk $i rolling psi diverged")
+      val kept = chunk.join(
+        decisions.where(col("batch") === i)
+          .filter(col("verdict") === "kept").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      wh = wh.unionByName(kept).localCheckpoint(true)
+    }
+    // a replay of the LAST batch must see the same boundary (< its own
+    // id), hence the same reference and identical decisions
+    val before = decisions.collect().map(_.mkString("|")).toSeq.sorted
+    StreamingIngest.ingestSink(whDir, "doc_id", "lang", "source",
+      "text", "n_chars")(chunks.last.toDF(cols: _*), chunks.size - 1L)
+    val after = spark.read.parquet(s"$whDir/decisions")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(after === before)
+    // the rolling reference really moved: a later batch's psi differs
+    // from the fixed-bootstrap gate for that batch (guards against a
+    // vacuous pin if the kept deltas were empty)
+    val fixedPsi = DriftMonitor.psiFromBinCounts(
+        DriftMonitor.binCounts(warehouse0, "n_chars", 100L),
+        DriftMonitor.binCounts(chunks.last.toDF(cols: _*), "n_chars", 100L))
+      .agg(coalesce(sum(col("psi_term_e9")), lit(0L))).head().getLong(0)
+    val lastGot = decisions.where(col("batch") === (chunks.size - 1))
+      .select(col("psi_e9")).distinct().as[Long].head()
+    assert(lastGot != fixedPsi,
+      "rolling reference should differ from the fixed gate by chunk 3")
+  }
+
   test("cold start: an EMPTY bootstrapped warehouse accepts the first " +
       "batch's survivors and dedups within it") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
