@@ -204,26 +204,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
-  /** [[verifyPairs]] with the token legs CANDIDATE-BOUNDED (r13): the
-    * incremental probes' verify side is warehouse-sized, but only ids
-    * appearing in a candidate pair ever need token sets — a broadcast
-    * semi-join against the (pair-bounded) candidate id set keeps the
-    * tokenize kernel off the non-candidate corpus (the q196 lesson;
-    * measured at the x100 probe: the unbounded form tokenizes 500k
-    * docs twice to verify ~7k pairs). The candidate derivation
-    * re-runs the (batch-proportional) pair chain once more — cheap by
-    * construction in the incremental forms, which is why the full
-    * rebuilds keep the unbounded shape (their pair chain IS the
-    * query). Results are identical: verification reads the same rows. */
-  private def verifyPairsCandidates(df: DataFrame, idCol: String,
-                                    textCol: String, threshold: Double,
-                                    pairs: DataFrame): DataFrame = {
-    val cand = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    verifyPairs(df.join(broadcast(cand), Seq(idCol), "left_semi"),
-      idCol, textCol, threshold, pairs)
-  }
-
   /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
     * verification on candidate pairs. */
   private def lshVerify(df: DataFrame, idCol: String, textCol: String,
@@ -300,8 +280,20 @@ object Dedup {
     * bound counts batch + touched-warehouse rows — identical to the
     * full rebuild's count for every bucket that can produce a
     * batch-involving pair, so the exclusion set matches exactly.
-    * Exact-Jaccard verification touches only candidate ids (broadcast
-    * semi-join against the docs tables).
+    * Exact-Jaccard verification JOINS only candidate pairs: the tiny
+    * pair list broadcasts, so the token relation streams through two
+    * BroadcastHashJoins without shuffling. (r13 A-B-A, kept as a pin:
+    * an explicit candidate semi-join before the tokenize — pinned
+    * pair list, broadcast id set, the q196 shape — cut the verify
+    * tokenize from corpus to candidates but measured strictly worse
+    * on WALL at every scale: ONLY-mode sf0.1 q185 1.90 vs 1.70,
+    * q208 6.6 vs 5.85; x100 probe ~22-26 vs 19.7-20.0 s warm-cache
+    * interleaved. The tokenize kernel streams cache-resident scan
+    * bytes; the bounding added a pair-chain pin + an extra join stage
+    * that cost more than the kernel it saved. Unlike q196, where
+    * candidate restriction gated a 2.5 GB SHUFFLE, verify's token
+    * legs never shuffle — restriction only pays when it prunes an
+    * exchange, not a streamed scan.)
     *
     * `warehouseDocs` supplies (idCol, textCol) for the verification
     * token sets of warehouse-side candidates — at scale an id-bucketed
@@ -341,7 +333,7 @@ object Dedup {
       .distinct()
     val docs = warehouseDocs.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
-    verifyPairsCandidates(docs, idCol, textCol, threshold, pairs)
+    verifyPairs(docs, idCol, textCol, threshold, pairs)
   }
 
   /** 64-bit SimHash per doc: bit b of the hash is set iff the sum of ±1
