@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (optimization rounds): time labeled sub-stages of the hot
+  * query chains through the noop sink — the guide §1 decomposition step
+  * (which stage of a composed chain owns the wall time?), without
+  * touching the bench contract. Each stage: 1 warm-up + 3 timed runs,
+  * median reported, same rule as Bench.
+  *
+  * Usage: tools/run_class.sh graft.DevProbe <probeName> <sfDir>
+  */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val probe = args(0)
+    val sfDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
+      .config("spark.sql.files.openCostInBytes", 1024 * 1024)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def stage(name: String)(df: => DataFrame): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      force(df) // warm-up
+      val ts = Seq.fill(3)(time(force(df))).sorted
+      println(f"STAGE $name%-40s median ${ts(1)}%7.3f  runs ${ts.mkString(", ")}")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    probe match {
+      case "q186" =>
+        val docs = Tables.documents(spark, sfDir)
+        val isNew = col("doc_id") % 7 === 0
+        val wh = docs.filter(!isNew)
+        val batch = docs.filter(isNew)
+        stage("fingerprint_warehouse") {
+          graft.operators.Dedup.simHashHexTable(wh, "doc_id", "text")
+        }
+        stage("fingerprint_batch") {
+          graft.operators.Dedup.simHashHexTable(batch, "doc_id", "text")
+        }
+        stage("full_incr_probe") {
+          graft.operators.Dedup.simHashNearDupIncremental(
+            graft.operators.Dedup.simHashHexTable(wh, "doc_id", "text"),
+            batch, "doc_id", "text", maxHamming = 3)
+        }
+        // candidate volume: pairs sharing a band bucket, before hamming
+        val fps = graft.operators.Dedup.simHashHexTable(wh, "doc_id", "text")
+          .unionByName(graft.operators.Dedup.simHashHexTable(batch, "doc_id", "text"))
+        val bands = fps.select(col("id"),
+          posexplode(array((0 until 4).map(j =>
+            substring(col("simhash_hex"), j * 4 + 1, 4)): _*)).as(Seq("band", "bval")))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.id") < col("b.id"))
+        println("CANDIDATE band-bucket pairs (full corpus): " + cand.count())
+        val bucketTop = bands.groupBy("band", "bval").count()
+          .orderBy(col("count").desc).limit(10).collect()
+        bucketTop.foreach(r => println(s"BUCKET band=${r.get(0)} bval=${r.get(1)} n=${r.get(2)}"))
+      case "cc" =>
+        val docs = Tables.documents(spark, sfDir)
+        val pairs = graft.operators.Dedup.minHashLshPortable(docs, "doc_id", "text",
+          numPerms = 32, numBands = 8, shingleN = 3, threshold = 0.3)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        stage("lsh_pairs") { pairs }
+        val p = pairs.localCheckpoint(true)
+        println("PAIRS: " + p.count())
+        println("ACTIVE endpoints: " + p.select(col("src").as("id"))
+          .union(p.select(col("dst").as("id"))).distinct().count())
+        println("DOCS: " + docs.count())
+        stage("cc_auto_full") {
+          graft.operators.ConnectedComponents.auto(
+            p, docs.select(col("doc_id").as("id")))
+        }
+      case other => sys.error(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}

@@ -69,6 +69,20 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // r17 measured-negative pin (guide §1.2 — algorithm candidates get
+    // an A-B before they ship): iterating over the EDGE-INDUCED
+    // subgraph only (labels₀ = nodes ⋈semi endpoints, isolated nodes
+    // rejoining as singletons after the fixpoint) shrinks the
+    // per-round state from |V| to |V_active| rows (sf0.1: 5,000 →
+    // 477) but measured STRICTLY SLOWER at both measurable scales —
+    // cc_auto sf0.1 0.88 → 0.95 s, x10 0.96 → 1.13 s median-of-3 —
+    // because the label rows are ~16 bytes and every round's cost here
+    // is job/stage floors, not rows, while the pruning adds a semi-join
+    // to the setup checkpoint and a nodes-side left join to the final
+    // plan. Revisit only when a profile shows per-round shuffle ROWS
+    // (not job count) dominating; at that point the semi-join form in
+    // the r13 optimization log is the drop-in (contract test for
+    // unknown endpoints already in ConnectedComponentsSpec).
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var round = 0

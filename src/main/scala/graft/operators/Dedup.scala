@@ -437,11 +437,26 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded probe is exhaustive only for maxHamming <= 3 " +
         s"(pigeonhole over 4 16-bit bands); got $maxHamming")
+    // r17 (guide §4): the Hamming verify runs once PER CANDIDATE PAIR —
+    // every pair of docs sharing a 16-bit band bucket, measured 4.2M
+    // pairs on the x10 replica where band rows number only ~200k — so
+    // per-pair expression cost dominates the probe. [[hexHamming]]'s
+    // 16-nibble strpos/substring chain (~96 expression nodes, two string
+    // allocations per nibble) moves to the band ROWS as two packed
+    // 32-bit halves (conv is exact: 8 hex chars < 2^32 fits a long),
+    // and each pair pays 2 xor + 2 bit_count. Same integer, pinned by
+    // DedupSpec against hexHamming; the oracle still replays the
+    // nibble arithmetic on its side.
     def bandRows(fps: DataFrame): DataFrame = fps
       .select(col("id"), col("simhash_hex"),
+        conv(substring(col("simhash_hex"), 1, 8), 16, 10)
+          .cast("long").as("__hi"),
+        conv(substring(col("simhash_hex"), 9, 8), 16, 10)
+          .cast("long").as("__lo"),
         posexplode(array((0 until 4).map(j =>
           substring(col("simhash_hex"), j * 4 + 1, 4)): _*))
           .as(Seq("band", "bval")))
+      .drop("simhash_hex")
     val batchBands =
       bandRows(simHashHexTable(batch, idCol, textCol))
         .withColumn("__batch", lit(true))
@@ -462,12 +477,17 @@ object Dedup {
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
-        // hamming is symmetric, so distinct-ing AFTER computing it
-        // collapses both orientations of a batch↔batch pair (the hex
-        // columns themselves swap sides between orientations)
-        hexHamming(col("a.simhash_hex"), col("b.simhash_hex")).as("hamming"))
-      .distinct()
+        // hamming is symmetric, so both orientations of a batch↔batch
+        // pair produce the same row and the distinct collapses them
+        (bit_count(col("a.__hi").bitwiseXOR(col("b.__hi"))) +
+          bit_count(col("a.__lo").bitwiseXOR(col("b.__lo"))))
+          .cast("long").as("hamming"))
+      // r17 (guide §2.3): filter BEFORE distinct — the threshold is a
+      // per-row predicate identical across orientations, so the distinct
+      // dedupes the qualifying pairs (hundreds) instead of every
+      // candidate (millions): same rows out, ~10^4× smaller exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The dedup DECISION table — the artifact a production dedup pass

@@ -20,6 +20,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("edge endpoints outside the node universe drop and never " +
+      "propagate labels (the documented minLabel contract)") {
+    // 0 is NOT in nodes: edge (0,2) must not pull 2's component down to
+    // 0, and no row for 0 may be emitted; edge (7,8) with 8 unknown
+    // must leave 7 a singleton; the 0-2 edge must also not bridge to 1
+    // THROUGH the unknown node (1-0-2 is not a path when 0 is outside)
+    val edges = Seq((0L, 2L), (1L, 0L), (7L, 8L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 7L).toDF("id")
+    val got = ConnectedComponents.minLabel(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 7L -> 7L))
+  }
+
   test("alternating star: same answers as minLabel on mixed shapes") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")

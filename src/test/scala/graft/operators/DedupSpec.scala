@@ -106,6 +106,26 @@ class DedupSpec extends SparkSpec {
     assert(!incr.exists(p => p._1 == 1L && p._2 == 3L)) // ...absent
   }
 
+  test("packed-halves Hamming ≡ hexHamming (the r17 per-pair verify " +
+      "diet: conv 32-bit halves + xor + bit_count vs the nibble chain)") {
+    val rnd = new scala.util.Random(42)
+    def hex16() = Seq.fill(16)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    val rows = Seq.fill(200)((hex16(), hex16())) :+
+      (("0" * 16, "f" * 16)) :+ (("0" * 16, "0" * 16)) :+
+      (("ffffffff00000000", "00000000ffffffff"))
+    val df = rows.toDF("a", "b")
+    def packed(c: org.apache.spark.sql.Column) = (
+      conv(substring(c, 1, 8), 16, 10).cast("long"),
+      conv(substring(c, 9, 8), 16, 10).cast("long"))
+    val (ahi, alo) = packed(col("a")); val (bhi, blo) = packed(col("b"))
+    val out = df.select(
+        Dedup.hexHamming(col("a"), col("b")).as("nib"),
+        (bit_count(ahi.bitwiseXOR(bhi)) + bit_count(alo.bitwiseXOR(blo)))
+          .cast("long").as("pk"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (nib, pk) => assert(nib === pk) }
+  }
+
   test("q188 decision semantics: exact beats near, survivors chain " +
       "deterministically (branch the sf fixtures don't reach)") {
     // 1 ← near-dup family {1,2}; 4 is an exact dup of 1 (case/ws) AND
