@@ -90,6 +90,34 @@ object DevProbe {
           graft.operators.ConnectedComponents.auto(
             p, docs.select(col("doc_id").as("id")))
         }
+      // generic shuffle-volume probe (r13): run named SparkEntry queries
+      // once through the noop sink and report total shuffle read/write
+      // bytes (the CorpusScaleSmoke listener) — the §2.3 evidence for
+      // byte-diet changes whose wall delta sits inside local-mode noise.
+      case "shuffle" =>
+        val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
+        val shufR = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val m = e.stageInfo.taskMetrics
+              if (m != null) {
+                shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+                shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+              }
+            }
+          })
+        args(2).split(",").foreach { q =>
+          shufW.set(0L); shufR.set(0L)
+          spark.sparkContext.setJobDescription(q)
+          force(SparkEntry.queries(q)(spark, sfDir))
+          // listener events drain asynchronously — settle before reading
+          // (the CorpusScaleSmoke convention; listenerBus is private[spark])
+          Thread.sleep(1000)
+          println(f"SHUFFLE $q%-36s write ${shufW.get / 1024.0 / 1024.0}%9.2f MB" +
+            f"  read ${shufR.get / 1024.0 / 1024.0}%9.2f MB")
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance fuzzy join — the entity-resolution dedup
@@ -64,22 +63,34 @@ object FuzzyJoin {
   /** All pairs of distinct non-null values of `keyCol` within Levenshtein
     * distance `maxDist`, as (key_a, key_b, edit_dist) with key_a < key_b.
     *
-    * One equi-join shuffle on the variant string; the bucket-bound window
-    * partitions by the same key, so the join reuses its exchange. */
+    * Bucket form (r13): ONE pass builds the variant buckets —
+    * groupBy(variant) with a sorted key list — and the candidate pairs
+    * are generated ROW-LOCALLY inside each bucket (all i<j pairs of the
+    * sorted list). The previous self-join form planned the whole
+    * distinct+explode+window subtree TWICE (once per join side: 2 scans,
+    * 4 exchanges, 2 windows) to produce exactly these within-bucket
+    * pairs; the bucket form pays one scan, no window, and two shuffles
+    * (groupBy v, pair distinct). Candidate SET is identical — a pair
+    * shares a variant iff both keys sit in that variant's bucket — so
+    * the exact-verify filter and the result are unchanged. Memory bound:
+    * the collected key list is capped by `maxBucket` (the same cap the
+    * window form enforced), and buckets over the cap are dropped
+    * whole — same recall trade as before, never precision. */
   def selfJoin(df: DataFrame, keyCol: String, maxDist: Int,
                maxBucket: Int = 100000): DataFrame = {
-    val probes = df
+    val buckets = df
       .select(col(keyCol).cast("string").as("k"))
       .filter(col("k").isNotNull)
       .distinct()
       .select(col("k"), explode(deletionVariants(col("k"), maxDist)).as("v"))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("v"))))
-      .filter(col("__bn") <= maxBucket)
-      .select(col("k"), col("v"))
-    probes.as("a")
-      .join(probes.as("b"),
-        col("a.v") === col("b.v") && col("a.k") < col("b.k"))
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .filter(size(col("ks")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ks"), (x, i) =>
+        transform(slice(col("ks"), i + lit(2), size(col("ks"))),
+          y => struct(x.as("key_a"), y.as("key_b")))))).as("p"))
+      .select(col("p.key_a"), col("p.key_b"))
       .distinct()
       .withColumn("edit_dist", levenshtein(col("key_a"), col("key_b"), maxDist))
       .filter(col("edit_dist") >= 0)

@@ -60,8 +60,19 @@ object IvfIndex {
     * is recomputed per query — at warehouse scale [[build]] persists it
     * once and [[topKIndexed]] prunes whole partitions instead. */
   def topK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float],
-           k: Int, numCells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents = centroids(df, idCol, vecCol, numCells)
+           k: Int, numCells: Int = 8, nprobe: Int = 2): DataFrame =
+    topKWithCentroids(df, idCol, vecCol, probe, k,
+      centroids(df, idCol, vecCol, numCells), nprobe)
+
+  /** [[topK]] with the centroid table precomputed — a caller probing the
+    * SAME corpus at several nprobe points (q192's recall curve) pays the
+    * centroid-selection job once instead of once per point; the result
+    * is identical by construction (same cents array → same cell ranking,
+    * same assignment). */
+  def topKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        probe: Seq[Float], k: Int,
+                        cents: Array[(Int, Seq[Float])],
+                        nprobe: Int): DataFrame = {
     val probeCells = rankCells(cents, probe, nprobe)
     val candidates = assignCells(df, vecCol, cents)
       .filter(col("ivf_cell").isin(probeCells: _*))

@@ -101,9 +101,15 @@ object SimQueries {
       .select(col("vec_id"))
       .localCheckpoint(true)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // r13: the centroid table is a function of the corpus alone — compute
+    // its driver collect ONCE and share it across the four probe points
+    // (IvfIndex.topK used to re-run the centroid-selection job per call:
+    // 4 identical sort+limit jobs for one curve). Same cents → same cell
+    // ranking → identical rows.
+    val cents = graft.operators.IvfIndex.centroids(corpus, "vec_id", "embedding", 8)
     Seq(1, 2, 4, 8).map { np =>
-      graft.operators.IvfIndex.topK(corpus, "vec_id", "embedding", p,
-          k = 10, numCells = 8, nprobe = np)
+      graft.operators.IvfIndex.topKWithCentroids(corpus, "vec_id", "embedding", p,
+          k = 10, cents, nprobe = np)
         .select(col("vec_id"))
         .join(exact, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))

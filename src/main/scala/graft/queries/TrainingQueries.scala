@@ -144,13 +144,21 @@ object TrainingQueries {
   // at corpus scale the distinct-13-gram train side is the bloom/
   // semi-join shape q113 already demonstrates.
   private def q153(s: SparkSession, d: String): DataFrame = {
+    // r13 shuffle diet (the q208 decontamination-rung rule): a 13-gram
+    // shingle is ~80 chars and only ever EQUALITY-compared here, so the
+    // distincts and the join ride its 16-byte md5 instead of the string
+    // — same equivalence classes (a cross-gram collision is ~2^-128 and
+    // the oracle gate at both SFs would catch it), ~5x fewer exchange
+    // bytes. Output columns are counts only; nothing downstream reads
+    // the gram text.
     val sh = documents(s, d).select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(13))).as("shingle"))
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("__h"))
     val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
-      .select(col("shingle")).distinct()
+      .select(col("__h")).distinct()
     sh.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("shingle")).distinct()
-      .join(trainSh, Seq("shingle"))
+      .select(col("doc_id"), col("__h")).distinct()
+      .join(trainSh, Seq("__h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dirty_13grams"))
       .orderBy(col("doc_id"))
