@@ -31,16 +31,24 @@ object Assembly {
     // A product listed twice within a slot is one candidate at its best score.
     val best = candidates.groupBy(col(slotCol), col(productCol))
       .agg(max(col(scoreCol)).as(scoreCol))
-    val nSlots = best.select(col(slotCol)).distinct().count().toInt
-    if (nSlots == 0) return best
+    // r13: the slot count rides the SAME job as the top-S collect (a
+    // 1-row broadcast cross join) instead of its own count() action —
+    // the old two-action form re-ran the whole candidate groupBy once
+    // just to size the window's rank bound. distinct-then-count keeps
+    // a NULL slot counted exactly as count() did (countDistinct would
+    // silently drop it).
+    val nSlotsDf = best.select(col(slotCol)).distinct()
+      .agg(count(lit(1)).as("__n_slots"))
     val w = Window.partitionBy(col(slotCol))
       .orderBy(col(scoreCol).desc, col(productCol))
     val topS = best
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nSlots)
+      .crossJoin(broadcast(nSlotsDf))
+      .filter(col("__rk") <= col("__n_slots"))
       .orderBy(col(slotCol), col("__rk"))
-      .drop("__rk")
+      .drop("__rk", "__n_slots")
       .collect() // bounded: ≤ S² rows
+    if (topS.isEmpty) return best.limit(0)
 
     val used = scala.collection.mutable.Set.empty[Any]
     val filled = scala.collection.mutable.Set.empty[Any]
