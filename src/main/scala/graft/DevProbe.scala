@@ -90,6 +90,47 @@ object DevProbe {
           graft.operators.ConnectedComponents.auto(
             p, docs.select(col("doc_id").as("id")))
         }
+      // q96 expression decomposition (r13, guide §4): which of the
+      // de-codegen'ing HOF expressions owns the projection's wall time?
+      case "q96" =>
+        import graft.ops.ColumnOps
+        val part = Tables.part(spark, sfDir)
+        val k = col("p_partkey")
+        val n = pmod(k, lit(7)).cast("int")
+        val urls = when(n === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), n), i =>
+            concat(lit("u"), pmod(k * i, lit(97)).cast("string"),
+              lit("_"), i.cast("string"))))
+        val rule = element_at(
+          array(lit("first_2"), lit("last_2"), lit("neg_4_to_2"), lit("neg_3_and_4")),
+          (pmod(k, lit(4)) + 1).cast("int"))
+        val kept = ColumnOps.layFlatPick(urls, rule)
+        stage("scan_only") { part.select(k.as("part_id"), col("p_brand")) }
+        stage("urls_only") { part.select(k.as("part_id"), urls.as("u")) }
+        stage("urls_kept") { part.select(k.as("part_id"), array_join(kept, ",").as("kj")) }
+        stage("kept_plus_idx") { part.select(k.as("part_id"),
+          array_join(kept, ",").as("kj"),
+          array_join(transform(ColumnOps.storedIndices(kept, urls),
+            x => x.cast("string")), ",").as("ij")) }
+        stage("dedup_ci_only") { part.select(k.as("part_id"),
+          array_join(ColumnOps.dedupCaseInsensitive(array(
+            upper(col("p_brand")), col("p_brand"), lit("ANODIZED"),
+            lit("anodized"), lower(col("p_brand")))), ",").as("e7")) }
+        stage("full_q96") { SparkEntry.queries("q96_array_pick_ops")(spark, sfDir) }
+        stage("full_q96_shared") {
+          part.select(k.as("part_id"), rule.as("rule"),
+              urls.as("__urls"), col("p_brand"))
+            .withColumn("__kept", ColumnOps.layFlatPick(col("__urls"), col("rule")))
+            .select(col("part_id"), col("rule"),
+              array_join(col("__kept"), ",").as("kept_joined"),
+              array_join(transform(
+                ColumnOps.storedIndices(col("__kept"), col("__urls")),
+                x => x.cast("string")), ",").as("idx_joined"),
+              array_join(ColumnOps.dedupCaseInsensitive(array(
+                upper(col("p_brand")), col("p_brand"), lit("ANODIZED"),
+                lit("anodized"), lower(col("p_brand")))), ",").as("e7_joined"))
+        }
+
       // generic shuffle-volume probe (r13): run named SparkEntry queries
       // once through the noop sink and report total shuffle read/write
       // bytes (the CorpusScaleSmoke listener) — the §2.3 evidence for

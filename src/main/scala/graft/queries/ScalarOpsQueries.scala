@@ -57,16 +57,27 @@ object ScalarOpsQueries {
     val rule = element_at(
       array(lit("first_2"), lit("last_2"), lit("neg_4_to_2"), lit("neg_3_and_4")),
       (pmod(k, lit(4)) + 1).cast("int"))
-    val kept = ColumnOps.layFlatPick(urls, rule)
+    // r13 (guide §4): this projection is de-codegen'd by its HOFs, and
+    // interpreted eval has no common-subexpression sharing — inlining
+    // `urls` into every layFlatPick branch and again into storedIndices
+    // re-evaluated the url-builder MANY times per row. Materializing
+    // __urls/__kept as real columns across Project boundaries (which
+    // CollapseProject keeps, because they are referenced repeatedly and
+    // are not cheap) evaluates each once: 0.49 -> 0.19 s measured
+    // (DevProbe q96, sf0.1). Same expressions, same values, same hash.
     part(s, d).select(
-      k.as("part_id"), rule.as("rule"),
-      array_join(kept, ",").as("kept_joined"),
-      array_join(
-        transform(ColumnOps.storedIndices(kept, urls), x => x.cast("string")),
-        ",").as("idx_joined"),
-      array_join(ColumnOps.dedupCaseInsensitive(array(
-        upper(col("p_brand")), col("p_brand"), lit("ANODIZED"),
-        lit("anodized"), lower(col("p_brand")))), ",").as("e7_joined"))
+        k.as("part_id"), rule.as("rule"), urls.as("__urls"), col("p_brand"))
+      .withColumn("__kept", ColumnOps.layFlatPick(col("__urls"), col("rule")))
+      .select(
+        col("part_id"), col("rule"),
+        array_join(col("__kept"), ",").as("kept_joined"),
+        array_join(
+          transform(ColumnOps.storedIndices(col("__kept"), col("__urls")),
+            x => x.cast("string")),
+          ",").as("idx_joined"),
+        array_join(ColumnOps.dedupCaseInsensitive(array(
+          upper(col("p_brand")), col("p_brand"), lit("ANODIZED"),
+          lit("anodized"), lower(col("p_brand")))), ",").as("e7_joined"))
   }
 
   // X21/X22/X23: retailer→refitd category + top-layer role, display
