@@ -90,6 +90,76 @@ object DevProbe {
           graft.operators.ConnectedComponents.auto(
             p, docs.select(col("doc_id").as("id")))
         }
+      // Kneser-Ney stage decomposition (r13): where does x10_q173 spend —
+      // the train bigram count, the registry-cache materialization, the
+      // model rollups, or the scoring joins?
+      case "kn" =>
+        val docs = Tables.documents(spark, sfDir)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        stage("bigram_counts") {
+          train.select(explode(call_function("graft_shingles", col("text"), lit(2)))
+              .as("bg"))
+            .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        }
+        stage("doc_bigrams_explode") {
+          docs.select(col("doc_id"),
+            explode(call_function("graft_shingles", col("text"), lit(2))).as("bg"))
+        }
+        stage("kn_full") {
+          graft.operators.NgramLm.scoreDocsKneserNey(
+            train, docs, "doc_id", "text").orderBy(col("doc_id"))
+        }
+        stage("kn_full_again") {
+          graft.operators.NgramLm.scoreDocsKneserNey(
+            train, docs, "doc_id", "text").orderBy(col("doc_id"))
+        }
+        // inline replica of the internals, to attribute the tail
+        def knInline(useCache: Boolean, ckptDocBg: Boolean): DataFrame = {
+          val bi0 = train
+            .select(explode(call_function("graft_shingles", col("text"), lit(2)))
+              .as("bg"))
+            .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+            .withColumn("w1", split(col("bg"), " ").getItem(0))
+            .withColumn("w2", split(col("bg"), " ").getItem(1))
+          val bi = if (useCache) bi0.localCheckpoint(true) else bi0
+          val ctx = bi.groupBy(col("w1"))
+            .agg(sum(col("c12")).as("ctx_v"), count(lit(1)).as("n1p_v"))
+          val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w"))
+          val tot = bi.agg(count(lit(1)).as("b_types"))
+          val cv = cont.agg(count(lit(1)).as("v_cont"))
+          val pE9x = expr(
+            "CASE WHEN ctx_v IS NOT NULL THEN " +
+              "(cast(1000000000 as decimal(38,0)) * " +
+              "(greatest(4L * coalesce(c12, 0L) - 3L, 0L) * b_types + " +
+              "3L * n1p_v * coalesce(n1p_w, 0L))) div (4L * ctx_v * b_types) " +
+              "ELSE (cast(1000000000 as decimal(38,0)) * " +
+              "(coalesce(n1p_w, 0L) + 1L)) div (b_types + v_cont) END")
+          val docBg0 = docs
+            .select(col("doc_id"),
+              explode(call_function("graft_shingles", col("text"), lit(2))).as("bg"))
+          val docBg = if (ckptDocBg) docBg0.localCheckpoint(true) else docBg0
+          val perBg = docBg.select(col("bg")).distinct()
+            .withColumn("w1", split(col("bg"), " ").getItem(0))
+            .withColumn("w2", split(col("bg"), " ").getItem(1))
+            .join(bi.select(col("bg"), col("c12")), Seq("bg"), "left")
+            .join(ctx, Seq("w1"), "left")
+            .join(cont, Seq("w2"), "left")
+            .crossJoin(broadcast(tot))
+            .crossJoin(broadcast(cv))
+            .select(col("bg"), pE9x.cast("long").as("p_e9"),
+              when(col("c12").isNull, 1L).otherwise(0L).as("oov"))
+          docBg.join(perBg, Seq("bg"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              sum(col("oov")).as("n_oov"),
+              sum(col("p_e9")).as("sum_p_e9"))
+            .withColumn("score_e9", expr("sum_p_e9 div n_bigrams"))
+            .orderBy(col("doc_id"))
+        }
+        stage("kn_inline_ckpt_bi") { knInline(true, false) }
+        stage("kn_inline_nocache") { knInline(false, false) }
+        stage("kn_inline_ckpt_both") { knInline(true, true) }
+
       // q96 expression decomposition (r13, guide §4): which of the
       // de-codegen'ing HOF expressions owns the projection's wall time?
       case "q96" =>

@@ -205,7 +205,20 @@ object Dedup {
   }
 
   /** Shared LSH tail: band-bucket self-join (bounded) + exact-Jaccard
-    * verification on candidate pairs. */
+    * verification on candidate pairs.
+    *
+    * MEASURED-NEGATIVE pin (r13): the FuzzyJoin-style bucket form —
+    * groupBy(band, bhash) + sort_array(collect_list(id)) + row-local
+    * i<j pair explode, killing the bucket window and the join's second
+    * signature subtree — was built, oracle-checked green on all ten
+    * consumers, and measured WORSE at min-of-pass ONLY-mode sf0.1
+    * (q198 1.68 -> 2.16, q121 1.99 -> 2.28, q188 1.69 -> 1.82, q38/q69
+    * flat): on this self-similar corpus LSH buckets run large (up to
+    * the 1000 cap), so the interpreted HOF pair-generation lambdas pay
+    * per-element costs the codegen'd join never does, while AQE already
+    * reuses the (band, bhash) exchange for the join's second side. The
+    * same rewrite WINS in [[FuzzyJoin.selfJoin]], whose deletion-variant
+    * buckets are tiny. Keep the join form here. */
   private def lshVerify(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxBucket: Int,
                         sigs: DataFrame, bandHash: Column => Column): DataFrame = {
