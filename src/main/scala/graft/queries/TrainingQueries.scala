@@ -443,11 +443,16 @@ object TrainingQueries {
       .select(col("doc_id"), col("exact_match_id"))
     def grams(n: Int) = docs.select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(n))).as("shingle"))
+    // r13: the 13-gram rung rides 16-byte md5 digests through its
+    // distincts and join (the q153/q208 diet — ~80-char grams are only
+    // equality-compared); the 3-gram rung keeps strings (a 3-gram is
+    // barely wider than the digest, so the md5 CPU would buy nothing).
     val sh13 = grams(13)
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("__h13"))
     val dirty13 = sh13.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("shingle")).distinct()
+      .select(col("doc_id"), col("__h13")).distinct()
       .join(sh13.filter(col("doc_id") % 10 =!= 0)
-        .select(col("shingle")).distinct(), Seq("shingle"))
+        .select(col("__h13")).distinct(), Seq("__h13"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty_13grams"))
     val sh3 = grams(3)
     val cont3 = sh3.filter(col("doc_id") % 10 === 0)
