@@ -229,6 +229,41 @@ object DevProbe {
           println(f"SHUFFLE $q%-36s write ${shufW.get / 1024.0 / 1024.0}%9.2f MB" +
             f"  read ${shufR.get / 1024.0 / 1024.0}%9.2f MB")
         }
+      // generic job/stage/task accounting (r14): run named SparkEntry
+      // queries once through the noop sink and report how many JOBS
+      // (driver actions), stages and tasks each pays, plus shuffle
+      // bytes — the §2.6/§5 evidence for action-fusion changes (fewer
+      // driver round trips) where the wall delta sits inside noise.
+      case "jobs" =>
+        val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val stages = new java.util.concurrent.atomic.AtomicLong(0L)
+        val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+        val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+            override def onStageCompleted(
+                e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              stages.incrementAndGet()
+              tasks.addAndGet(e.stageInfo.numTasks.toLong)
+              val m = e.stageInfo.taskMetrics
+              if (m != null) shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+          })
+        args(2).split(",").foreach { q =>
+          // warm-up once so codegen/IO caches don't ride the counts' run
+          force(SparkEntry.queries(q)(spark, sfDir))
+          Thread.sleep(500)
+          jobs.set(0L); stages.set(0L); tasks.set(0L); shufW.set(0L)
+          spark.sparkContext.setJobDescription(q)
+          val t = time(force(SparkEntry.queries(q)(spark, sfDir)))
+          Thread.sleep(1000)
+          println(f"JOBS $q%-36s wall $t%7.3f  jobs ${jobs.get}%3d  " +
+            f"stages ${stages.get}%4d  tasks ${tasks.get}%6d  " +
+            f"shufW ${shufW.get / 1024.0 / 1024.0}%9.2f MB")
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

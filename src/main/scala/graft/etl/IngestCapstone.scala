@@ -252,6 +252,37 @@ object IngestCapstone {
         col(weightCol))
       .localCheckpoint(true)
 
+    // Overlap the independent driver actions (r14, guide §2.6 — actions
+    // are only sequential because the driver calls them sequentially).
+    // Two legs are independent of the pre-verdict ladder and used to
+    // run strictly AFTER its checkpoint:
+    //  - the WAREHOUSE side of the NB count state (the model's one
+    //    corpus-proportional input — the survivors' own counts must
+    //    wait for `pre`, but the warehouse counts never depend on it);
+    //    materializing it here makes classifyIncremental's later merge
+    //    checkpoint a cheap vocab-bounded union instead of the full
+    //    warehouse tokenize (a localCheckpoint is semantically
+    //    transparent — same counts, same merge);
+    //  - the PSI gate scalar (refBins + batch bins — batch-only).
+    // Both launch on driver side threads whose single-task stages
+    // back-fill the cores the pre-DAG's own single-task stages leave
+    // idle, and both are awaited INSIDE this call — nothing leaks past
+    // it, values and plans are identical to the sequential form.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (pre, nb, psiE9) = try {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val whWordCountsF = scala.concurrent.Future {
+      state.nbWordCounts.localCheckpoint(true)
+    }
+    val psiF = scala.concurrent.Future {
+      DriftMonitor
+        .psiFromBinCounts(state.refBins,
+          DriftMonitor.binCounts(batch, weightCol, psiBinWidth))
+        .agg(coalesce(sum(col("psi_term_e9")), lit(0L)))
+        .head().getLong(0)
+    }
+
     // 1. segment evidence: batch lines dead when in the warehouse
     //    segment state or repeated earlier in the batch (q171's rule)
     val seg = SegmentDedup
@@ -337,21 +368,28 @@ object IngestCapstone {
       .localCheckpoint(true)
 
     // 5. NB gate over SURVIVORS only — warehouse count state merged
-    //    with the survivors' own counts (drops feed priors)
+    //    with the survivors' own counts (drops feed priors). The
+    //    warehouse counts were materialized concurrently above; the
+    //    merge + scalars here touch vocab-bounded rows + batch tokens.
     val survivors = batch.join(
       pre.filter(col("__pre").isNull).select(col(idCol)),
       Seq(idCol), "left_semi")
     val nb = NaiveBayes.classifyIncremental(
-        state.nbWordCounts, state.nbDocCounts,
+        scala.concurrent.Await.result(whWordCountsF,
+          scala.concurrent.duration.Duration.Inf),
+        state.nbDocCounts,
         survivors, idCol, labelCol, textCol)
       .select(col(idCol), col("predicted"), col("margin_e16"))
 
-    // 6. PSI gate — one bounded driver scalar (q203's exact algebra)
-    val psiE9 = DriftMonitor
-      .psiFromBinCounts(state.refBins,
-        DriftMonitor.binCounts(batch, weightCol, psiBinWidth))
-      .agg(coalesce(sum(col("psi_term_e9")), lit(0L)))
-      .head().getLong(0)
+    // 6. PSI gate — one bounded driver scalar (q203's exact algebra),
+    //    computed by the concurrent leg above
+    (pre,
+      nb,
+      scala.concurrent.Await.result(psiF,
+        scala.concurrent.duration.Duration.Inf))
+    // shutdown lets in-flight side jobs finish; a main-thread failure
+    // must not interrupt a Spark job mid-stage, only stop the threads
+    } finally pool.shutdown()
 
     val decided = pre.join(nb, Seq(idCol), "left")
       .withColumn("verdict", coalesce(col("__pre"),
